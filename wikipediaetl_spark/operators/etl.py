@@ -1,0 +1,328 @@
+"""Wikipedia-ETL pipeline operators — the reference's core semantics.
+
+The reference's batch half (SURVEY.md §3.1) is two PySpark jobs over a landed
+HTML corpus: ``Categorizer`` (categories / word count / last-edited date →
+normalized pages/categories/bridge schema, ETL/tasks/categorizer.py) and
+``Converter`` (visible text → parquet, ETL/tasks/converter.py). Here both are
+rebuilt Spark-first over deterministic Wikipedia-shaped HTML synthesized from
+the ``documents`` fixture (functions/html.py), so the DuckDB oracle can check
+every step:
+
+- no driver-side collect-then-loop: the reference's N+1 ORM inserts
+  (categorizer.py:143-195, collect at :150) become anti-joins + set-based
+  writes;
+- one shared scan feeds both branches (the reference re-scans the corpus per
+  job — SURVEY.md §4 "missed reuse");
+- string/date extraction runs as native expressions (functions/html.py), the
+  structural-parser pandas UDF is reserved for messy HTML.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.catalog import query
+from wikipediaetl_spark.functions.html import (
+    EXTRACT_CATEGORIES_SQL,
+    EXTRACT_LAST_EDITED_SQL,
+    EXTRACT_TEXT_SQL,
+    SYNTH_HTML_SQL,
+    extract_categories_expr,
+    extract_last_edited_expr,
+    extract_text_expr,
+    synth_html,
+)
+from wikipediaetl_spark.functions.urls import normalize_url, sanitize_filename, url_host
+from wikipediaetl_spark.sources import load_table
+
+_PAGES_CTE = f"pages AS (SELECT documents.*, {SYNTH_HTML_SQL} AS html FROM documents)"
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized HTML corpus: documents + an ``html`` page column.
+
+    Stand-in for the reference's landing directory of ``*.html`` files read
+    with wholetext (categorizer.py:131, converter.py:52); ``file_name``
+    mirrors the sanitize-filename projection (utils.py:4-11).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.withColumn(
+        "html",
+        synth_html(F.col("doc_id"), F.col("lang"), F.col("source"), F.col("text"), F.col("n_chars")),
+    ).withColumn(
+        "file_name",
+        sanitize_filename(F.concat(F.lit("file:///landing/Doc_"), F.col("doc_id"), F.lit(".html"))),
+    )
+
+
+@query(
+    "q40_html_categories",
+    oracle=f"""
+    WITH {_PAGES_CTE},
+    cats AS (SELECT doc_id, unnest({EXTRACT_CATEGORIES_SQL}) AS category FROM pages)
+    SELECT category, count(*) AS n_pages
+    FROM cats GROUP BY category
+    """,
+)
+def q40_html_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category extraction + explode + distribution count.
+
+    Parity: extract_categories (categorizer.py:89-101) and the Superset
+    "Category Distribution" chart the reference's schema serves (README.md:23).
+    """
+    return (
+        corpus(spark, sf_dir)
+        .select("doc_id", F.explode(extract_categories_expr(F.col("html"))).alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+@query(
+    "q41_html_last_edited",
+    oracle=f"""
+    WITH {_PAGES_CTE}
+    SELECT CAST(EXTRACT(year FROM {EXTRACT_LAST_EDITED_SQL}) AS INTEGER) AS edit_year,
+           count(*) AS n_pages
+    FROM pages GROUP BY 1
+    """,
+)
+def q41_html_last_edited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-edited-date extraction ('d MMMM yyyy' parse, null-safe) + yearly
+    rollup. Parity: extract_last_edited_date (categorizer.py:103-122, strptime
+    at :116)."""
+    return (
+        corpus(spark, sf_dir)
+        .select(F.year(extract_last_edited_expr(F.col("html"))).alias("edit_year"))
+        .groupBy("edit_year")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+@query(
+    "q42_word_count",
+    oracle=f"""
+    WITH {_PAGES_CTE}
+    SELECT doc_id,
+           CAST(len(string_split(html, ' ')) AS INTEGER) AS word_count,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS text_word_count
+    FROM pages
+    """,
+)
+def q42_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count as size(split(·, ' ')) — computed, like the reference, on
+    the raw page string (categorizer.py:137) and on the clean text."""
+    return corpus(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.col("html"), " ")).alias("word_count"),
+        F.size(F.split(F.col("text"), " ")).alias("text_word_count"),
+    )
+
+
+@query(
+    "q43_extract_text",
+    oracle=f"""
+    WITH {_PAGES_CTE}
+    SELECT doc_id, {EXTRACT_TEXT_SQL} AS extracted_text
+    FROM pages
+    """,
+)
+def q43_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visible-text extraction (drop head/script/style, strip tags, collapse
+    whitespace). Parity: Converter.extract_text (converter.py:35-44)."""
+    return corpus(spark, sf_dir).select(
+        "doc_id", extract_text_expr(F.col("html")).alias("extracted_text")
+    )
+
+
+@query(
+    "q44_category_distribution",
+    oracle=f"""
+    WITH {_PAGES_CTE},
+    staged AS (
+      SELECT doc_id,
+             CAST(len(string_split(html, ' ')) AS INTEGER) AS word_count,
+             unnest({EXTRACT_CATEGORIES_SQL}) AS category_name
+      FROM pages
+    )
+    SELECT category_name,
+           count(*) AS n_pages,
+           round(avg(word_count), 4) AS avg_word_count
+    FROM staged GROUP BY category_name
+    """,
+)
+def q44_category_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: the full categorizer pipeline → category distribution.
+
+    End-to-end parity with ETL/tasks/categorizer.py as one declarative plan:
+    corpus scan → extraction projections (:131-139) → explode → category dim
+    via distinct + surrogate keys (:167-175, auto-increment at :64) → bridge
+    via two equi-joins on natural keys (:178-187, the N+1 ORM loops replaced
+    by real joins) → groupBy count (the Superset distribution, README.md:23).
+
+    Scale: the category dim is distinct-aggregated then broadcast back —
+    the fact side never shuffles for the dim join; at 100 TB the only wide
+    exchange is the final small groupBy.
+    """
+    staged = (
+        corpus(spark, sf_dir)
+        .withColumn("word_count", F.size(F.split(F.col("html"), " ")))
+        .select(
+            "doc_id",
+            "file_name",
+            "word_count",
+            F.explode(extract_categories_expr(F.col("html"))).alias("category_name"),
+        )
+    )
+    # Category dim with deterministic surrogate ids (reference: MySQL
+    # auto-increment). Small by construction → broadcast.
+    cat_dim = (
+        staged.select("category_name")
+        .distinct()
+        .withColumn("category_id", F.row_number().over(W.orderBy("category_name")).cast("long"))
+    )
+    bridge = staged.join(F.broadcast(cat_dim), "category_name").select(
+        "doc_id", "category_id", "category_name", "word_count"
+    )
+    return bridge.groupBy("category_name").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.round(F.avg("word_count"), 4).alias("avg_word_count"),
+    )
+
+
+@query(
+    "q45_converter_output",
+    oracle=f"""
+    WITH {_PAGES_CTE}
+    SELECT regexp_replace(regexp_replace(regexp_extract(
+             concat('file:///landing/Doc_', CAST(doc_id AS VARCHAR), '.html'),
+             '([^/]*)$', 1), '[^a-zA-Z0-9._-]', '_', 'g'), '\\.html$', '') AS file_name,
+           {EXTRACT_TEXT_SQL} AS extracted_text
+    FROM pages
+    """,
+)
+def q45_converter_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converter-branch output relation: (file_name, extracted_text).
+
+    Parity: converter.py:52-58 (scan → sanitize file name → extract text →
+    select); the write.parquet sink (:60-61) is exercised in tests — here we
+    return the relation the sink would persist.
+    """
+    return corpus(spark, sf_dir).select(
+        "file_name", extract_text_expr(F.col("html")).alias("extracted_text")
+    )
+
+
+_URL_SQL = (
+    "concat('HTTPS://EN.Wikipedia.ORG/wiki/Doc_', CAST(doc_id AS VARCHAR), "
+    "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN '/' WHEN 1 THEN '?action=edit' "
+    "ELSE '#History' END)"
+)
+
+
+@query(
+    "q46_url_normalize",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN concat('https://example.com/page/', CAST(doc_id AS VARCHAR))
+                  ELSE {_URL_SQL} END AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           concat(lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)), '://',
+                  lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                  regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                                 '/+$', '')) AS url_norm
+    FROM raw
+    WHERE lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) LIKE '%en.wikipedia.org'
+    """,
+)
+def q46_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization + domain admission as pure column expressions.
+
+    Parity: parser/app/main.py:16-40 — lowercase scheme/host, strip trailing
+    slash, drop query/fragment, keep only en.wikipedia.org. The Python
+    urllib row-loop becomes parse_url/regexp expressions inside codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("https://example.com/page/"), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTPS://EN.Wikipedia.ORG/wiki/Doc_"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, "/")
+            .when(F.col("doc_id") % 3 == 1, "?action=edit")
+            .otherwise("#History"),
+        )
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    return (
+        raw.filter(url_host(F.col("url")).endswith("en.wikipedia.org"))
+        .select("doc_id", normalize_url(F.col("url")).alias("url_norm"))
+    )
+
+
+@query(
+    "q47_sanitize_filename",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_extract(
+             concat('file:///raw html/Doc ', CAST(doc_id AS VARCHAR), ' (', lang, ').html'),
+             '([^/]*)$', 1), '[^a-zA-Z0-9._-]', '_', 'g'), '\\.html$', '') AS file_name
+    FROM documents
+    """,
+)
+def q47_sanitize_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filename sanitization on hostile paths (spaces, parens).
+
+    Parity: utils.py:4-11 — basename → [^a-zA-Z0-9._-]→'_' → strip '.html';
+    the reference's Python UDF eliminated in favor of a regexp chain."""
+    d = load_table(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("file:///raw html/Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" ("),
+        F.col("lang"),
+        F.lit(").html"),
+    )
+    return d.select("doc_id", sanitize_filename(path).alias("file_name"))
+
+
+def categorizer_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The normalized star schema the reference loads into MySQL
+    (categorizer.py:39-68): pages, categories, page_categories.
+
+    Set-based replacement for save_to_sql (categorizer.py:143-195): surrogate
+    keys via deterministic row_number windows, bridge via two equi-joins.
+    Returned as DataFrames; sinks (jdbc/parquet) are applied by callers.
+    """
+    c = corpus(spark, sf_dir)
+    staged = c.select(
+        "doc_id",
+        "file_name",
+        F.size(F.split(F.col("html"), " ")).alias("word_count"),
+        extract_last_edited_expr(F.col("html")).alias("last_edited_date"),
+        extract_categories_expr(F.col("html")).alias("categories"),
+    )
+    pages = staged.withColumn(
+        "page_id", F.row_number().over(W.orderBy("file_name")).cast("long")
+    ).select("page_id", "file_name", "word_count", "last_edited_date")
+    exploded = staged.select("file_name", F.explode("categories").alias("name"))
+    categories = (
+        exploded.select("name")
+        .distinct()
+        .withColumn("category_id", F.row_number().over(W.orderBy("name")).cast("long"))
+        .select("category_id", "name")
+    )
+    bridge = (
+        exploded.join(pages, "file_name")
+        .join(F.broadcast(categories), "name")
+        .select("page_id", "category_id")
+        .distinct()
+    )
+    return {"pages": pages, "categories": categories, "page_categories": bridge}

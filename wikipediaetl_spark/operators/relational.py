@@ -1,0 +1,1050 @@
+"""Relational core: the oracle-checked operator inventory (SURVEY.md §2).
+
+The reference performs its relational work either through PySpark DataFrame
+code (ETL/tasks/categorizer.py, converter.py) or procedurally through ORM
+point-lookups (categorizer.py:156-187). This module re-expresses every
+operator class — scans, projections, filters, joins (inner/left/semi/anti/
+full/cross/range/as-of), aggregations (incl. rollup/cube), windows, sorts,
+set ops, JSON, CASE, string/date functions — as declarative DataFrame plans
+so Catalyst gets pushdown, pruning, join selection and whole-stage codegen.
+
+Scale notes (100 TB posture), applied per query below:
+- filters/projections go directly on the scan → parquet pushdown + pruning;
+- dimension joins (region/nation/supplier/part/bands) are broadcast — no
+  shuffle of the fact side;
+- fact-fact joins (lineitem⋈orders) shuffle on the join key once; AQE
+  handles skew and coalesces post-shuffle partitions;
+- windows partition by high-cardinality keys (custkey), never a global
+  orderBy except for deliberately small final results;
+- floating aggregates are rounded so results are stable under any
+  partitioning / execution order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.catalog import query
+from wikipediaetl_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(col, scale: int = 4):
+    """Order-independent money sum: accumulate as exact decimal, return
+    double.
+
+    Summing doubles is order-sensitive in the last bits, so results would
+    differ run-to-run (and engine-to-engine) under different partitionings.
+    Monetary fixture values have ≤scale decimal digits, so casting each term
+    to DECIMAL(18,scale) is lossless and the distributed sum is exact —
+    bit-identical on Spark and the DuckDB oracle regardless of order. SQL
+    twin: CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE).
+    """
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col, scale: int = 4):
+    """Exact-sum average: dsum / count — deterministic double division of
+    identical operands on both engines. SQL twin:
+    CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE) / count(*)."""
+    return dsum(col, scale) / F.count(F.lit(1))
+
+
+# ---------------------------------------------------------------- scans
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_charge,
+           sum(l_quantity) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → pushed filter → hash aggregate (partial+final).
+
+    The flagship aggregation pattern; map-side combine means the shuffle
+    carries 6 groups, not 600M rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 6).alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            davg(F.col("l_extendedprice"), 6).alias("avg_price"),
+            davg(F.col("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+def q02_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + derived column + pushed-down comparison filter.
+
+    Reference parity: the select/withColumn chains of
+    ETL/tasks/categorizer.py:131-139 and converter.py:52-58. `.explain`
+    must show PushedFilters: [GreaterThanOrEqual(l_quantity,45.0)] and a
+    pruned ReadSchema (5 of 11 columns).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    # net_price is a single double multiply of identical operands on both
+    # engines → bit-identical; no rounding needed (or wanted — round() tie
+    # semantics differ across engines).
+    return li.filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+@query(
+    "q03_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND (o_orderpriority IN ('1-URGENT', '2-HIGH') OR o_totalprice BETWEEN 200000 AND 300000)
+      AND o_orderpriority NOT LIKE '%NOT%'
+      AND o_orderkey % 2 = 0
+    """,
+)
+def q03_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicates: AND/OR, IN, BETWEEN, NOT LIKE, modulo arithmetic.
+
+    Reference parity: domain filter (WikipediaCrawler/parser/app/main.py:24)
+    and null/emptiness predicates (fetcher/app/main.py:91-94) generalized to
+    the full predicate surface. All conjuncts are Catalyst-pushable.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O")
+        & (
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            | F.col("o_totalprice").between(200000, 300000)
+        )
+        & (~F.col("o_orderpriority").like("%NOT%"))
+        & (F.col("o_orderkey") % 2 == 0)
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "q04_orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q04_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject — per-partition heap
+    then driver merge of 20-row heads, never a full sort+shuffle. Tiebreak on
+    o_orderkey makes the result deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- aggregation
+
+
+@query(
+    "q05_group_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q05_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scalar-aggregate surface: count/avg/min/max/sum per group
+    (SURVEY.md §2.4 [E])."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        davg(F.col("c_acctbal"), 2).alias("avg_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        dsum(F.col("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@query(
+    "q06_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def q06_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct (hash aggregate without agg exprs).
+
+    Reference parity: global distinct of category names
+    (categorizer.py:167-175, unique constraint at :65)."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "q07_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q07_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation — Catalyst plans expand + two-phase agg."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query("q08_approx_count_distinct")
+def q08_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate (SURVEY.md §2.4 [E]).
+
+    No SQL oracle: DuckDB's approx_count_distinct uses a different sketch, so
+    estimates differ; the driver records a rows-only check. tests assert the
+    estimate is within rsd of the exact count."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
+@query(
+    "q09_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (SURVEY.md §2.4 [E])."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q10_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations via CUBE (SURVEY.md §2.4 [E])."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+
+@query(
+    "q11_star_join",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q11_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: fact ⋈ three dims, revenue per region/nation.
+
+    nation and region are broadcast (tiny); customer⋈orders is the one real
+    shuffle. Catalyst reorders; broadcast hints pin the dims so the fact table
+    never shuffles for them.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q12_fact_fact_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q12_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (lineitem ⋈ orders) with pre-join filter.
+
+    The filter on orders is applied *before* the join (Catalyst pushes it
+    below), shrinking the shuffled build side. At 100 TB this is a sort-merge
+    join shuffled on orderkey; AQE may switch to shuffled-hash when the
+    filtered side is small enough.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q13_left_join",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(o_orderkey) AS n_orders,
+           coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q13_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders; count(col)
+    skips nulls so the no-order rows report 0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum(F.col("o_totalprice"), 2), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "q14_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def q14_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one big order (EXISTS).
+
+    Reference parity: Redis set-membership admission
+    (WikipediaCrawler/filter/app/main.py:16-24) expressed set-wise.
+    """
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q15_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q15_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (NOT EXISTS).
+
+    Reference parity: insert-if-absent lookups (ETL/tasks/categorizer.py:
+    156-164 / 167-175) — "staged minus existing" as one distributed anti-join
+    instead of N+1 ORM point reads.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q16_full_outer",
+    oracle="""
+    SELECT coalesce(cn.k, sn.k) AS nationkey,
+           cn.k IS NOT NULL AS has_customer,
+           sn.k IS NOT NULL AS has_supplier
+    FROM (SELECT DISTINCT c_nationkey AS k FROM customer) cn
+    FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS k FROM supplier) sn
+    ON cn.k = sn.k
+    """,
+)
+def q16_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over the two sides' distinct key sets."""
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    return cn.alias("cn").join(sn.alias("sn"), F.col("cn.k") == F.col("sn.k"), "full").select(
+        F.coalesce(F.col("cn.k"), F.col("sn.k")).alias("nationkey"),
+        F.col("cn.k").isNotNull().alias("has_customer"),
+        F.col("sn.k").isNotNull().alias("has_supplier"),
+    )
+
+
+@query(
+    "q17_cross_join",
+    oracle="""
+    SELECT r_name, s.o_orderstatus AS status
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def q17_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two (deliberately tiny) inputs."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    s = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).select("r_name", F.col("o_orderstatus").alias("status"))
+
+
+PRICE_BANDS = [
+    ("nano", 0.0, 50_000.0),
+    ("small", 50_000.0, 150_000.0),
+    ("mid", 150_000.0, 300_000.0),
+    ("large", 300_000.0, 450_000.0),
+    ("jumbo", 450_000.0, 1_000_000.0),
+]
+
+_BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+
+
+@query(
+    "q18_range_join",
+    oracle=f"""
+    SELECT band, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN (VALUES {_BANDS_SQL}) bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def q18_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join against a literal band dimension.
+
+    Spark has no native interval join; with a 5-row broadcast side this plans
+    as BroadcastNestedLoopJoin — each fact row probes 5 bands, no shuffle.
+    (SURVEY.md §2.3 [E]).
+    """
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q19_asof_join",
+    oracle="""
+    SELECT event_id, user_id, ts, matched_order, matched_date
+    FROM (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey AS matched_order,
+             CAST(o.o_orderdate AS DATE) AS matched_date,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      WHERE e.event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def q19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at or before each purchase event's timestamp.
+
+    Composed from an inequality join + per-key row_number (SURVEY.md §2.3
+    [E]). Ties broken by o_orderkey DESC for determinism. At scale, the join
+    shuffles both sides on the user key and the window sorts within key —
+    bounded because per-user order counts are bounded.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    o = _t(spark, sf_dir, "orders")
+    joined = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+    w = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("matched_order"),
+            F.col("o_orderdate").cast("date").alias("matched_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+
+@query(
+    "q20_window_topk",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def q20_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via row_number window (SURVEY.md §2.5 [E]).
+
+    Spark pushes a per-partition rank limit (WindowGroupLimit) before the
+    shuffle, so only ≤K rows per key reach the final sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "q21_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def q21_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame (SURVEY.md §2.5 [E])."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "q22_window_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey) AS DATE),
+                CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+    FROM orders
+    """,
+)
+def q22_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: days since the customer's previous order; null for the
+    first order (SURVEY.md §2.5 [E])."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date")).alias("days_since_prev"),
+    )
+
+
+@query(
+    "q23_window_rank",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           CAST(rank() OVER w AS BIGINT) AS price_rank,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+    """,
+)
+def q23_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank with real ties (p_retailprice repeats within brand)."""
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+    )
+
+
+@query(
+    "q24_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+    FROM customer
+    """,
+)
+def q24_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles over a deterministic total order.
+
+    A single unpartitioned window is a scale smell (all rows through one
+    task); acceptable only because the customer dim is small relative to
+    facts — for fact-scale quantiles use approx_percentile (q_text ops).
+    """
+    c = _t(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+
+
+@query(
+    "q25_surrogate_keys",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY c_mktsegment) AS BIGINT) AS segment_id,
+           c_mktsegment AS segment_name
+    FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    """,
+)
+def q25_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key assignment: distinct names → dense ordered ids.
+
+    Reference parity: MySQL auto-increment ids for the categories dim
+    (ETL/tasks/categorizer.py:51,:64). Deterministic row_number over a sorted
+    window replaces the sequential database counter; at 100-TB scale prefer
+    xxhash64(name) so no single-task window is needed.
+    """
+    c = _t(spark, sf_dir, "customer")
+    w = W.orderBy("c_mktsegment")
+    return (
+        c.select("c_mktsegment")
+        .distinct()
+        .select(
+            F.row_number().over(w).cast("long").alias("segment_id"),
+            F.col("c_mktsegment").alias("segment_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+
+@query(
+    "q26_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q26_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets (SURVEY.md §2.7 [E])."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "q27_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q27_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two key sets."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "q28_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q28_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — the reference's frontier∖seen dedup semantics
+    (WikipediaCrawler/filter/app/main.py:16-24) as a set operation."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT (exceptAll would keep surplus dups)
+
+
+# ---------------------------------------------------------------- scalar funcs
+
+
+@query(
+    "q29_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) * 1.0 / count(*) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q29_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props string column
+    (SURVEY.md §2.8 [E])."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(k) * 1.0 / F.count(F.lit(1))).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "q30_case_bucket",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def q30_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket")
+    )
+    return c.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@query(
+    "q31_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substr(p_name, 1, 8) AS name_prefix,
+           concat(p_brand, '#', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_slug
+    FROM part
+    """,
+)
+def q31_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: upper/length/substr/concat/replace
+    (SURVEY.md §2.8; reference string normalize ops at
+    parser/app/main.py:26-29, categorizer.py:112-113)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+    )
+
+
+@query(
+    "q32_date_funcs",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q32_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar extraction + monthly revenue rollup (SURVEY.md §2.8; date
+    parsing parity with categorizer.py:116's '%d %B %Y' handled in etl.py)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q33_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders)
+    """,
+)
+def q33_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price.
+
+    DataFrame form: broadcast the 1-row aggregate and cross-join — the
+    distributed equivalent of a scalar subquery (no driver round-trip).
+    Average rounded on both sides so the threshold is bit-identical.
+    """
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.agg(davg(F.col("o_totalprice"), 2).alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q34_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE), 0.0) AS click,
+           coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DOUBLE), 0.0) AS error,
+           coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE), 0.0) AS purchase,
+           coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DOUBLE), 0.0) AS signup,
+           coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DOUBLE), 0.0) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q34_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into columns of daily value sums.
+
+    Explicit value list → no extra distinct-values job; single shuffle.
+    """
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        e.withColumn("day", F.col("ts").cast("date"))
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")))
+    )
+    return pivoted.select(
+        "day",
+        *[F.coalesce(F.col(k).cast("double"), F.lit(0.0)).alias(k) for k in kinds],
+    )
+
+
+@query(
+    "q35_unpivot",
+    oracle="""
+    WITH stats AS (
+      SELECT n_name,
+             min(c_acctbal) AS min_bal,
+             max(c_acctbal) AS max_bal,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, 'min_bal' AS metric, min_bal AS value FROM stats
+    UNION ALL SELECT n_name, 'max_bal', max_bal FROM stats
+    UNION ALL SELECT n_name, 'avg_bal', avg_bal FROM stats
+    """,
+)
+def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack() over per-nation balance stats."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    stats = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            davg(F.col("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+    return stats.select(
+        "n_name",
+        F.expr(
+            "stack(3, 'min_bal', min_bal, 'max_bal', max_bal, 'avg_bal', avg_bal) AS (metric, value)"
+        ),
+    )
+
+
+@query(
+    "q36_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 3600
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap > 1 h starts a new session (lag + cumsum
+    pattern); streaming twin uses session_window (streaming/queries.py)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap_sec.isNull() | (gap_sec > 3600), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q37_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q37_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation in batch (F.window); the
+    streaming twin with watermark is q61 (streaming/queries.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q38_bfs_reachability",
+    oracle="""
+    WITH RECURSIVE reach(o_orderkey, depth) AS (
+      SELECT o_orderkey, 0 AS depth FROM orders WHERE o_orderkey = 1
+      UNION
+      SELECT o.o_orderkey, r.depth + 1
+      FROM orders o JOIN reach r ON o.o_orderkey // 2 = r.o_orderkey
+      WHERE r.depth < 31
+    )
+    SELECT o_orderkey, CAST(min(depth) AS INTEGER) AS depth
+    FROM reach GROUP BY o_orderkey
+    """,
+)
+def q38_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BFS to a fixpoint — the crawler frontier loop as dataflow.
+
+    Reference parity: the fetch→parse→filter→fetch cycle (SURVEY.md §3.2;
+    WikipediaCrawler/startup/init_queues.py:32-37). Spark dataflow is acyclic,
+    so BFS is a driver loop of micro-batches: each round joins the frontier to
+    the edge table (child = parent via orderkey div 2) and anti-joins the
+    accumulated seen set. Terminates on empty frontier. The generic engine
+    version lives in streaming/crawler.py (bfs_fixpoint); this instance runs
+    it over a synthetic parent edge on orders.
+    """
+    from wikipediaetl_spark.streaming.crawler import bfs_fixpoint
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.expr("o_orderkey div 2").alias("src"), F.col("o_orderkey").alias("dst")
+    ).filter(F.col("dst") != F.col("src"))
+    seeds = o.select(F.col("o_orderkey").alias("node")).filter(F.col("node") == 1)
+    reach = bfs_fixpoint(spark, seeds, edges, max_rounds=31)
+    return reach.select(F.col("node").alias("o_orderkey"), F.col("depth").cast("int"))

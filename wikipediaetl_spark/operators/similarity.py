@@ -1,0 +1,220 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.11).
+
+Brute-force cosine top-k as the exact baseline, plus two scale paths:
+IVF (coarse-quantizer cluster pruning, centroids via an applyInPandas
+aggregation — the engine's pandas-UDAF axis) and random-hyperplane LSH
+bucketing. The reference plans but never implements analysis beyond ETL
+(README.md:22-24); these operators are the [E] extensions BASELINE.json
+mandates for LLM-data pipelines.
+
+Scale posture: query sets are broadcast against a single pass over the
+corpus (never corpus×corpus); candidate generation shuffles on bucket keys;
+exact re-scoring runs only on candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.catalog import query
+from wikipediaetl_spark.sources import load_table
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ as a native fold — JVM-side, no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity from native array expressions (arrays pre-cast to
+    double so the fold is a sequential double accumulation — bit-comparable
+    with the DuckDB oracle's list_dot_product)."""
+    return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+@query(
+    "q57_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, e.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
+                   6) AS cos_sim
+      FROM q JOIN e ON q.vec_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q57_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 neighbors for query vectors vec_id<10.
+
+    The baseline ANN oracle: broadcast the 10 query vectors, one pass over
+    the corpus scoring all pairs, per-query top-k via window. At 100 TB the
+    corpus side streams partition-parallel and only k rows per query survive
+    the rank filter (WindowGroupLimit pushes the limit pre-shuffle).
+    Ranking uses the *rounded* similarity + neighbor_id tiebreak so order is
+    reproducible across float reassociation.
+    """
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def ivf_centroids(vectors: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-label centroids via applyInPandas — the engine's pandas-UDAF.
+
+    Grouped Arrow batches in, one centroid row out per group (SURVEY.md
+    §2.10 [E]). At scale this is a single shuffle on the cluster key with
+    numpy doing the per-group reduction."""
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["v"].to_numpy())
+        c = mat.mean(axis=0)
+        c = c / np.linalg.norm(c)
+        return pd.DataFrame({"label": [int(pdf["label"].iloc[0])], "centroid": [c.tolist()]})
+
+    return vectors.groupBy("label").applyInPandas(
+        centroid, schema="label int, centroid array<double>"
+    )
+
+
+@query("q58_ivf_ann")
+def q58_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe the 3 nearest coarse cells, exact-score inside.
+
+    centroids (applyInPandas UDAF) → assign each query to its top-3 cells →
+    score only vectors in those cells → top-5 per query. Rows-only check
+    (float centroid accumulation is not SQL-oracle-reproducible); tests
+    measure recall against q57's exact top-k.
+    """
+    e = _vectors(spark, sf_dir)
+    cents = ivf_centroids(e)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # query → 3 nearest centroids
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "label",
+            F.round(cosine_expr(F.col("qv"), F.col("centroid")), 6).alias("c_sim"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("label").asc())
+    probes = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= 3).select(
+        "query_id", "qv", "label"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(e, "label")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+# ------------------------------------------------------------------ LSH
+
+
+def hyperplane_signs(v: Column, n_planes: int, dim: int, seed: int = 7) -> Column:
+    """Random-hyperplane LSH bucket key from native exprs: plane p's weights
+    are deterministic pseudo-randoms derived from xxhash64(seed, p, i); the
+    sign bits pack into one long bucket id. No stored plane matrix — the
+    hyperplanes are recomputed in-expression, so the operator is stateless
+    and cluster-reproducible."""
+    bits = []
+    for p in range(n_planes):
+        # deterministic ±1 weights per dimension via hash parity
+        terms = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: (
+                        F.when(
+                            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0, 1.0
+                        ).otherwise(-1.0)
+                    ),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(terms > 0, F.lit(1).cast("long") * (1 << p)).otherwise(0))
+    return sum(bits)
+
+
+@query("q59_lsh_ann")
+def q59_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 8 signed hyperplanes → bucket join → exact score.
+
+    Scale path for corpus×corpus similarity: candidates only form within a
+    bucket (equi-join on the packed sign key), so the shuffle key is the
+    bucket id and the cross product never materializes. Rows-only; tests
+    check bucket determinism and candidate recall on near-dup pairs.
+    """
+    e = _vectors(spark, sf_dir).filter(F.col("vec_id") < 500)
+    bucketed = e.withColumn("bucket", hyperplane_signs(F.col("v"), n_planes=8, dim=64))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

@@ -1,0 +1,180 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.8 [E], §2.11).
+
+The reference *describes* downstream text analysis (sentiment/neutrality,
+README.md:24,40-43) but never builds it; these operators implement the
+text-analysis surface a training-data pipeline needs — language ID scoring,
+quality heuristics, token counting, document fingerprints — all as native
+column expressions (no UDFs in the hot path, SURVEY.md §2.10 policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.catalog import query
+from wikipediaetl_spark.sources import load_table
+
+# Tiny per-language marker lexicons (heuristic n-gram/stopword lang-ID; the
+# real-world analogue maps char n-grams → langs, same dataflow shape).
+LANG_LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "table"),
+    "de": ("der", "und", "window", "batch"),
+    "es": ("el", "la", "data", "query"),
+    "fr": ("le", "et", "merge", "stream"),
+    "zh": ("de5", "shi4", "vector", "hash"),
+}
+
+_LEXICON_VALUES = ", ".join(
+    f"('{lang}', '{tok}')" for lang, toks in sorted(LANG_LEXICON.items()) for tok in toks
+)
+
+STOPWORDS = ("the", "a", "and", "of", "to")
+_STOPWORDS_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "q60_lang_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    lex(lex_lang, tok) AS (VALUES {_LEXICON_VALUES}),
+    scores AS (
+      SELECT doc_id, lex_lang, count(*) AS score
+      FROM toks JOIN lex USING (tok)
+      GROUP BY doc_id, lex_lang
+    ),
+    best AS (
+      SELECT doc_id, lex_lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lex_lang ASC) AS rn
+      FROM scores
+    )
+    SELECT doc_id, lex_lang AS predicted_lang, score
+    FROM best WHERE rn = 1
+    """,
+)
+def q60_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap language ID: tokens ⋈ (broadcast) marker lexicon,
+    argmax score per doc with lexicographic tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    lex = spark.createDataFrame(
+        [(lang, tok) for lang, toks_ in sorted(LANG_LEXICON.items()) for tok in toks_],
+        "lex_lang string, tok string",
+    )
+    scores = toks.join(F.broadcast(lex), "tok").groupBy("doc_id", "lex_lang").agg(
+        F.count(F.lit(1)).alias("score")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lex_lang").asc())
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lex_lang").alias("predicted_lang"), "score")
+    )
+
+
+@query(
+    "q61_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> list_contains([{_STOPWORDS_SQL}], t))) AS BIGINT)
+               AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_stopwords,
+           round(n_chars_m * 1.0 / n_tokens, 6) AS avg_token_len,
+           round(n_stopwords * 1.0 / n_tokens, 6) AS stopword_ratio,
+           round(least(n_tokens, 400) / 400.0 * 0.7
+                 + least(n_stopwords * 1.0 / n_tokens, 0.2) / 0.2 * 0.3, 6) AS quality
+    FROM feats
+    """,
+)
+def q61_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics: length, stopword ratio, avg token length,
+    and a weighted quality score — the Gopher-rules-style filter shape, as
+    pure expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    feats = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+    n_tok = F.col("n_tokens")
+    n_stop = F.col("n_stopwords")
+    quality = (
+        F.least(n_tok, F.lit(400)) / 400.0 * 0.7
+        + F.least(n_stop * 1.0 / n_tok, F.lit(0.2)) / 0.2 * 0.3
+    )
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        F.round(F.col("n_chars_m") * 1.0 / n_tok, 6).alias("avg_token_len"),
+        F.round(n_stop * 1.0 / n_tok, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@query(
+    "q62_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q62_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter-runs | digit-runs | single other chars) — the pretokenizer shape
+    of GPT-style BPE vocabularies."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+@query(
+    "q63_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 w -> CAST(length(w) * 131 + ascii(substr(w, 1, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def q63_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (Horner fold, base 31,
+    mod 1e9+7) over per-word values — order-sensitive, so reordered
+    near-identical docs fingerprint differently (unlike token-set hashes).
+    Native fold via F.aggregate; mirrored in SQL via list_reduce."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    values = F.transform(
+        words, lambda w: (F.length(w) * 131 + F.ascii(F.substring(w, 1, 1))).cast("long")
+    )
+    fp = F.aggregate(
+        values,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,75 @@
+"""Parquet fixture table loaders.
+
+The driver testdata is a TPC-H-ish star schema plus ``events`` (stream-shaped),
+``documents`` and ``embeddings`` (LLM-pipeline tables). Parquet scans are
+Spark-native: columnar, vectorized, with predicate pushdown and column pruning
+handled by Catalyst — the scan only materializes what downstream plans touch.
+
+Reference parity: the reference reads its corpus with
+``spark.read.text(path, wholetext=True)`` (ETL/tasks/categorizer.py:131,
+ETL/tasks/converter.py:52); ``read_wholetext`` below is that operator. The
+driver fixtures, however, are parquet — ``load_table`` is the engine's default
+scan path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Plain ``spark.read.parquet`` so Catalyst keeps
+    pushdown/pruning; no driver-side materialization.
+
+    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader only accepts as long (legacy nanosAsLong conf);
+    we convert to a proper TimestampType via integer division to micros —
+    the same floor-truncation DuckDB applies when it reads nanos, so the
+    oracle sees identical instants.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # immutable in this session → assume it was set at build time
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` queries."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+
+
+def read_wholetext(spark: SparkSession, path: str) -> DataFrame:
+    """Wholetext corpus scan with file provenance.
+
+    Reference parity: ``spark.read.text(dir, wholetext=True)`` +
+    ``input_file_name()`` (ETL/tasks/categorizer.py:131, converter.py:52).
+    One row per file: (file_path, value).
+    """
+    return (
+        spark.read.text(path, wholetext=True)
+        .withColumn("file_path", F.input_file_name())
+        .select("file_path", "value")
+    )

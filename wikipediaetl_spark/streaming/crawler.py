@@ -1,0 +1,88 @@
+"""Crawler-loop semantics rebuilt on Spark.
+
+The reference's crawler is a cyclic message topology: fetcher → parser →
+filter → fetcher over RabbitMQ, seeded with one URL, with Redis set dedup
+(SURVEY.md §3.2; WikipediaCrawler/startup/init_queues.py:32-37,
+filter/app/main.py:16-24). Spark dataflow is acyclic, so the cycle becomes a
+driver-side fixpoint loop over micro-batches:
+
+    frontier(i+1) = distinct(expand(frontier(i))) ∖ seen(i)
+    seen(i+1)     = seen(i) ∪ frontier(i+1)
+
+Each round is pure DataFrame algebra (join + anti-join), so it distributes;
+``localCheckpoint`` truncates lineage per round (on a real cluster use
+reliable checkpointing or a Delta `seen` table instead). Termination = empty
+frontier (the reference never terminates; its frontier just drains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bfs_fixpoint(
+    spark: SparkSession,
+    seeds: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Iterate BFS over ``edges(src, dst)`` from ``seeds(node)`` to a fixpoint.
+
+    Returns DataFrame(node, depth) with the minimal BFS depth per reached
+    node. Scale posture: `edges` is hash-partitioned on src once up front so
+    every round's frontier⋈edges join reuses the same partitioning; the
+    frontier (small) broadcasts against it. The seen-set anti-join shuffles
+    only the new candidate set, never the full seen set per round.
+    """
+    n_part = spark.sparkContext.defaultParallelism
+    edges = edges.repartition(n_part, "src").persist()
+    try:
+        frontier = seeds.select("node").distinct().withColumn("depth", F.lit(0))
+        frontier = frontier.localCheckpoint(eager=True)
+        seen = frontier
+        depth = 0
+        while depth < max_rounds:
+            candidates = (
+                F.broadcast(frontier)
+                .join(edges, frontier["node"] == edges["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            new_nodes = (
+                candidates.join(seen, "node", "left_anti")
+                .withColumn("depth", F.lit(depth + 1))
+                .localCheckpoint(eager=True)
+            )
+            if new_nodes.isEmpty():
+                break
+            seen = seen.unionByName(new_nodes).localCheckpoint(eager=True)
+            frontier = new_nodes
+            depth += 1
+        return seen
+    finally:
+        edges.unpersist()
+
+
+def crawl_frontier_step(
+    frontier: DataFrame,
+    links: DataFrame,
+    seen: DataFrame,
+    domain_suffix: str = "en.wikipedia.org",
+) -> DataFrame:
+    """One crawler round with the reference's parser+filter semantics.
+
+    ``frontier(url)`` ⋈ ``links(url, out_url)`` → normalize → domain filter →
+    anti-join ``seen(url)``. Mirrors parser/app/main.py:16-40 (normalize +
+    domain filter) and filter/app/main.py:16-24 (dedup admission), but
+    set-wise per micro-batch instead of message-at-a-time.
+    """
+    from wikipediaetl_spark.functions.urls import normalize_url, url_host
+
+    expanded = (
+        frontier.join(links, "url")
+        .select(normalize_url(F.col("out_url")).alias("url"))
+        .filter(url_host(F.col("url")).endswith(domain_suffix))
+        .distinct()
+    )
+    return expanded.join(seen, "url", "left_anti")

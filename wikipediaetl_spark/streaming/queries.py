@@ -1,0 +1,161 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference's streaming half is the RabbitMQ crawler loop — unbounded keyed
+dedup via Redis (filter/app/main.py:16-24), at-least-once delivery with
+manual ack (fetcher/app/main.py:109-114), and fan-out (one page → many
+links, fetcher/app/main.py:103-107). Here those semantics run on Structured
+Streaming: file-source micro-batches with checkpointed state, dropDuplicates
+for the seen-set, watermarked event-time windows for late data.
+
+Catalog queries run their stream to completion synchronously (memory sink +
+``processAllAvailable`` — Trigger.AvailableNow-style batch-bounded
+execution), then return the sink table, so the DuckDB oracle can check the
+streaming operators' results against plain batch SQL: the streaming/batch
+equivalence check.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.catalog import query
+from wikipediaetl_spark.sources import load_table
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture. The parquet stores
+    TIMESTAMP(NANOS) (read as long under the legacy conf — see
+    sources/tables.py), so the stream schema carries the raw long and the
+    micros conversion is applied as a streaming projection."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source requires a directory; glob-filter the one file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming query over the bounded fixture to completion and
+    return the materialized result."""
+    name = "sink_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@query(
+    "q70_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q70_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation with a 30-min watermark.
+
+    Complete output mode over the bounded source emits every window's final
+    state — batch-equivalent by construction, so the same SQL oracle as the
+    batch tumbling query (q37) must match. On an unbounded stream the
+    watermark bounds state: windows older than max(event_ts) - 30min are
+    finalized and evicted.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return _run_to_completion(agg, "complete")
+
+
+@query(
+    "q71_stream_dedup",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
+def q71_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed dedup — the Redis seen-set (redis_api.py:18-28) as
+    ``dropDuplicates`` state: first occurrence of each key passes, duplicates
+    across micro-batches are suppressed by the state store. Unbounded state
+    here (exact Redis parity); production variant adds a watermark via
+    dropDuplicatesWithinWatermark to bound it."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = ev.select("user_id").dropDuplicates(["user_id"])
+    return _run_to_completion(deduped, "append")
+
+
+@query(
+    "q72_stream_fanout",
+    oracle="""
+    WITH exploded AS (
+      SELECT event_id, unnest([event_type, 'all', concat('u', CAST(user_id % 10 AS VARCHAR))])
+             AS route
+      FROM events
+    )
+    SELECT route, count(*) AS n FROM exploded GROUP BY route
+    """,
+)
+def q72_stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fan-out: one input row → N routed rows (explode), then a
+    running count per route. Parity: one fetched page publishing its N
+    discovered links (fetcher/app/main.py:103-107)."""
+    ev = _events_stream(spark, sf_dir)
+    routes = F.array(
+        F.col("event_type"),
+        F.lit("all"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")),
+    )
+    fanned = (
+        ev.select("event_id", F.explode(routes).alias("route"))
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _run_to_completion(fanned, "complete")
+
+
+def retry_queue_step(
+    batch: DataFrame,
+    failures: DataFrame,
+    now_col: str = "available_at",
+    backoff_seconds: int = 30,
+    max_retries: int = 3,
+) -> DataFrame:
+    """Delayed-retry semantics: failed items re-enter the flow only after a
+    backoff, up to max_retries attempts.
+
+    Parity: the reference's RabbitMQ dead-letter queue with x-message-ttl =
+    30000 re-routing back to the fetcher queue (startup/init_queues.py:18-26)
+    and the x-retry-count header (fetcher/app/main.py:86). Modeled as a retry
+    table with ``available_at`` + ``attempts`` columns filtered each
+    micro-batch — the standard Spark rebuild of broker-side TTL redelivery.
+    """
+    ready = failures.filter(
+        (F.col(now_col) <= F.current_timestamp()) & (F.col("attempts") < max_retries)
+    )
+    return batch.unionByName(ready.select(batch.columns), allowMissingColumns=False)
