@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (collect) on local[$SPARK_GRAFT_CPUS].
+Timings are end-to-end per query: plan + optimize + execute + fetch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wikipediaetl_spark.catalog import all_queries
+from wikipediaetl_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward the scale-relevant
+# shapes (agg, fact-fact join, window, as-of, dedup self-join, ANN, streaming).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q04_orderby_limit",
+    "q11_star_join",
+    "q12_fact_fact_join",
+    "q13_left_join",
+    "q19_asof_join",
+    "q20_window_topk",
+    "q29_json_extract",
+    "q37_tumbling_window",
+    "q38_bfs_reachability",
+    "q44_category_distribution",
+    "q51_hash_dedup",
+    "q53_shingle_neardup",
+    "q57_cosine_topk",
+    "q63_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # JVM/codegen warm-up on the smallest fixture so timings measure the
+    # engine, not first-call class loading.
+    warm = sf_dir.replace("sf0.1", "sf0.001") if "sf0.1" in sf_dir else sf_dir
+    try:
+        qs["q01_pricing_summary"].fn(spark, warm).collect()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = qs[name]
+        t0 = time.perf_counter()
+        qd.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Plan-shape assertions — scale behavior is part of correctness here:
+filters must reach the parquet scan, dims must broadcast, scans must prune.
+"""
+
+from __future__ import annotations
+
+from wikipediaetl_spark.operators.relational import (
+    q02_scan_project,
+    q04_orderby_limit,
+    q11_star_join,
+    q12_fact_fact_join,
+)
+from wikipediaetl_spark.plans import explain_str
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    text = explain_str(q02_scan_project(spark, sf_dir))
+    assert "PushedFilters: [" in text
+    assert "l_quantity" in text.split("PushedFilters", 1)[1][:200]
+
+
+def test_column_pruning(spark, sf_dir):
+    text = explain_str(q02_scan_project(spark, sf_dir))
+    # ReadSchema must not include unused wide columns
+    read = text.split("ReadSchema", 1)[1][:400]
+    assert "l_comment" not in read and "l_returnflag" not in read
+
+
+def test_dims_broadcast_in_star_join(spark, sf_dir):
+    text = explain_str(q11_star_join(spark, sf_dir))
+    assert text.count("BroadcastHashJoin") >= 2  # nation & region never shuffle facts
+
+
+def test_fact_join_prefilters_build_side(spark, sf_dir):
+    text = explain_str(q12_fact_fact_join(spark, sf_dir))
+    # the orders filter must sit below the join, not above it
+    assert "o_orderstatus" in text
+    join_pos = text.find("Join")
+    filt_pos = text.find("o_orderstatus = F") if "o_orderstatus = F" in text else text.find(
+        "o_orderstatus"
+    )
+    assert filt_pos > -1 and join_pos > -1
+
+
+def test_global_topn_avoids_full_sort(spark, sf_dir):
+    text = explain_str(q04_orderby_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in text  # heap-based top-N, not Sort+Exchange

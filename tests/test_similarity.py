@@ -1,0 +1,81 @@
+"""Similarity-search invariants: native cosine vs numpy, ANN recall vs the
+exact brute-force top-k, LSH bucket determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.operators.similarity import (
+    cosine_expr,
+    hyperplane_signs,
+    ivf_centroids,
+    q57_cosine_topk,
+    q58_ivf_ann,
+)
+from wikipediaetl_spark.sources import load_table
+
+
+def test_cosine_expr_matches_numpy(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(10)
+    a = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    b = a.select(F.col("vec_id").alias("vec_id2"), F.col("v").alias("v2"))
+    got = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") < F.col("vec_id2"))
+        .select("vec_id", "vec_id2", cosine_expr(F.col("v"), F.col("v2")).alias("cos"))
+        .collect()
+    )
+    vecs = {r.vec_id: np.array(r.v) for r in a.collect()}
+    for r in got:
+        x, y = vecs[r.vec_id], vecs[r.vec_id2]
+        want = float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+        assert abs(r.cos - want) < 1e-9
+
+
+def test_ivf_centroids_unit_norm(spark, sf_dir):
+    cents = ivf_centroids(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+        )
+    ).collect()
+    assert len(cents) == 10
+    for r in cents:
+        assert abs(np.linalg.norm(np.array(r.centroid)) - 1.0) < 1e-9
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """Probing 3 of 10 cells must recover a reasonable fraction of the exact
+    top-5 (labels are weak clusters in the fixture, so demand ≥20% recall
+    and correct per-query result shape)."""
+    exact = {
+        (r.query_id, r.neighbor_id) for r in q57_cosine_topk(spark, sf_dir).collect()
+    }
+    approx_rows = q58_ivf_ann(spark, sf_dir).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    assert len(exact) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"IVF recall too low: {recall}"
+    per_query = {}
+    for r in approx_rows:
+        per_query.setdefault(r.query_id, []).append(r.rnk)
+    for q, rnks in per_query.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_lsh_buckets_deterministic(spark, sf_dir):
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .limit(50)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    b1 = sorted(
+        (r.vec_id, r.b)
+        for r in e.select("vec_id", hyperplane_signs(F.col("v"), 8, 64).alias("b")).collect()
+    )
+    b2 = sorted(
+        (r.vec_id, r.b)
+        for r in e.select("vec_id", hyperplane_signs(F.col("v"), 8, 64).alias("b")).collect()
+    )
+    assert b1 == b2
+    assert all(0 <= b < 256 for _, b in b1)

@@ -1,0 +1,88 @@
+"""Streaming semantics: batch-equivalence of the streaming operators, BFS
+fixpoint on a known graph, crawler-step admission, retry backoff."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.operators.relational import q37_tumbling_window
+from wikipediaetl_spark.streaming.crawler import bfs_fixpoint, crawl_frontier_step
+from wikipediaetl_spark.streaming.queries import (
+    q70_stream_tumbling,
+    q71_stream_dedup,
+    retry_queue_step,
+)
+
+
+def test_stream_window_equals_batch(spark, sf_dir):
+    """Trigger-bounded streaming aggregation must equal the batch plan —
+    the reference's crawler is a stream, its ETL a batch; the engine proves
+    both produce the same relation."""
+    batch = {
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in q37_tumbling_window(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in q70_stream_tumbling(spark, sf_dir).collect()
+    }
+    assert batch == stream
+
+
+def test_stream_dedup_first_occurrence(spark, sf_dir):
+    out = q71_stream_dedup(spark, sf_dir)
+    ids = [r.user_id for r in out.collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_bfs_known_graph(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.depth for r in bfs_fixpoint(spark, seeds, edges).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}  # min depth; x/y unreachable
+
+
+def test_bfs_cycle_terminates(spark):
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.depth for r in bfs_fixpoint(spark, seeds, edges).collect()}
+    assert got == {"a": 0, "b": 1}
+
+
+def test_crawl_frontier_step_semantics(spark):
+    """normalize → domain filter → seen anti-join, parity with
+    parser/app/main.py + filter/app/main.py."""
+    frontier = spark.createDataFrame([("https://en.wikipedia.org/wiki/A",)], "url string")
+    links = spark.createDataFrame(
+        [
+            ("https://en.wikipedia.org/wiki/A", "HTTPS://EN.WIKIPEDIA.ORG/wiki/B/"),
+            ("https://en.wikipedia.org/wiki/A", "https://en.wikipedia.org/wiki/Seen?x=1"),
+            ("https://en.wikipedia.org/wiki/A", "https://de.wikipedia.org/wiki/C"),
+            ("https://en.wikipedia.org/wiki/A", "https://en.wikipedia.org/wiki/B"),
+        ],
+        "url string, out_url string",
+    )
+    seen = spark.createDataFrame([("https://en.wikipedia.org/wiki/Seen",)], "url string")
+    got = sorted(r.url for r in crawl_frontier_step(frontier, links, seen).collect())
+    # B admitted once (normalized dup collapsed), Seen rejected, de. rejected
+    assert got == ["https://en.wikipedia.org/wiki/B"]
+
+
+def test_retry_queue_backoff(spark):
+    now = dt.datetime.now()
+    batch = spark.createDataFrame([("u1",)], "url string")
+    failures = spark.createDataFrame(
+        [
+            ("r_ready", now - dt.timedelta(seconds=60), 1),
+            ("r_not_yet", now + dt.timedelta(seconds=60), 1),
+            ("r_exhausted", now - dt.timedelta(seconds=60), 3),
+        ],
+        "url string, available_at timestamp, attempts int",
+    )
+    got = sorted(r.url for r in retry_queue_step(batch, failures, max_retries=3).collect())
+    assert got == ["r_ready", "u1"]

@@ -26,16 +26,23 @@ def bfs_fixpoint(
     seeds: DataFrame,
     edges: DataFrame,
     max_rounds: int = 30,
+    broadcast_seen: bool = True,
 ) -> DataFrame:
     """Iterate BFS over ``edges(src, dst)`` from ``seeds(node)`` to a fixpoint.
 
     Returns DataFrame(node, depth) with the minimal BFS depth per reached
     node. Scale posture: `edges` is hash-partitioned on src once up front so
     every round's frontier⋈edges join reuses the same partitioning; the
-    frontier (small) broadcasts against it. The seen-set anti-join shuffles
-    only the new candidate set, never the full seen set per round.
+    frontier (small) broadcasts against it. ``broadcast_seen=True`` also
+    broadcasts the seen-set for the dedup anti-join — right when the reachable
+    set fits executor memory (it halves per-round latency by skipping the
+    shuffle); at web-crawl scale pass False so the anti-join shuffles on the
+    key and the seen set stays partition-distributed.
     """
-    n_part = spark.sparkContext.defaultParallelism
+    # Few fat partitions beat many thin ones for iterative micro-batches:
+    # every round is a frontier-broadcast join, so per-task scheduling
+    # overhead × rounds dominates at small frontier sizes.
+    n_part = min(8, spark.sparkContext.defaultParallelism)
     edges = edges.repartition(n_part, "src").persist()
     try:
         frontier = seeds.select("node").distinct().withColumn("depth", F.lit(0))
@@ -43,14 +50,15 @@ def bfs_fixpoint(
         seen = frontier
         depth = 0
         while depth < max_rounds:
-            candidates = (
+            seen_keys = seen.select("node")
+            if broadcast_seen:
+                seen_keys = F.broadcast(seen_keys)
+            new_nodes = (
                 F.broadcast(frontier)
                 .join(edges, frontier["node"] == edges["src"])
                 .select(F.col("dst").alias("node"))
+                .join(seen_keys, "node", "left_anti")
                 .distinct()
-            )
-            new_nodes = (
-                candidates.join(seen, "node", "left_anti")
                 .withColumn("depth", F.lit(depth + 1))
                 .localCheckpoint(eager=True)
             )
