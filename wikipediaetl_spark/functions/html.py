@@ -163,6 +163,23 @@ def _clean_extract_text_sql() -> str:
 EXTRACT_TEXT_SQL = _clean_extract_text_sql()
 
 
+def extract_links_expr(html: Column, base_url: Column) -> Column:
+    """All <a href> targets, absolutized against the page URL, deduped.
+
+    Parity: find_html_links (WikipediaCrawler/fetcher/app/main.py:116-123) —
+    BS4 href walk + urljoin + set-dedup, as native expressions: href
+    extraction via regexp_extract_all, urljoin approximated for the two
+    forms the crawler meets (absolute http(s) URLs and root-relative paths).
+    """
+    hrefs = F.regexp_extract_all(html, F.lit(r'href="([^"]+)"'), 1)
+    base_root = F.regexp_extract(base_url, r"^([a-zA-Z]+://[^/]+)", 1)
+    resolved = F.transform(
+        hrefs,
+        lambda h: F.when(h.rlike("^[a-zA-Z]+://"), h).otherwise(F.concat(base_root, h)),
+    )
+    return F.array_distinct(resolved)
+
+
 # ------------------------------------------------------------- UDF path
 
 

@@ -1048,3 +1048,134 @@ def q38_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = o.select(F.col("o_orderkey").alias("node")).filter(F.col("node") == 1)
     reach = bfs_fixpoint(spark, seeds, edges, max_rounds=31)
     return reach.select(F.col("node").alias("o_orderkey"), F.col("depth").cast("int"))
+
+
+@query(
+    "q39_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.5) AS median_bal,
+           quantile_cont(c_acctbal, 0.25) AS p25_bal,
+           quantile_cont(c_acctbal, 0.75) AS p75_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q39_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (SURVEY.md §2.4 [E]).
+
+    F.percentile is the exact (sort-based) aggregate — fine for bounded
+    groups; at fact scale switch to approx_percentile (t-digest, single
+    pass, mergeable) — exercised in q08's approx family.
+    """
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.5)).alias("median_bal"),
+        F.percentile("c_acctbal", F.lit(0.25)).alias("p25_bal"),
+        F.percentile("c_acctbal", F.lit(0.75)).alias("p75_bal"),
+    )
+
+
+@query(
+    "q48_array_ops",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_toks,
+           list_sort(list_distinct(toks))[1] AS first_tok,
+           list_sort(list_distinct(toks))[len(list_distinct(toks))] AS last_tok,
+           array_to_string(toks[1:3], '-') AS head3
+    FROM t
+    """,
+)
+def q48_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface: distinct, sort, index, slice, join —
+    all native higher-order/array expressions (SURVEY.md §2.8)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    dtoks = F.array_sort(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_distinct_toks"),
+        F.element_at(dtoks, 1).alias("first_tok"),
+        F.element_at(dtoks, -1).alias("last_tok"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("head3"),
+    )
+
+
+@query(
+    "q49_fuzzy_match",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 300 AND b.p_partkey < 300
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q49_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: Levenshtein edit-distance self-join on a
+    bounded subset. At corpus scale, prefilter candidates by length band +
+    shared n-gram (the dedup.py inverted-index pattern) before the O(len²)
+    distance — the bounded-subset cross join here is the verify stage."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300).select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("part_a", "part_b", "edit_dist")
+    )
+
+
+@query(
+    "q66_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q66_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) via the SQL API — Catalyst
+    expands to a union-free Expand node, one pass over the data."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q73_sliding_window",
+    oracle="""
+    WITH slid AS (
+      SELECT e.*,
+             make_timestamp(((epoch_us(ts) // 1000000 - off) // 3600 * 3600 + off) * 1000000)
+               AS window_start
+      FROM events e, unnest([0, 900, 1800, 2700]) t(off)
+    )
+    SELECT window_start, event_type, count(*) AS n
+    FROM slid
+    GROUP BY 1, 2
+    """,
+)
+def q73_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length, 15 min slide) in batch: each
+    event lands in 4 overlapping windows. F.window handles the expansion
+    natively; the oracle reproduces it with epoch-grid arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )

@@ -178,3 +178,78 @@ def q63_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % 1000000007,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "q67_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT lang, tok, count(*) AS tf FROM toks GROUP BY lang, tok),
+    df AS (SELECT tok, count(DISTINCT lang) AS df FROM toks GROUP BY tok),
+    n AS (SELECT count(DISTINCT lang) AS n_langs FROM toks),
+    scored AS (
+      SELECT tf.lang, tf.tok, tf.tf,
+             (floor(tf.tf * ln(n.n_langs * 1.0 / df.df) * 1000000 + 0.5)) / 1000000.0
+               AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT lang, tok, tf, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY tfidf DESC, tok ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q67_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring with languages as 'documents': explode → tf counts →
+    document-frequency join → score → top-5 terms per lang.
+
+    The classic two-aggregate + broadcast-join text pipeline; at corpus
+    scale the df table is small (vocab-sized) and broadcasts, so the token
+    stream shuffles once for tf. Scores are grid-rounded (floor(x*1e6+.5))
+    because ln() may differ in the last ulp across libm implementations.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("lang").alias("df"))
+    n_langs = toks.select(F.countDistinct("lang").alias("n_langs"))
+    tfidf = F.floor(
+        F.col("tf") * F.log(F.col("n_langs") * 1.0 / F.col("df")) * 1000000 + 0.5
+    ) / 1000000.0
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_langs))
+        .withColumn("tfidf", tfidf)
+    )
+    w = W.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "tok", "tf", "tfidf", "rnk")
+    )
+
+
+@query(
+    "q68_stopword_filter",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(
+             list_filter(string_split(text, ' '),
+                         t -> NOT list_contains([{_STOPWORDS_SQL}], t))[1:10],
+             ' ') AS content_head
+    FROM documents
+    """,
+)
+def q68_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal as a pure array expression (filter + slice + join) —
+    the README's planned text-analysis step (README.md:24) without UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    kept = F.filter(F.split("text", " "), lambda t: ~F.array_contains(stop_arr, t))
+    return d.select(
+        "doc_id", F.array_join(F.slice(kept, 1, 10), " ").alias("content_head")
+    )

@@ -94,3 +94,86 @@ def crawl_frontier_step(
         .distinct()
     )
     return expanded.join(seen, "url", "left_anti")
+
+
+def crawl(
+    spark: SparkSession,
+    seed_urls: list[str],
+    transport,
+    domain_suffix: str = "en.wikipedia.org",
+    max_rounds: int = 10,
+) -> dict[str, DataFrame]:
+    """The complete crawler rebuilt as a BFS of distributed micro-batches.
+
+    Reference parity, per round (SURVEY.md §3.2):
+      fetch (fetcher/app/main.py:79-114, via sources/http.fetch_urls)
+      → drop failed fetches (:91-94)
+      → landing rows with sanitized file names (:41-61)
+      → metadata rows {url, htmlPath, last_modified} (db_api.py:30-37)
+      → link extraction + fan-out (:103-107, 116-123)
+      → normalize + domain filter (parser/app/main.py:16-40)
+      → seen-set admission (filter/app/main.py:16-24) as an anti-join.
+
+    Returns {"pages": (url, file_name, html), "metadata": (url, htmlPath,
+    last_modified), "seen": (url)}. Each round's new state is
+    localCheckpoint-ed (cluster deployments swap in a Delta/parquet `seen`
+    table and a real checkpoint dir).
+    """
+    from wikipediaetl_spark.functions.html import extract_links_expr
+    from wikipediaetl_spark.functions.urls import (
+        is_domain,
+        normalize_url,
+        url_to_filename,
+    )
+    from wikipediaetl_spark.sources.http import fetch_urls
+
+    frontier = spark.createDataFrame(
+        [(u,) for u in seed_urls], "url string"
+    ).select(normalize_url(F.col("url")).alias("url")).distinct()
+    frontier = frontier.localCheckpoint(eager=True)
+    seen = frontier
+    pages = None
+    metadata = None
+    for _ in range(max_rounds):
+        fetched = fetch_urls(frontier, transport).filter(F.col("html").isNotNull())
+        batch_pages = fetched.select(
+            "url", url_to_filename(F.col("url")).alias("file_name"), "html"
+        ).localCheckpoint(eager=True)
+        if batch_pages.isEmpty():
+            break
+        batch_meta = batch_pages.join(fetched.select("url", "last_modified_raw"), "url").select(
+            "url",
+            F.concat(F.lit("landing/"), F.col("file_name"), F.lit(".html")).alias("htmlPath"),
+            # HTTP Last-Modified ("%a, %d %b %Y %H:%M:%S %Z",
+            # fetcher/app/main.py:74) is always GMT; Spark 3+'s parser
+            # rejects EEE/zzz, so extract the core datetime and parse that.
+            F.to_timestamp(
+                F.regexp_extract(
+                    F.col("last_modified_raw"), r"(\d{1,2} \w{3} \d{4} \d{2}:\d{2}:\d{2})", 1
+                ),
+                "dd MMM yyyy HH:mm:ss",
+            ).alias("last_modified"),
+        )
+        pages = batch_pages if pages is None else pages.unionByName(batch_pages)
+        metadata = batch_meta if metadata is None else metadata.unionByName(batch_meta)
+        discovered = (
+            batch_pages.select(
+                F.explode(extract_links_expr(F.col("html"), F.col("url"))).alias("out_url")
+            )
+            .select(normalize_url(F.col("out_url")).alias("url"))
+            .filter(is_domain(F.col("url"), domain_suffix))
+            .distinct()
+        )
+        frontier = discovered.join(seen, "url", "left_anti").localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+    empty_pages = spark.createDataFrame([], "url string, file_name string, html string")
+    empty_meta = spark.createDataFrame(
+        [], "url string, htmlPath string, last_modified timestamp"
+    )
+    return {
+        "pages": pages if pages is not None else empty_pages,
+        "metadata": metadata if metadata is not None else empty_meta,
+        "seen": seen,
+    }

@@ -71,7 +71,7 @@ def _run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -89,7 +89,10 @@ def q70_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         ev.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
     return _run_to_completion(agg, "complete")
@@ -159,3 +162,39 @@ def retry_queue_step(
         (F.col(now_col) <= F.current_timestamp()) & (F.col("attempts") < max_retries)
     )
     return batch.unionByName(ready.select(batch.columns), allowMissingColumns=False)
+
+
+@query(
+    "q74_stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 3600
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def q74_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via session_window (1 h gap): merged session
+    state per user, finalized by watermark. Complete mode over the bounded
+    fixture equals the batch lag/cumsum sessionization (q36's oracle) —
+    session counts and event totals per user must match exactly."""
+    ev = _events_stream(spark, sf_dir)
+    sess = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "1 hour").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    per_session = _run_to_completion(sess, "complete")
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+    )
