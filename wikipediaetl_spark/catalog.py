@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QueryDef]:
         etl,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         text_analysis,
     )

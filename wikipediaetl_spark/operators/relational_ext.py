@@ -1,0 +1,366 @@
+"""Extended relational operators: skew handling, clustering, aggregate and
+scalar breadth (SURVEY.md §2 [E] continuation).
+
+Includes the two explicitly scale-motivated operators:
+- q81_salted_join — the skew-mitigation pattern (salt the hot key, explode
+  the dim) proven equal to the plain join;
+- q83_neardup_clusters — connected components over the near-dup pair graph
+  (iterative min-label propagation, the distributed union-find stand-in),
+  which turns pairwise dedup into keep-one-per-cluster dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.catalog import query
+from wikipediaetl_spark.operators.dedup import q53_shingle_neardup
+from wikipediaetl_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q75_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, printf('%015.2f|%012d', o_totalprice, o_orderkey)) AS best_order,
+           arg_min(o_orderkey, printf('%015.2f|%012d', o_totalprice, o_orderkey)) AS worst_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q75_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax aggregation (min_by/max_by) with a deterministic
+    composite tiebreak (price, then unique orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    # composite ordering encoded as a fixed-width sortable string — works on
+    # both engines (DuckDB's arg_max has no composite-key overload) and makes
+    # ties impossible because o_orderkey is unique
+    rank = F.format_string("%015.2f|%012d", F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", rank).alias("best_order"),
+        F.min_by("o_orderkey", rank).alias("worst_order"),
+    )
+
+
+@query(
+    "q76_conditional_agg",
+    oracle="""
+    SELECT o_custkey,
+           count(*) FILTER (o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         FILTER (o_orderpriority = '1-URGENT'), 0) AS DOUBLE) AS urgent_spend
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q76_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clauses / count_if) — one pass,
+    several predicated accumulators."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT",
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("urgent_spend"),
+    )
+
+
+@query(
+    "q77_string_agg",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q77_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect → sort → join. Deterministic (the
+    sort) unlike raw listagg over an unordered shuffle."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "q78_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST((dayofweek(o_orderdate) + 6) % 7 AS INTEGER) AS weekday_mon0
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def q78_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: interval add, last_day, trunc, day-of-week
+    (normalized to Monday=0 — Spark counts Sunday=1, DuckDB Sunday=0)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        ((F.dayofweek(d) + 5) % 7).alias("weekday_mon0"),
+    )
+
+
+@query(
+    "q79_null_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           nullif(o_orderstatus, 'O') IS NULL AS is_open
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def q79_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: nullif / coalesce / null predicates — the
+    reference's null-safe date and header handling generalized
+    (categorizer.py:108-122, fetcher/app/main.py:68-71)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_label"),
+        status_or_null.isNull().alias("is_open"),
+    )
+
+
+@query(
+    "q80_histogram",
+    oracle="""
+    SELECT CAST(least(greatest(floor((c_acctbal - (-1000.0)) / 1000.0), 0), 10) AS INTEGER)
+             AS bucket,
+           count(*) AS n
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def q80_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram bucketing via pure arithmetic (portable
+    width_bucket): 11 buckets of 1000 over [-1000, 10000]."""
+    c = _t(spark, sf_dir, "customer")
+    bucket = F.least(
+        F.greatest(F.floor((F.col("c_acctbal") - (-1000.0)) / 1000.0), F.lit(0)), F.lit(10)
+    ).cast("int")
+    return c.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q81_salted_join",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q81_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated (salted) join, proven equal to the plain join by the
+    oracle.
+
+    Pattern: the fact side gets a deterministic salt in [0, 8); the dim side
+    is exploded ×8 so every (key, salt) matches. A hot key's rows now spread
+    over 8 reducers instead of one. This is the manual fallback when AQE's
+    skew-join splitting can't apply (e.g. pre-aggregation joins); result
+    identity with the unsalted plan is the correctness obligation.
+    """
+    n_salts = 8
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    salted_e = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
+    salted_c = c.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))
+    )
+    return (
+        salted_e.join(
+            salted_c,
+            (salted_e.user_id == salted_c.c_custkey) & (salted_e.salt == salted_c.salt),
+        )
+        .join(F.broadcast(n), salted_c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q82_heavy_hitters",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT count(*) AS total FROM toks)
+    SELECT tok, cnt, cnt * 1.0 / total AS share
+    FROM counts CROSS JOIN total
+    WHERE cnt * 1.0 / total >= 0.005
+    """,
+)
+def q82_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens with ≥0.5% corpus share — the vocabulary
+    statistic a tokenizer-training pipeline computes. Two aggregates + a
+    broadcast of the 1-row total; the token stream shuffles once."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("cnt") * 1.0 / F.col("total"))
+        .filter(F.col("share") >= 0.005)
+        .select("tok", "cnt", "share")
+    )
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components over an undirected pair list via iterative
+    min-label propagation — the distributed union-find stand-in.
+
+    pairs(doc_a, doc_b) → (doc_id, cluster_id) where cluster_id is the
+    minimum doc_id in the component. Each round every node adopts the min
+    label among itself and its neighbors; rounds needed = graph diameter
+    (near-dup clusters are shallow). Same driver-loop-of-micro-batches shape
+    as the crawler BFS (streaming/crawler.py).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query(
+    "q83_neardup_clusters",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS tok
+      FROM words, unnest(range(1, len(w))) t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           min(dst) AS cluster_id,
+           (src = min(dst)) AS keep
+    FROM reach GROUP BY src
+    """,
+)
+def q83_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: pairwise shingle-Jaccard pairs (q53) → connected
+    components → keep-one-per-cluster flag. The full dedup decision a
+    training pipeline applies: transitive closure of near-dup pairs, keep
+    the minimum doc_id representative. Oracle: recursive-CTE transitive
+    closure over the same pair list.
+    """
+    pairs = q53_shingle_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs)
+    return comps.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
+    )
+
+
+@query(
+    "q84_map_ops",
+    oracle="""
+    SELECT event_id,
+           json_keys(props)[1] AS first_key,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def q84_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse the props JSON into map<string,int>,
+    then map_keys / element access / size (SURVEY.md §1.2 header-map type,
+    fetcher/app/main.py:86)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        m["k"].alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
