@@ -16,8 +16,8 @@ Scale notes (100 TB posture), applied per query below:
   handles skew and coalesces post-shuffle partitions;
 - windows partition by high-cardinality keys (custkey), never a global
   orderBy except for deliberately small final results;
-- floating aggregates are rounded so results are stable under any
-  partitioning / execution order.
+- money aggregates accumulate as exact DECIMAL (see ``dsum``) so results
+  are identical under any partitioning / execution order.
 """
 
 from __future__ import annotations
