@@ -1,0 +1,62 @@
+"""Scale-pattern proofs: bucketed co-located joins (no shuffle), the shared-
+scan pipeline (reference's double-scan eliminated), and salted-join equality.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.operators.etl import categorizer_tables, process_corpus
+from wikipediaetl_spark.sources import load_table
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key co-locate: the join plan contains
+    no Exchange — the 100 TB answer to repeated fact-fact joins."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        "b_orders"
+    )
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+        "b_lineitem"
+    )
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    # disable broadcast so the test exercises the co-located path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).groupBy("o_orderstatus").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n = joined.count()
+        assert n > 0
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_shared_scan_pipeline_equivalence(spark, sf_dir):
+    """process_corpus (one persisted scan, both branches) must produce the
+    same relations as the independent per-branch pipelines."""
+    shared = process_corpus(spark, sf_dir)
+    try:
+        solo = categorizer_tables(spark, sf_dir)
+        for name in ("pages", "categories", "page_categories"):
+            a, b = shared[name], solo[name]
+            assert a.count() == b.count()
+            assert a.join(b, a.columns, "left_anti").count() == 0
+        assert shared["converter_output"].count() == shared["pages"].count()
+    finally:
+        shared["_corpus"].unpersist()
+
+
+def test_corpus_cached_once(spark, sf_dir):
+    shared = process_corpus(spark, sf_dir)
+    try:
+        assert shared["_corpus"].storageLevel.useMemory
+    finally:
+        shared["_corpus"].unpersist()

@@ -95,7 +95,9 @@ def jaccard_pairs(tokens: DataFrame, threshold: float, max_df: int | None = None
     """Inverted-index Jaccard self-join over ``tokens(doc_id, tok)``.
 
     |A∩B| via a join on tok (shuffle key = shingle, not doc pair); set sizes
-    joined back; Jaccard = i / (|A|+|B|-i). ``max_df`` drops shingles present
+    joined back; Jaccard = i / (|A|+|B|-i) — an integer ratio, so the double
+    division is bit-identical on any engine (no rounding needed or wanted).
+    ``max_df`` drops shingles present
     in more than max_df docs — the skew/hot-key guard at scale.
     """
     if max_df is not None:
@@ -118,7 +120,7 @@ def jaccard_pairs(tokens: DataFrame, threshold: float, max_df: int | None = None
     return (
         inter.join(sz_a, "doc_a")
         .join(sz_b, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -138,11 +140,11 @@ def jaccard_pairs(tokens: DataFrame, threshold: float, max_df: int | None = None
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+           i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
     FROM inter
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.95
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.95
     """,
 )
 def q52_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,11 +171,11 @@ def q52_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+           i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
     FROM inter
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
     """,
 )
 def q53_shingle_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,17 +317,18 @@ def q56_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path is LSH bucketing first (similarity.py), then this exact
     verify on candidates only.
     """
-    from wikipediaetl_spark.operators.similarity import cosine_expr
+    from wikipediaetl_spark.operators.similarity import dot_expr
 
     e = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 500)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    e = e.withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+    cos = F.round(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         pairs.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= 0.35)

@@ -148,7 +148,7 @@ def q43_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT category_name,
            count(*) AS n_pages,
-           round(avg(word_count), 4) AS avg_word_count
+           sum(word_count) * 1.0 / count(*) AS avg_word_count
     FROM staged GROUP BY category_name
     """,
 )
@@ -187,7 +187,7 @@ def q44_category_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bridge.groupBy("category_name").agg(
         F.count(F.lit(1)).alias("n_pages"),
-        F.round(F.avg("word_count"), 4).alias("avg_word_count"),
+        (F.sum("word_count") * 1.0 / F.count(F.lit(1))).alias("avg_word_count"),
     )
 
 
@@ -301,7 +301,31 @@ def categorizer_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
     keys via deterministic row_number windows, bridge via two equi-joins.
     Returned as DataFrames; sinks (jdbc/parquet) are applied by callers.
     """
-    c = corpus(spark, sf_dir)
+    return categorizer_tables_from(corpus(spark, sf_dir))
+
+
+def process_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """One shared, persisted corpus scan feeding BOTH pipeline branches.
+
+    The reference re-scans and re-parses the same HTML directory in each of
+    its two parallel jobs (categorizer.py:131 and converter.py:52 — the
+    "missed reuse" in SURVEY.md §4). Here the corpus materializes once
+    (MEMORY_AND_DISK — spills instead of OOM at scale) and both the
+    categorizer star schema and the converter relation read the cached
+    partitions. Caller must unpersist via the returned handle.
+    """
+    from pyspark import StorageLevel
+
+    c = corpus(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    tables = categorizer_tables_from(c)
+    converter = c.select(
+        "file_name", extract_text_expr(F.col("html")).alias("extracted_text")
+    )
+    return {**tables, "converter_output": converter, "_corpus": c}
+
+
+def categorizer_tables_from(c: DataFrame) -> dict[str, DataFrame]:
+    """categorizer_tables against an externally provided (cached) corpus."""
     staged = c.select(
         "doc_id",
         "file_name",

@@ -526,25 +526,20 @@ def q18_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest order at or before each purchase event's timestamp.
 
-    Composed from an inequality join + per-key row_number (SURVEY.md §2.3
-    [E]). Ties broken by o_orderkey DESC for determinism. At scale, the join
-    shuffles both sides on the user key and the window sorts within key —
-    bounded because per-user order counts are bounded.
+    Composed from an inequality join + per-event argmax (SURVEY.md §2.3
+    [E]). Ties broken by o_orderkey DESC for determinism. The argmax is a
+    ``max_by`` hash aggregate, not a window: partial aggregation runs
+    map-side before the shuffle, so only one candidate row per (event,
+    partition) moves — strictly less data than sorting full per-key groups
+    through a window.
     """
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     o = _t(spark, sf_dir, "orders")
     joined = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
-    w = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            F.col("o_orderkey").alias("matched_order"),
-            F.col("o_orderdate").cast("date").alias("matched_date"),
-        )
+    rank = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.max_by("o_orderkey", rank).alias("matched_order"),
+        F.max("o_orderdate").cast("date").alias("matched_date"),
     )
 
 

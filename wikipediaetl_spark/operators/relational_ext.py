@@ -310,7 +310,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
       FROM inter
       JOIN sizes sa ON doc_a = sa.doc_id
       JOIN sizes sb ON doc_b = sb.doc_id
-      WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
     ),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -364,3 +364,37 @@ def q84_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["k"].alias("k_value"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+@query(
+    "q85_merge_upsert",
+    oracle="""
+    WITH staged AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 10.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    existing AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+    SELECT e.o_orderkey, e.o_custkey, e.o_totalprice, FALSE AS updated
+    FROM existing e
+    WHERE NOT EXISTS (SELECT 1 FROM staged s WHERE s.o_orderkey = e.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS updated FROM staged
+    """,
+)
+def q85_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert emulation without a table format: target ∖ staged
+    (anti-join) ∪ staged — the WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT
+    semantics (SURVEY.md §2.3: the reference's insert-if-absent ORM loops,
+    categorizer.py:156-187, generalized to update-or-insert). On a lakehouse
+    table this becomes Delta/Iceberg MERGE INTO; the relational core is this
+    exact plan."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    staged = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+        .withColumn("updated", F.lit(True))
+    )
+    untouched = o.join(staged.select("o_orderkey"), "o_orderkey", "left_anti").withColumn(
+        "updated", F.lit(False)
+    )
+    return untouched.unionByName(staged)

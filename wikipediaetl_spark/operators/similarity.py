@@ -38,9 +38,13 @@ def cosine_expr(a: Column, b: Column) -> Column:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    """Corpus vectors with the L2 norm precomputed once — every similarity
+    query divides by norms, so computing them per candidate pair would fold
+    each vector O(k) extra times."""
+    e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
+    return e.withColumn("v_norm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
 
 
 @query(
@@ -75,16 +79,17 @@ def q57_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _vectors(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("v_norm").alias("q_norm"),
+    )
+    cos = F.round(
+        dot_expr(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6
     )
     scored = (
         F.broadcast(q)
         .join(e, F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
-        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -88,10 +88,10 @@ def q60_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_tokens, n_stopwords,
-           round(n_chars_m * 1.0 / n_tokens, 6) AS avg_token_len,
-           round(n_stopwords * 1.0 / n_tokens, 6) AS stopword_ratio,
-           round(least(n_tokens, 400) / 400.0 * 0.7
-                 + least(n_stopwords * 1.0 / n_tokens, 0.2) / 0.2 * 0.3, 6) AS quality
+           n_chars_m * 1.0 / n_tokens AS avg_token_len,
+           n_stopwords * 1.0 / n_tokens AS stopword_ratio,
+           least(n_tokens, 400) / 400.0 * 0.7
+             + least(n_stopwords * 1.0 / n_tokens, 0.2) / 0.2 * 0.3 AS quality
     FROM feats
     """,
 )
@@ -120,9 +120,9 @@ def q61_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_stopwords",
-        F.round(F.col("n_chars_m") * 1.0 / n_tok, 6).alias("avg_token_len"),
-        F.round(n_stop * 1.0 / n_tok, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality"),
+        (F.col("n_chars_m") * 1.0 / n_tok).alias("avg_token_len"),
+        (n_stop * 1.0 / n_tok).alias("stopword_ratio"),
+        quality.alias("quality"),
     )
 
 
@@ -252,4 +252,66 @@ def q68_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = F.filter(F.split("text", " "), lambda t: ~F.array_contains(stop_arr, t))
     return d.select(
         "doc_id", F.array_join(F.slice(kept, 1, 10), " ").alias("content_head")
+    )
+
+
+# Lexicon-based sentiment — the analysis the reference describes but never
+# builds (reference README.md:24 "sentiment analysis to assess neutrality").
+SENTIMENT_LEXICON: dict[str, int] = {
+    "fast": 1,
+    "small": 1,
+    "big": 1,
+    "slow": -1,
+    "dup": -1,
+    "error": -1,
+}
+
+_SENT_VALUES = ", ".join(f"('{w}', {s})" for w, s in sorted(SENTIMENT_LEXICON.items()))
+
+
+@query(
+    "q69_sentiment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    lex(tok, polarity) AS (VALUES {_SENT_VALUES}),
+    scored AS (
+      SELECT t.doc_id, coalesce(sum(l.polarity), 0) AS score, count(l.tok) AS n_hits
+      FROM toks t LEFT JOIN lex l USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score, n_hits,
+           CASE WHEN score > 0 THEN 'positive'
+                WHEN score < 0 THEN 'negative'
+                ELSE 'neutral' END AS sentiment
+    FROM scored
+    """,
+)
+def q69_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-scored sentiment / neutrality assessment — the reference's
+    declared-but-unbuilt analysis (README.md:24,41) as a broadcast lexicon
+    join + signed sum. At scale the lexicon (thousands of words) broadcasts;
+    the token stream aggregates map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    lex = spark.createDataFrame(
+        sorted(SENTIMENT_LEXICON.items()), "tok string, polarity int"
+    )
+    scored = (
+        toks.join(F.broadcast(lex), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum("polarity"), F.lit(0)).cast("long").alias("score"),
+            F.count("polarity").alias("n_hits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "score",
+        "n_hits",
+        F.when(F.col("score") > 0, "positive")
+        .when(F.col("score") < 0, "negative")
+        .otherwise("neutral")
+        .alias("sentiment"),
     )
