@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QueryDef]:
         dedup,
         etl,
         multimodal,
+        pipeline_ops,
         relational,
         relational_ext,
         similarity,

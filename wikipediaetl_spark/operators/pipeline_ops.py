@@ -1,0 +1,203 @@
+"""Training-data pipeline operators (SURVEY.md §2.11 continuation).
+
+The operations a 100 TB pretraining-data pipeline runs after crawl+extract:
+benchmark decontamination, intra-document repetition detection, PII
+redaction, deterministic stratified sampling (dataset mixing), and sequence
+packing. All native expressions; all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.catalog import query
+from wikipediaetl_spark.sources import load_table
+
+
+def _trigram_set(d: DataFrame) -> DataFrame:
+    sh = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+    )
+    return d.select("doc_id", F.explode(sh).alias("tok")).distinct()
+
+
+@query(
+    "q86_decontamination",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tri AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tok
+      FROM words, unnest(range(1, len(w) - 1)) t(i)
+    ),
+    bench AS (SELECT doc_id AS bench_id, tok FROM tri WHERE doc_id < 50),
+    corpus AS (SELECT doc_id, tok FROM tri WHERE doc_id >= 50),
+    overlap AS (
+      SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+      FROM corpus c JOIN bench b USING (tok)
+      GROUP BY c.doc_id, b.bench_id
+    )
+    SELECT doc_id,
+           arg_max(bench_id, printf('%09d|%012d', n_shared, bench_id)) AS worst_benchmark,
+           max(n_shared) AS max_shared
+    FROM overlap
+    WHERE n_shared >= 5
+    GROUP BY doc_id
+    """,
+)
+def q86_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥5 distinct word
+    3-grams with any held-out benchmark doc (doc_id < 50 plays the
+    benchmark). The standard n-gram-overlap contamination check, as an
+    inverted-index join on the shingle — the benchmark side is small and
+    effectively broadcasts; the corpus side never self-joins."""
+    d = load_table(spark, sf_dir, "documents")
+    tri = _trigram_set(d)
+    bench = tri.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("bench_id"), "tok"
+    )
+    corpus = tri.filter(F.col("doc_id") >= 50)
+    overlap = (
+        corpus.join(F.broadcast(bench), "tok")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    rank = F.format_string("%09d|%012d", F.col("n_shared"), F.col("bench_id"))
+    return (
+        overlap.filter(F.col("n_shared") >= 5)
+        .groupBy("doc_id")
+        .agg(
+            F.max_by("bench_id", rank).alias("worst_benchmark"),
+            F.max("n_shared").alias("max_shared"),
+        )
+    )
+
+
+@query(
+    "q87_repetition",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bi AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS tok
+      FROM words, unnest(range(1, len(w))) t(i)
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           count(DISTINCT tok) AS n_distinct,
+           1.0 - count(DISTINCT tok) * 1.0 / count(*) AS rep_ratio
+    FROM bi
+    GROUP BY doc_id
+    """,
+)
+def q87_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style filter signal): fraction of
+    repeated word bigrams. High rep_ratio = boilerplate/spam candidate."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))"
+    )
+    bi = d.select("doc_id", F.explode(sh).alias("tok"))
+    return bi.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("tok").alias("n_distinct"),
+        (1.0 - F.countDistinct("tok") * 1.0 / F.count(F.lit(1))).alias("rep_ratio"),
+    )
+
+
+@query(
+    "q88_pii_redaction",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@example.com or +1-555-', lpad(CAST(doc_id AS VARCHAR), 4, '0'))
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw,
+             '[a-zA-Z0-9._-]+@[a-zA-Z0-9.-]+', '[EMAIL]', 'g'),
+             '\\+?[0-9][0-9-]{7,}', '[PHONE]', 'g') AS redacted
+    FROM enriched
+    """,
+)
+def q88_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/phone regex redaction over synthetically enriched
+    text — the pattern-redaction stage of a data-cleaning pipeline as pure
+    regexp_replace (codegen, pushd-down-safe)."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, r"[a-zA-Z0-9._-]+@[a-zA-Z0-9.-]+", "[EMAIL]"),
+        r"\+?[0-9][0-9-]{7,}",
+        "[PHONE]",
+    )
+    return d.select("doc_id", redacted.alias("redacted"))
+
+
+SAMPLE_RATES = {"en": 50, "de": 20, "es": 10, "fr": 10, "zh": 10}
+
+_RATES_SQL = " ".join(
+    f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES.items())
+)
+
+
+@query(
+    "q89_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * 2654435761) % 100 <
+          CASE lang {_RATES_SQL} ELSE 0 END
+    """,
+)
+def q89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the dataset-mixing step: per-lang
+    keep rates applied via a Knuth-hash of the stable id, so the sample is
+    reproducible across runs/engines/partitionings (unlike rand())."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    keep = (F.col("doc_id") * 2654435761) % 100 < rate
+    return d.filter(keep).select("doc_id", "lang")
+
+
+@query(
+    "q90_sequence_packing",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 2048) AS BIGINT) AS pack_id
+    FROM sized
+    """,
+)
+def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed token-budget packs (2048) per
+    language via a running-sum window on the stable doc order — the
+    deterministic, distributed approximation of greedy packing used to batch
+    pretraining sequences."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pack = F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("long")
+    return sized.select("doc_id", "lang", "n_tokens", pack.alias("pack_id"))
