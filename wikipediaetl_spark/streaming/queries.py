@@ -198,3 +198,26 @@ def q74_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum("n_ev").alias("n_events"),
     )
+
+
+def foreach_batch_parquet_sink(
+    stream_df: DataFrame, out_path: str, checkpoint_path: str
+):
+    """Idempotent foreachBatch parquet sink with checkpoint recovery.
+
+    Reference parity: manual-ack at-least-once consumption
+    (fetcher/app/main.py:109-114, queue_api.py:53-63) — Structured Streaming
+    gives at-least-once via the checkpointed offset log; writing each batch
+    to a ``batch_id=N`` partition with overwrite makes redelivery idempotent
+    (re-running batch N replaces, never duplicates: effectively-once).
+    Returns the started StreamingQuery; caller stops it.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
