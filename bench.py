@@ -37,6 +37,10 @@ HEADLINE = [
     "q53_shingle_neardup",
     "q57_cosine_topk",
     "q63_fingerprint",
+    "q67_tfidf_top_terms",
+    "q83_neardup_clusters",
+    "q86_decontamination",
+    "q90_sequence_packing",
 ]
 
 

@@ -79,3 +79,19 @@ def test_lsh_buckets_deterministic(spark, sf_dir):
     )
     assert b1 == b2
     assert all(0 <= b < 256 for _, b in b1)
+
+
+def test_blas_path_matches_expression_path(spark, sf_dir):
+    """The mapInPandas/numpy scorer and the native-expression scorer must
+    agree on the full top-k result (same rounding grid)."""
+    from wikipediaetl_spark.operators.similarity import q57_cosine_topk, q91_cosine_topk_blas
+
+    expr_path = {
+        (r.query_id, r.neighbor_id, r.rnk, round(r.cos_sim, 5))
+        for r in q57_cosine_topk(spark, sf_dir).collect()
+    }
+    blas_path = {
+        (r.query_id, r.neighbor_id, r.rnk, round(r.cos_sim, 5))
+        for r in q91_cosine_topk_blas(spark, sf_dir).collect()
+    }
+    assert expr_path == blas_path

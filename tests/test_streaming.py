@@ -86,3 +86,54 @@ def test_retry_queue_backoff(spark):
     )
     got = sorted(r.url for r in retry_queue_step(batch, failures, max_retries=3).collect())
     assert got == ["r_ready", "u1"]
+
+
+def test_watermark_bounds_state_and_emits_once(spark, sf_dir, tmp_path):
+    """Watermark guarantees under out-of-order arrival (SURVEY.md §2.9 [E]):
+    state is evicted once the watermark passes a window (bounded state — the
+    property that makes unbounded streams feasible), and append mode emits
+    each window at most once. Note Spark documents dropping of
+    beyond-watermark data as a *may*, not a *must* — observed behavior on
+    this version is that a very-late batch is still aggregated and its
+    already-final windows emit immediately; the hard guarantees tested here
+    are state eviction and no duplicate emission."""
+    import uuid
+
+    from wikipediaetl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cutoff = "2024-01-20 00:00:00"
+    src = str(tmp_path / "src")
+    # batch 1 = new events (advances the watermark), batch 2 = very-late old
+    # events (arrive weeks behind the watermark)
+    ev.filter(F.col("ts") >= cutoff).coalesce(1).write.parquet(src + "/f=1")
+    ev.filter(F.col("ts") < cutoff).coalesce(1).write.parquet(src + "/f=2")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = "late_" + uuid.uuid4().hex[:8]
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    # state eviction: after the final batch only the windows newer than the
+    # watermark may remain in state — orders of magnitude below total windows
+    final_state_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    total_windows = spark.table(name).count()
+    assert final_state_rows <= 2, final_state_rows
+    assert total_windows > 100
+    # append mode: every window emitted at most once
+    emitted = spark.table(name)
+    assert emitted.count() == emitted.select("ws").distinct().count()

@@ -223,3 +223,54 @@ def q59_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.3)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+@query("q91_cosine_topk_blas")
+def q91_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 via mapInPandas + numpy matmul — the
+    vectorized Python path for when per-row expression folds become the
+    bottleneck (wide vectors, many queries).
+
+    Each Arrow batch of corpus vectors is scored against the broadcast query
+    matrix in one BLAS matmul (O(batch × k × dim) with SIMD), then only the
+    per-batch candidates leave Python; the global top-k reduction stays in
+    Spark. Rows-only check; tests assert exact agreement with q57's
+    expression path.
+    """
+    from collections.abc import Iterator
+
+    e = _vectors(spark, sf_dir)
+    queries = (
+        e.filter(F.col("vec_id") < 10)
+        .select("vec_id", "v")
+        .collect()  # 10 rows — the query set is driver-small by definition
+    )
+    q_ids = [r.vec_id for r in queries]
+    q_mat = np.stack([np.array(r.v) for r in queries])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_mat.T  # (batch, k)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), len(q_ids)),
+                    "cos_sim": np.round(sims.T.reshape(-1), 6),
+                }
+            )
+
+    scored = e.select("vec_id", "v").mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
