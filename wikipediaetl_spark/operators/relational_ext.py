@@ -250,42 +250,50 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     (near-dup clusters are shallow). Same driver-loop-of-micro-batches shape
     as the crawler BFS (streaming/crawler.py).
     """
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+    spark = pairs.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # tiny-round loop
+    try:
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        edges = edges.localCheckpoint(eager=True)
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
+        for _ in range(max_rounds):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .isEmpty()
+            )
+            labels = new_labels
+            if changed:
+                break
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
         )
-        labels = new_labels
-        if changed:
-            break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 @query(

@@ -41,8 +41,13 @@ def bfs_fixpoint(
     """
     # Few fat partitions beat many thin ones for iterative micro-batches:
     # every round is a frontier-broadcast join, so per-task scheduling
-    # overhead × rounds dominates at small frontier sizes.
+    # overhead × rounds dominates at small frontier sizes. AQE is disabled
+    # for the loop: its per-stage re-optimization costs more than it saves
+    # on many tiny rounds (measured ~20% of wall); re-enable (drop this
+    # block) when rounds are cluster-sized.
     n_part = min(8, spark.sparkContext.defaultParallelism)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     edges = edges.repartition(n_part, "src").persist()
     try:
         frontier = seeds.select("node").distinct().withColumn("depth", F.lit(0))
@@ -70,6 +75,7 @@ def bfs_fixpoint(
         return seen
     finally:
         edges.unpersist()
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def crawl_frontier_step(
