@@ -1,0 +1,53 @@
+"""Regenerate COVERAGE.md from the catalog:
+    python tools/gen_coverage.py > COVERAGE.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wikipediaetl_spark.catalog import all_queries
+
+MAPPING = """## SURVEY §2 row mapping
+
+| SURVEY §2 area | queries / code |
+|---|---|
+| §2.1 scans/sources/sinks | q02 (parquet scan+pushdown), sources/tables.py (wholetext+provenance), sources/formats.py (JSON/CSV/partitioned parquet/JDBC/archival), sources/http.py (HTTP source), streaming/queries.foreach_batch_parquet_sink, tests/test_sources.py |
+| §2.2 projections/filters/predicates | q02, q03, q79 (null predicates), q46 (domain filter) |
+| §2.3 joins | q11 (star/broadcast), q12 (fact-fact), q13 (left), q14 (semi), q15 (anti = insert-if-absent), q16 (full), q17 (cross), q18 (range), q19 (as-of via max_by), q81 (salted skew), q85 (MERGE upsert), q92 (correlated subquery decorrelated), q44/etl.categorizer_tables (bridge M2M), bucketed co-located join (tests/test_scale_patterns.py) |
+| §2.4 aggregations | q01, q05, q06, q07, q08 (approx), q09 (rollup), q10 (cube), q66 (grouping sets), q39 (percentiles), q75 (argmin/max), q76 (conditional), q77 (string_agg), q42 (word count) |
+| §2.5 windows | q20 (top-k), q21 (running frame), q22 (lag), q23 (rank/dense_rank), q24 (ntile), q25 (surrogate keys), q93 (first/last/nth_value), q94 (percent_rank/cume_dist) |
+| §2.6 sorts/limits | q04 (TakeOrderedAndProject top-N) |
+| §2.7 set ops | q26 (union), q27 (intersect), q28 (except = frontier∖seen) |
+| §2.8 scalar functions | q29/q84 (JSON/map), q30 (CASE), q31 (strings), q32/q78 (dates), q33 (scalar subquery), q34/q35 (pivot/unpivot), q47 (sanitize), q46 (URL normalize), q48 (arrays), q49 (levenshtein), q80 (histogram), q95 (regex groups), q96 (explode_outer), q97 (structs), q41 (date parse 'd MMMM yyyy') |
+| §2.9 streaming | q70 (tumbling+watermark), q71 (keyed dedup = Redis set), q72 (fan-out), q73 (sliding), q74 (session windows), q36 (batch sessionize), q37 (batch tumbling), q38 (BFS cycle), streaming/stateful.py (applyInPandasWithState), streaming/queries.retry_queue_step (DLQ/TTL), streaming/queries.foreach_batch_parquet_sink (ack/idempotent sink), streaming/crawler.crawl (full loop), watermark-guarantee + checkpoint-recovery tests |
+| §2.10 UDF surface | functions/html.parse_page_udf (pandas UDF), similarity.ivf_centroids (applyInPandas UDAF), similarity.q91 (mapInPandas BLAS), multimodal.extract_features (mapInPandas), sources/http.fetch_urls (mapInPandas) |
+| §2.11 LLM-pipeline extensions | q50/q51 (exact/hash dedup), q52/q53 (Jaccard), q54 (MinHash LSH), q55 (SimHash), q56 (embedding near-dup), q83 (near-dup clustering), q57/q91 (cosine top-k), q58 (IVF), q59 (LSH ANN), q60 (lang-ID), q61 (quality), q62 (token count), q63 (fingerprint), q67 (TF-IDF), q68 (stopwords), q69 (sentiment), q82 (heavy hitters), q86 (decontamination), q87 (repetition), q88 (PII redaction), q89 (stratified sampling), q90 (sequence packing), q64/q65 (multimodal binary) |
+"""
+
+
+def main() -> None:
+    qs = all_queries()
+    print("# COVERAGE — catalog queries vs SURVEY.md §2 operator inventory")
+    print()
+    n_oracle = sum(1 for q in qs.values() if q.oracle)
+    print(
+        f"{len(qs)} catalog queries: {n_oracle} oracle-checked, "
+        f"{len(qs) - n_oracle} rows-only."
+    )
+    print()
+    print("| query | check | summary (first docstring line) |")
+    print("|---|---|---|")
+    for name, qd in sorted(qs.items()):
+        first = (qd.doc or "").strip().splitlines()[0] if qd.doc else ""
+        first = first.replace("|", "\\|")
+        print(f"| {name} | {'oracle' if qd.oracle else 'rows-only'} | {first} |")
+    print()
+    print(MAPPING)
+
+
+if __name__ == "__main__":
+    main()

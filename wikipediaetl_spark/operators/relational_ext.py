@@ -406,3 +406,164 @@ def q85_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "updated", F.lit(False)
     )
     return untouched.unionByName(staged)
+
+
+@query(
+    "q92_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                     / count(*)
+                              FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def q92_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders > 2x their customer's average),
+    decorrelated by hand into agg + join — the plan Catalyst itself produces
+    for the SQL form; per-key avg uses the exact decimal sum."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cust_avg")
+    )
+    return (
+        o.join(per_cust, o.o_custkey == per_cust.k)
+        .filter(F.col("o_totalprice") > 2 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q93_window_value_funcs",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_order,
+           CAST(nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey
+                                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS BIGINT) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q93_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value windows with explicit full
+    frames (last/nth need UNBOUNDED FOLLOWING to be well-defined)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    order_w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full_w = order_w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(order_w).alias("first_order"),
+        F.last("o_orderkey").over(full_w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(full_w).alias("second_order"),
+    )
+
+
+@query(
+    "q94_window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           percent_rank() OVER w AS bal_percentile,
+           cume_dist() OVER w AS bal_cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q94_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist analytic distributions (single-partition
+    window — dimension-sized input only; fact-scale quantiles go through
+    approx_percentile instead)."""
+    from pyspark.sql import Window as W
+
+    c = _t(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("bal_percentile"),
+        F.cume_dist().over(w).alias("bal_cume"),
+    )
+
+
+@query(
+    "q95_regex_groups",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^(\\w+) (\\w+) (\\w+)$', 1) AS type_class,
+           regexp_extract(p_type, '^(\\w+) (\\w+) (\\w+)$', 2) AS type_finish,
+           regexp_extract(p_type, '^(\\w+) (\\w+) (\\w+)$', 3) AS type_metal
+    FROM part
+    """,
+)
+def q95_regex_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-group regexp extraction splitting the three-word p_type into
+    typed fields ('' for non-matches on both engines)."""
+    p = _t(spark, sf_dir, "part")
+    pat = r"^(\w+) (\w+) (\w+)$"
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", pat, 1).alias("type_class"),
+        F.regexp_extract("p_type", pat, 2).alias("type_finish"),
+        F.regexp_extract("p_type", pat, 3).alias("type_metal"),
+    )
+
+
+@query(
+    "q96_explode_outer",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN []
+                  ELSE string_split(substr(lang, 1, 2), '') END AS tags
+      FROM documents
+    )
+    SELECT doc_id, u.tag
+    FROM tagged LEFT JOIN LATERAL (SELECT unnest(tags) AS tag) u ON TRUE
+    ORDER BY doc_id
+    """,
+)
+def q96_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive with a null element
+    (plain explode would drop them) — the outer-lateral-unnest semantics."""
+    d = _t(spark, sf_dir, "documents")
+    tags = F.when(F.col("doc_id") % 10 == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.substring("lang", 1, 2), "")
+    )
+    return d.select("doc_id", F.explode_outer(tags).alias("tag"))
+
+
+@query(
+    "q97_struct_ops",
+    oracle="""
+    SELECT o_orderkey,
+           {'status': o_orderstatus, 'priority': o_orderpriority}.status AS s_status,
+           {'status': o_orderstatus, 'priority': o_orderpriority}.priority AS s_priority,
+           {'k': o_custkey, 'price': o_totalprice} = {'k': o_custkey, 'price': o_totalprice}
+             AS s_equal
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def q97_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build / field access / struct equality — the nested-type
+    surface (SURVEY.md §1.2 document type D3)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    s1 = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority")
+    )
+    s2 = F.struct(F.col("o_custkey").alias("k"), F.col("o_totalprice").alias("price"))
+    return o.select(
+        "o_orderkey",
+        s1.getField("status").alias("s_status"),
+        s1.getField("priority").alias("s_priority"),
+        (s2 == s2).alias("s_equal"),
+    )
