@@ -221,3 +221,68 @@ def foreach_batch_parquet_sink(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+@query(
+    "q100_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    """,
+)
+def q100_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user clicks in the
+    preceding 30 minutes. Both sides carry watermarks and the join condition
+    is time-bounded, so state for either side is evicted once the watermark
+    passes its window — the only way an unbounded ⋈ unbounded stays finite.
+    Over the bounded fixture the emitted matches equal the batch join."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    return _run_to_completion(joined, "append")
+
+
+@query(
+    "q101_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q101_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: keyed dedup whose state is evicted
+    once keys age past the watermark — the bounded-state production variant
+    of the Redis seen-set (vs q71's unbounded exact parity). On the bounded
+    fixture every duplicate arrives within the watermark, so the result
+    equals DISTINCT."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "2 days")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_completion(deduped, "append")
