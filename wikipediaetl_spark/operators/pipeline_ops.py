@@ -31,8 +31,13 @@ def _trigram_set(d: DataFrame) -> DataFrame:
       SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tok
       FROM words, unnest(range(1, len(w) - 1)) t(i)
     ),
-    bench AS (SELECT doc_id AS bench_id, tok FROM tri WHERE doc_id < 50),
-    corpus AS (SELECT doc_id, tok FROM tri WHERE doc_id >= 50),
+    kept AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM tri)
+      WHERE df <= (SELECT count(*) FROM documents) // 2
+    ),
+    bench AS (SELECT doc_id AS bench_id, tok FROM kept WHERE doc_id < 50),
+    corpus AS (SELECT doc_id, tok FROM kept WHERE doc_id >= 50),
     overlap AS (
       SELECT c.doc_id, b.bench_id, count(*) AS n_shared
       FROM corpus c JOIN bench b USING (tok)
@@ -50,14 +55,25 @@ def q86_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing ≥5 distinct word
     3-grams with any held-out benchmark doc (doc_id < 50 plays the
     benchmark). The standard n-gram-overlap contamination check, as an
-    inverted-index join on the shingle — the benchmark side is small and
-    effectively broadcasts; the corpus side never self-joins."""
+    inverted-index join on the shingle with a document-frequency cap on
+    hot shingles — the benchmark side is small and effectively broadcasts;
+    the corpus side never self-joins."""
     d = load_table(spark, sf_dir, "documents")
     tri = _trigram_set(d)
-    bench = tri.filter(F.col("doc_id") < 50).select(
+    # hot-shingle cap: shingles present in more than half the docs carry no
+    # contamination signal and are the skew/blow-up risk in the join — drop
+    # them via a single-pass document-frequency window (one shuffle on tok,
+    # no second trigram scan), mirrored in the oracle
+    n_docs = d.count()  # tiny action; avoids a second trigram materialization
+    kept = (
+        tri.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("tok")))
+        .filter(F.col("df") <= n_docs // 2)
+        .select("doc_id", "tok")
+    )
+    bench = kept.filter(F.col("doc_id") < 50).select(
         F.col("doc_id").alias("bench_id"), "tok"
     )
-    corpus = tri.filter(F.col("doc_id") >= 50)
+    corpus = kept.filter(F.col("doc_id") >= 50)
     overlap = (
         corpus.join(F.broadcast(bench), "tok")
         .groupBy("doc_id", "bench_id")
