@@ -135,3 +135,55 @@ def test_crawl_end_to_end(spark):
     # seen ⊇ pages (dead links never fetched successfully but may be seen)
     seen = {r.url for r in out["seen"].collect()}
     assert set(urls) <= seen
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from wikipediaetl_spark.sources.formats import read_orc, write_orc
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = str(tmp_path / "docs_orc")
+    write_orc(d, path)
+    back = read_orc(spark, path)
+    assert back.count() == d.count()
+    assert back.join(d, ["doc_id", "lang", "n_chars"], "left_anti").count() == 0
+
+
+def test_parquet_compression_codecs(spark, sf_dir, tmp_path):
+    d = load_table(spark, sf_dir, "documents")
+    for codec in ("snappy", "zstd", "gzip"):
+        p = str(tmp_path / f"c_{codec}")
+        d.write.mode("overwrite").option("compression", codec).parquet(p)
+        assert spark.read.parquet(p).count() == d.count()
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """mergeSchema read across files with evolving columns — new columns
+    appear as nulls for old files (additive schema evolution)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    p = str(tmp_path / "evolving")
+    d.write.parquet(p + "/v=1")
+    d.withColumn("quality", F.lit(0.5)).write.parquet(p + "/v=2")
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(p)
+    assert "quality" in merged.columns
+    assert merged.count() == 2 * d.count()
+    assert merged.filter(F.col("quality").isNull()).count() == d.count()
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a filtered dim must prune fact
+    partitions at runtime (DPP) — the plan carries a dynamicpruning
+    subquery on the partition column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = str(tmp_path / "li_by_flag")
+    li.write.partitionBy("l_returnflag").parquet(p)
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "new"), ("R", "returned")], "flag string, label string"
+    ).filter(F.col("label") == "returned")
+    joined = fact.join(dim, fact.l_returnflag == dim.flag).groupBy("label").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    n = joined.collect()[0]["count"]
+    assert n == li.filter(F.col("l_returnflag") == "R").count()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(l_returnflag)" in plan

@@ -567,3 +567,78 @@ def q97_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.getField("priority").alias("s_priority"),
         (s2 == s2).alias("s_equal"),
     )
+
+
+@query("q102_approx_percentile")
+def q102_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable sketch) — the fact-scale quantile path
+    (single pass, partial-aggregable, vs q39's exact sort-based percentile
+    which is only for bounded groups). Rows-only: sketch internals are
+    engine-specific; tests bound the error against the exact quantiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("approx_p95"),
+    )
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over edges(src, dst) — the iterative
+    message-passing pattern beyond BFS/label-propagation: each round is a
+    join (send rank/out_degree along edges) + aggregate (sum incoming) +
+    dangling-mass redistribution, checkpointed per round. Deterministic up
+    to float addition order (rows-only operator)."""
+    spark = edges.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = nodes.count()
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        graph = edges.join(out_deg, "src").localCheckpoint(eager=True)
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(eager=True)
+        for _ in range(n_iter):
+            contribs = (
+                graph.join(ranks, graph.src == ranks.node)
+                .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("incoming"))
+            )
+            # dangling nodes (no outgoing edges) leak rank mass; redistribute
+            dangling = (
+                ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
+                .collect()[0]["mass"]
+            )
+            base = (1 - damping) / n_nodes + damping * dangling / n_nodes
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (F.lit(base) + damping * F.coalesce(F.col("incoming"), F.lit(0.0))).alias(
+                        "rank"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+@query("q103_pagerank")
+def q103_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank(5 iterations) over the order-parent graph (same edge set as
+    q38's BFS). Rows-only (float accumulation); tests assert rank-mass
+    conservation and determinism."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    edges = o.select(
+        F.expr("o_orderkey div 2").alias("src"), F.col("o_orderkey").alias("dst")
+    ).filter(F.col("dst") != F.col("src"))
+    pr = pagerank(edges, n_iter=5)
+    return pr.select("node", F.round("rank", 9).alias("rank"))

@@ -74,3 +74,16 @@ def archive_processed(
     remaining = landing.join(processed.select(key), key, "left_anti")
     archived = landing.join(processed.select(key), key, "left_semi")
     return remaining, archived
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — the other columnar format with pushdown/pruning; schema
+    optional because ORC embeds one."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
