@@ -48,10 +48,18 @@ def canon_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     qs = all_queries()
-    spark = get_spark("oracle_check")
+    if vanilla:
+        # mimic the external driver: a bare session without engine configs
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("vanilla").getOrCreate()
+    else:
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

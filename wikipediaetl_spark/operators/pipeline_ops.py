@@ -217,3 +217,69 @@ def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pack = F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("long")
     return sized.select("doc_id", "lang", "n_tokens", pack.alias("pack_id"))
+
+
+@query(
+    "q109_dedup_decision",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS tok
+      FROM words, unnest(range(1, len(w))) t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    removed AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    SELECT d.lang,
+           count(*) FILTER (removed.doc_id IS NULL) AS n_kept,
+           count(*) FILTER (removed.doc_id IS NOT NULL) AS n_removed
+    FROM documents d LEFT JOIN removed ON d.doc_id = removed.doc_id
+    WHERE d.doc_id < 200
+    GROUP BY d.lang
+    """,
+)
+def q109_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE dedup decision: shingle-Jaccard pairs → connected components
+    → drop non-representative members → per-lang kept/removed accounting.
+    The complete near-dup removal a pretraining corpus goes through, as one
+    composed plan over the operators already proven individually (q53 +
+    q83)."""
+    from wikipediaetl_spark.operators.dedup import q53_shingle_neardup
+    from wikipediaetl_spark.operators.relational_ext import connected_components
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = q53_shingle_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs)
+    removed = comps.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        d.join(removed.withColumn("is_removed", F.lit(True)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count_if(F.col("is_removed").isNull()).alias("n_kept"),
+            F.count_if(F.col("is_removed").isNotNull()).alias("n_removed"),
+        )
+    )

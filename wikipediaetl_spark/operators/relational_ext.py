@@ -642,3 +642,134 @@ def q103_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dst") != F.col("src"))
     pr = pagerank(edges, n_iter=5)
     return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+@query(
+    "q104_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q104_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() flags distinguishing real NULL group keys from rollup
+    subtotal rows — required for correct downstream consumption of
+    rollup/cube output."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q105_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / nullif(CAST(o_orderkey % 3 AS INTEGER), 0) AS safe_div,
+           o_totalprice / nullif(CAST(o_orderkey % 3 AS INTEGER), 0) IS NULL AS div_by_zero
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def q105_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe arithmetic: try_divide yields NULL instead of failing/Inf on
+    zero divisors (ANSI-safe pipelines never die on a bad row)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    safe = F.try_divide(F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("int"))
+    return o.select(
+        "o_orderkey", safe.alias("safe_div"), safe.isNull().alias("div_by_zero")
+    )
+
+
+@query(
+    "q106_collect_set",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(len(list(DISTINCT o_orderstatus)) AS INTEGER) AS n_statuses
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q106_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation: collect_set sorted for determinism (a raw
+    collect_set order depends on partitioning — never compare it unsorted)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
+    )
+
+
+@query(
+    "q107_bit_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_and(CAST(o_orderkey % 256 AS BIGINT)) AS agg_and,
+           bit_or(CAST(o_orderkey % 256 AS BIGINT)) AS agg_or,
+           bit_xor(CAST(o_orderkey % 256 AS BIGINT)) AS agg_xor
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q107_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (and/or/xor) — order-independent by algebra, so
+    exactly reproducible under any partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    k = (F.col("o_orderkey") % 256).cast("long")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and(k).alias("agg_and"),
+        F.bit_or(k).alias("agg_or"),
+        F.bit_xor(k).alias("agg_xor"),
+    )
+
+
+@query(
+    "q108_exact_correlation",
+    oracle="""
+    WITH comp AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_price
+    FROM comp
+    """,
+)
+def q108_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal component sums.
+
+    Built-in corr() accumulates doubles (order-dependent, engine-divergent);
+    computing Σx, Σy, Σx², Σy², Σxy as exact decimals and applying the
+    closed form in double gives a bit-reproducible correlation — the same
+    mergeable-components trick production engines use for distributed
+    moments."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    comp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,4)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return comp.select("l_returnflag", "n", corr.alias("corr_qty_price"))
