@@ -252,7 +252,9 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """
     spark = pairs.sparkSession
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")  # tiny-round loop
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # AQE off → pin small
     try:
         edges = pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -590,7 +592,9 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85) -> DataFr
     to float addition order (rows-only operator)."""
     spark = edges.sparkSession
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         nodes = (
             edges.select(F.col("src").alias("node"))
@@ -629,6 +633,7 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85) -> DataFr
         return ranks
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 @query("q103_pagerank")

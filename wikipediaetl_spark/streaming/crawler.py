@@ -47,7 +47,11 @@ def bfs_fixpoint(
     # block) when rounds are cluster-sized.
     n_part = min(8, spark.sparkContext.defaultParallelism)
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # with AQE off nothing coalesces post-shuffle — pin the partition count
+    # so a default-200 driver session doesn't run 200 tasks per tiny round
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     edges = edges.repartition(n_part, "src").persist()
     try:
         frontier = seeds.select("node").distinct().withColumn("depth", F.lit(0))
@@ -76,6 +80,7 @@ def bfs_fixpoint(
     finally:
         edges.unpersist()
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def crawl_frontier_step(
