@@ -55,3 +55,34 @@ def test_media_features_pipeline(spark, sf_dir):
     again = {r.doc_id: r.features for r in extract_features(m, fake=True).limit(5).collect()}
     for r in rows:
         assert again[r.doc_id] == r.features
+
+
+def test_frame_sampling_fanout(spark, sf_dir):
+    from wikipediaetl_spark.operators.multimodal import media_table, sample_frames
+
+    m = media_table(spark, sf_dir).limit(10)
+    frames = sample_frames(m, n_frames=4, fake=True)
+    rows = frames.collect()
+    assert len(rows) == 40  # 10 docs × 4 frames
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+    assert all(isinstance(r.frame, (bytes, bytearray)) for r in rows)
+
+
+def test_resize_contract(spark, sf_dir):
+    from wikipediaetl_spark.operators.multimodal import media_table, resize_images
+
+    m = media_table(spark, sf_dir).limit(5)
+    out = resize_images(m, target=(16, 16), fake=True).collect()
+    assert all(len(r.pixels) == 256 and r.width == r.height == 16 for r in out)
+
+
+def test_frame_sample_stub_refuses_real_path():
+    import pytest
+
+    from wikipediaetl_spark.operators.multimodal import frame_sample
+
+    with pytest.raises(NotImplementedError):
+        frame_sample(b"xyz", 4, fake=False)

@@ -146,3 +146,127 @@ def q65_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").alias("total_bytes"),
         )
     )
+
+
+def frame_sample(payload: bytes, n_frames: int, fake: bool = False) -> list[bytes]:
+    """STUB: sample n_frames evenly from a video payload.
+
+    Real implementation needs ffmpeg-class decoding (absent here). The fake
+    double slices the byte stream at deterministic offsets — same output
+    contract (list of frame payloads), so the Spark-side plumbing is real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "frame sampling requires video decoding libs not available here; "
+            "pass fake=True for the deterministic test double"
+        )
+    if not payload:
+        return [b""] * n_frames
+    step = max(1, len(payload) // n_frames)
+    return [payload[i * step : i * step + step] for i in range(n_frames)]
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+    """mapInPandas frame sampling: one input row → n_frames rows
+    (doc_id, frame_idx, frame binary). The fan-out stays worker-side; at
+    scale, repartition by doc_id first so a single huge video's frames land
+    on one worker's Arrow batch."""
+    from collections.abc import Iterator
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, fr in enumerate(frame_sample(payload, n_frames, fake=fake)):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(fr)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema="doc_id long, frame_idx int, frame binary")
+
+
+def resize_images(media: DataFrame, target: tuple[int, int] = (32, 32), fake: bool = True) -> DataFrame:
+    """STUB resize: real path needs PIL; the fake double re-hashes the
+    payload into a target-sized deterministic byte grid, preserving the
+    (doc_id, width, height, pixels binary) output contract."""
+    from collections.abc import Iterator
+
+    w, h = target
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("image resize requires PIL-class libs")
+            pixels = []
+            for payload in pdf["payload"]:
+                need = w * h
+                reps = (need // max(1, len(payload))) + 1
+                pixels.append((payload * reps)[:need])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [w] * len(pdf),
+                    "height": [h] * len(pdf),
+                    "pixels": pixels,
+                }
+            )
+
+    return media.mapInPandas(op, schema="doc_id long, width int, height int, pixels binary")
+
+
+@query(
+    "q110_cross_modal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang,
+           CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+           floor(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                 * 1000000 + 0.5) / 1000000 AS v_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.n_chars >= 100
+    """,
+)
+def q110_cross_modal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pairing: text rows joined to their embedding rows
+    (doc_id = vec_id) with a quality gate — the text↔vector alignment join
+    every multimodal training pipeline runs. Norm grid-rounded (float fold)."""
+    from wikipediaetl_spark.operators.similarity import dot_expr
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.floor(F.sqrt(dot_expr(F.col("v"), F.col("v"))) * 1000000 + 0.5) / 1000000
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            norm.alias("v_norm"),
+        )
+    )
+
+
+@query(
+    "q111_source_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q111_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus accounting (docs, language spread, volume) — the
+    dataset-card statistics table; exact integer aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
