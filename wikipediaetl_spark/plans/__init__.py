@@ -1,3 +1,15 @@
-from .inspect import explain_str, physical_ops, count_exchanges, pushed_filters
+from .inspect import (
+    count_exchanges,
+    explain_str,
+    lint_plan,
+    physical_ops,
+    pushed_filters,
+)
 
-__all__ = ["explain_str", "physical_ops", "count_exchanges", "pushed_filters"]
+__all__ = [
+    "count_exchanges",
+    "explain_str",
+    "lint_plan",
+    "physical_ops",
+    "pushed_filters",
+]

@@ -42,3 +42,33 @@ def pushed_filters(df: DataFrame) -> str:
     scan has none) — asserts predicate pushdown actually happened."""
     text = explain_str(df, "formatted")
     return "\n".join(line.strip() for line in text.splitlines() if "PushedFilters" in line)
+
+
+def lint_plan(df: DataFrame) -> list[str]:
+    """Plan linting: scan the physical plan for scale anti-patterns.
+
+    Rules (each finding is a human-readable warning string):
+    - CARTESIAN: a CartesianProduct/BroadcastNestedLoopJoin over two large
+      sides (any non-broadcast nested loop) — O(n*m) blow-up risk.
+    - PYTHON_ROW_UDF: BatchEvalPython = row-at-a-time Python UDF in the plan;
+      ArrowEvalPython/mapInPandas are the vectorized replacements.
+    - MANY_EXCHANGES: more than 4 shuffle exchanges — check for missed
+      partitioning reuse or missing broadcasts.
+    - UNPARTITIONED_WINDOW: a Window with an empty partition spec runs on a
+      single task.
+    The linter reads the executed plan, so AQE rewrites are reflected.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    findings: list[str] = []
+    if "CartesianProduct" in plan:
+        findings.append("CARTESIAN: CartesianProduct in plan — O(n*m) join without keys")
+    if "BatchEvalPython" in plan:
+        findings.append(
+            "PYTHON_ROW_UDF: row-at-a-time Python UDF (BatchEvalPython) — use pandas_udf/Arrow"
+        )
+    n_ex = count_exchanges(df)
+    if n_ex > 4:
+        findings.append(f"MANY_EXCHANGES: {n_ex} shuffles — look for partitioning reuse")
+    if "Window" in plan and "windowspecdefinition()" in plan.replace(" ", ""):
+        findings.append("UNPARTITIONED_WINDOW: global window — single-task bottleneck")
+    return findings
