@@ -112,3 +112,41 @@ def test_random_filter_aggregate(spark, ducks, seed):
     )
     got = sorted("|".join(_canon(v) for v in row) for row in got_rows)
     assert got == want, f"divergence for predicate: {sql_pred}"
+
+
+JOIN_TYPES = [
+    ("JOIN", "inner"),
+    ("LEFT JOIN", "left"),
+    ("SEMI JOIN", "left_semi"),
+    ("ANTI JOIN", "left_anti"),
+]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_join_shapes(spark, ducks, seed):
+    """Random join type × random right-side predicate: orders vs a filtered
+    self-projection, counted per status — Spark and DuckDB must agree."""
+    rng = random.Random(7000 + seed)
+    sql_pred, spark_pred = _gen_predicate(rng)
+    sql_jt, spark_jt = rng.choice(JOIN_TYPES)
+
+    sql = f"""
+      WITH rhs AS (SELECT o_custkey AS k FROM orders WHERE {sql_pred})
+      SELECT o_orderstatus AS g, count(*) AS n
+      FROM orders {sql_jt} rhs ON o_custkey = rhs.k
+      GROUP BY o_orderstatus
+    """
+    want = sorted(
+        "|".join(_canon(v) for v in row) for row in ducks.execute(sql).fetchall()
+    )
+
+    o = load_table(spark, SF, "orders")
+    rhs = o.filter(spark_pred).select(F.col("o_custkey").alias("k"))
+    joined = o.join(rhs, o.o_custkey == rhs.k, spark_jt)
+    got_rows = (
+        joined.groupBy(F.col("o_orderstatus").alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = sorted("|".join(_canon(v) for v in row) for row in got_rows)
+    assert got == want, f"join divergence: {sql_jt} with predicate {sql_pred}"
