@@ -603,6 +603,8 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85) -> DataFr
             .localCheckpoint(eager=True)
         )
         n_nodes = nodes.count()
+        if n_nodes == 0:
+            return nodes.withColumn("rank", F.lit(0.0))
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         graph = edges.join(out_deg, "src").localCheckpoint(eager=True)
         ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(eager=True)

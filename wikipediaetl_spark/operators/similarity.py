@@ -245,6 +245,10 @@ def q91_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v")
         .collect()  # 10 rows — the query set is driver-small by definition
     )
+    if not queries:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rnk long"
+        )
     q_ids = [r.vec_id for r in queries]
     q_mat = np.stack([np.array(r.v) for r in queries])
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
