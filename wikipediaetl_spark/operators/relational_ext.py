@@ -780,3 +780,62 @@ def q108_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
     )
     return comp.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@query(
+    "q113_sql_subqueries",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey
+                  AND l_quantity >= 49)
+      AND o_totalprice > (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                 / count(*)
+                          FROM orders i)
+    """,
+)
+def q113_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery planner surface via the SQL API: uncorrelated IN, correlated
+    EXISTS, and a scalar subquery in one predicate — Catalyst decorrelates
+    to semi-joins + a broadcast scalar (same plans the DataFrame catalog
+    queries spell out by hand; here the optimizer derives them)."""
+    for t in ("orders", "customer", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v113_{t}")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM v113_orders o
+        WHERE o_custkey IN (SELECT c_custkey FROM v113_customer WHERE c_acctbal > 9000)
+          AND EXISTS (SELECT 1 FROM v113_lineitem WHERE l_orderkey = o.o_orderkey
+                      AND l_quantity >= 49)
+          AND o_totalprice > (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                     / count(*)
+                              FROM v113_orders i)
+        """
+    )
+
+
+@query(
+    "q114_lateral_explode",
+    oracle="""
+    SELECT doc_id, tok, CAST(pos AS INTEGER) AS pos
+    FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+                         generate_subscripts(string_split(text, ' '), 1) AS pos)
+    WHERE doc_id < 20
+    """,
+)
+def q114_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode via the SQL API — the table-generating-
+    function surface (position-aware token stream, the tokenizer output
+    shape)."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("v114_documents")
+    return spark.sql(
+        """
+        SELECT doc_id, tok, pos + 1 AS pos
+        FROM v114_documents
+        LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+        WHERE doc_id < 20
+        """
+    )
