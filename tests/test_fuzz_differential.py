@@ -14,6 +14,7 @@ import random
 
 import duckdb
 import pytest
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wikipediaetl_spark.sources import load_table
@@ -150,3 +151,55 @@ def test_random_join_shapes(spark, ducks, seed):
     )
     got = sorted("|".join(_canon(v) for v in row) for row in got_rows)
     assert got == want, f"join divergence: {sql_jt} with predicate {sql_pred}"
+
+
+PARTS = [("o_orderstatus", "o_orderstatus"), ("o_custkey % 50", "o_custkey % 50")]
+ORDERS_BY = [
+    ("o_orderdate, o_orderkey", ["o_orderdate", "o_orderkey"]),
+    ("o_totalprice, o_orderkey", ["o_totalprice", "o_orderkey"]),
+    ("o_orderkey DESC", [("o_orderkey", "desc")]),
+]
+WFNS = [
+    ("CAST(row_number() OVER w AS BIGINT)", lambda w: F.row_number().over(w).cast("long")),
+    ("CAST(rank() OVER w AS BIGINT)", lambda w: F.rank().over(w).cast("long")),
+    (
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+        "(w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)",
+        lambda w: F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double"),
+    ),
+    ("lag(o_orderkey) OVER w", lambda w: F.lag("o_orderkey").over(w)),
+    ("lead(o_orderkey, 2) OVER w", lambda w: F.lead("o_orderkey", 2).over(w)),
+]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_window_functions(spark, ducks, seed):
+    """Random partition × order × window function over orders — ranking,
+    framed decimal sums and lag/lead must agree exactly with DuckDB."""
+    rng = random.Random(4000 + seed)
+    part_sql, part_spark = rng.choice(PARTS)
+    order_sql, order_spark = rng.choice(ORDERS_BY)
+    fn_sql, fn_spark = rng.choice(WFNS)
+
+    sql = f"""
+      SELECT o_orderkey, {fn_sql} AS wv
+      FROM orders
+      WINDOW w AS (PARTITION BY {part_sql} ORDER BY {order_sql})
+    """
+    want = sorted(
+        "|".join(_canon(v) for v in row) for row in ducks.execute(sql).fetchall()
+    )
+
+    cols = []
+    for c in order_spark:
+        if isinstance(c, tuple):
+            cols.append(F.col(c[0]).desc())
+        else:
+            cols.append(F.col(c).asc())
+    w = W.partitionBy(F.expr(part_spark)).orderBy(*cols)
+    o = load_table(spark, SF, "orders")
+    got_rows = o.select("o_orderkey", fn_spark(w).alias("wv")).collect()
+    got = sorted("|".join(_canon(v) for v in row) for row in got_rows)
+    assert got == want, f"window divergence: {fn_sql} / {part_sql} / {order_sql}"
