@@ -1339,3 +1339,113 @@ def q112_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "q115_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue_effect,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q115_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): the pure filter+aggregate
+    query — every predicate pushes to the parquet scan, one global exact sum
+    (scaled-long, decimal-safe at any scale), no grouping, no join. The
+    simplest plan in the book and the purest pushdown test."""
+    li = _t(spark, sf_dir, "lineitem")
+    flt = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    scaled = F.floor(F.col("l_extendedprice") * F.col("l_discount") * 10000 + 0.5)
+    return li.filter(flt).agg(
+        (F.sum(scaled.cast("decimal(28,0)")).cast("double") / 10000.0).alias(
+            "revenue_effect"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q116_priority_checking",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q116_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): correlated EXISTS with a
+    non-equi condition, expressed as a left-semi join on (orderkey,
+    shipdate > orderdate) — the semi-join dedups multi-lineitem matches for
+    free."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q117_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_totalprice
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q117_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate-then-HAVING as a
+    pre-join reducer — the grouped filter shrinks lineitem to qualifying
+    orderkeys before any join touches orders/customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+        )
+    )
