@@ -4,7 +4,6 @@ scan pipeline (reference's double-scan eliminated), and salted-join equality.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from wikipediaetl_spark.operators.etl import categorizer_tables, process_corpus

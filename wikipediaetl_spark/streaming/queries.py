@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wikipediaetl_spark.catalog import query
-from wikipediaetl_spark.sources import load_table
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
