@@ -315,3 +315,64 @@ def q69_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("sentiment"),
     )
+
+
+def bpe_merges(word_counts: list[tuple[str, int]], n_merges: int) -> list[tuple[str, str]]:
+    """Deterministic BPE merge induction over a weighted word vocabulary.
+
+    Standard byte-pair-encoding training: words split to symbol sequences
+    (with an end-of-word marker), repeatedly merge the most frequent
+    adjacent symbol pair (count desc, then lexicographic pair for
+    determinism). Pure driver-side — this is how production tokenizer
+    trainers work too: the corpus-scale work is the word-frequency count
+    (distributed); the merge loop runs on the small weighted vocab.
+    """
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(word) + ("</w>",): cnt for word, cnt in word_counts if word
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for symbols, cnt in vocab.items():
+            for a, b in zip(symbols, symbols[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged_sym = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for symbols, cnt in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(symbols):
+                if i + 1 < len(symbols) and (symbols[i], symbols[i + 1]) == best:
+                    out.append(merged_sym)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+@query("q118_bpe_vocab")
+def q118_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-vocabulary induction: distributed word-frequency count
+    (the corpus-scale stage — explode + groupBy, shuffles once on the word)
+    feeding the deterministic merge loop on the driver-small weighted vocab.
+    Returns the first 20 merges ranked. Rows-only (BPE is not
+    SQL-expressible); tests pin known merges on crafted corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    merges = bpe_merges([(r.word, r.cnt) for r in counts], n_merges=20)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, left string, right string, merged string",
+    )
