@@ -203,3 +203,55 @@ def test_random_window_functions(spark, ducks, seed):
     got_rows = o.select("o_orderkey", fn_spark(w).alias("wv")).collect()
     got = sorted("|".join(_canon(v) for v in row) for row in got_rows)
     assert got == want, f"window divergence: {fn_sql} / {part_sql} / {order_sql}"
+
+
+STR_FNS = [
+    ("upper({x})", lambda c: F.upper(c)),
+    ("lower({x})", lambda c: F.lower(c)),
+    ("substr({x}, 2, 5)", lambda c: F.substring(c, 2, 5)),
+    ("reverse({x})", lambda c: F.reverse(c)),
+    ("replace({x}, '-', '_')", lambda c: F.replace(c, F.lit("-"), F.lit("_"))),
+    ("trim({x})", lambda c: F.trim(c)),
+    ("lpad({x}, 12, '*')", lambda c: F.lpad(c, 12, "*")),
+    ("concat({x}, '|', {x})", lambda c: F.concat(c, F.lit("|"), c)),
+]
+
+DATE_FNS = [
+    ("CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)", lambda: F.year("o_orderdate")),
+    ("CAST(EXTRACT(month FROM o_orderdate) AS INTEGER)", lambda: F.month("o_orderdate")),
+    ("CAST(EXTRACT(day FROM o_orderdate) AS INTEGER)", lambda: F.dayofmonth("o_orderdate")),
+    (
+        "CAST(date_trunc('quarter', o_orderdate) AS DATE)",
+        lambda: F.date_trunc("quarter", "o_orderdate").cast("date"),
+    ),
+    (
+        "CAST(o_orderdate AS DATE) + INTERVAL 90 DAY",
+        lambda: F.date_add(F.col("o_orderdate").cast("date"), 90).cast("timestamp"),
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_scalar_compositions(spark, ducks, seed):
+    """Random 2-deep string-function composition over o_orderpriority plus a
+    random date extraction — per-row scalar semantics must agree exactly."""
+    rng = random.Random(9000 + seed)
+    f1_sql, f1 = rng.choice(STR_FNS)
+    f2_sql, f2 = rng.choice(STR_FNS)
+    d_sql, d_fn = rng.choice(DATE_FNS)
+
+    inner_sql = f1_sql.format(x="o_orderpriority")
+    outer_sql = f2_sql.format(x=inner_sql)
+    sql = f"""
+      SELECT o_orderkey, {outer_sql} AS s, {d_sql} AS d
+      FROM orders WHERE o_orderkey < 500
+    """
+    want = sorted(
+        "|".join(_canon(v) for v in row) for row in ducks.execute(sql).fetchall()
+    )
+    o = load_table(spark, SF, "orders").filter(F.col("o_orderkey") < 500)
+    got_rows = o.select(
+        "o_orderkey", f2(f1(F.col("o_orderpriority"))).alias("s"), d_fn().alias("d")
+    ).collect()
+    got = sorted("|".join(_canon(v) for v in row) for row in got_rows)
+    assert got == want, f"scalar divergence: {outer_sql} / {d_sql}"
