@@ -1449,3 +1449,34 @@ def q117_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
     )
+
+
+@query(
+    "q119_range_frame_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER w AS n_recent,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS recent_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def q119_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame: trailing 90-day order count and
+    spend per customer — frame membership is decided by the orderdate VALUE,
+    not row position, so ties share frames (unlike ROWS frames). Via the SQL
+    API (interval range frames aren't expressible through the DataFrame
+    Window builder)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v119_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               count(*) OVER w AS n_recent,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 AS recent_spend
+        FROM v119_orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+        """
+    )
