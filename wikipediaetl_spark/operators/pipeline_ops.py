@@ -283,3 +283,66 @@ def q109_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("is_removed").isNotNull()).alias("n_removed"),
         )
     )
+
+
+@query(
+    "q120_train_val_test_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def q120_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment via stable-id hash
+    ranges — reproducible across engines, partitionings and reruns (the
+    property rand()-based splits lack), with per-split/lang accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * 2654435761) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split")
+    )
+    return d.select(split, "lang").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "q121_chunking",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((start - 1) / 25 AS INTEGER) AS chunk_idx,
+             array_to_string(w[start:start + 49], ' ') AS chunk_text
+      FROM words,
+           LATERAL (SELECT unnest(range(1, greatest(len(w) - 25, 1) + 1, 25)) AS start)
+    )
+    SELECT doc_id, chunk_idx, chunk_text FROM chunks
+    """,
+)
+def q121_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: overlapping 50-token windows with stride 25 — the
+    sequence-windowing step before tokenization/packing. Offsets generated
+    with sequence(), chunks sliced natively; one explode, no UDF."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(w) - 25, F.lit(1)), F.lit(25)
+    )
+    return (
+        d.select("doc_id", w.alias("w"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (((F.col("start") - 1) / 25).cast("int")).alias("chunk_idx"),
+            F.array_join(F.slice(F.col("w"), F.col("start"), 50), " ").alias("chunk_text"),
+        )
+    )
