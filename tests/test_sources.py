@@ -187,3 +187,21 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     n = joined.collect()[0]["count"]
     assert n == li.filter(F.col("l_returnflag") == "R").count()
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(l_returnflag)" in plan
+
+
+def test_throttle_frontier_per_host_cap(spark):
+    from wikipediaetl_spark.sources.http import throttle_frontier
+
+    urls = spark.createDataFrame(
+        [(f"https://big.example.org/p{i}",) for i in range(10)]
+        + [("https://small.example.org/only",)],
+        "url string",
+    )
+    admitted, deferred = throttle_frontier(urls, max_per_host=3)
+    adm = [r.url for r in admitted.collect()]
+    dfr = [r.url for r in deferred.collect()]
+    assert len(adm) == 4  # 3 from big + 1 from small
+    assert len(dfr) == 7
+    assert sum("big" in u for u in adm) == 3
+    assert "https://small.example.org/only" in adm
+    assert set(adm) | set(dfr) == {r.url for r in urls.collect()}  # nothing lost

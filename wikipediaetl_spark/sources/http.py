@@ -65,3 +65,29 @@ def fetch_urls(urls: DataFrame, transport: Transport) -> DataFrame:
     return urls.select("url").mapInPandas(
         op, schema="url string, status int, html string, last_modified_raw string"
     )
+
+
+def throttle_frontier(
+    urls: DataFrame, max_per_host: int
+) -> tuple[DataFrame, DataFrame]:
+    """Politeness split: at most ``max_per_host`` URLs per host proceed this
+    round; the rest defer to later rounds.
+
+    The distributed form of crawl rate limiting: rank URLs within their host
+    (deterministic ordering) and admit the first k — the deferred remainder
+    feeds the next round's frontier, so a huge site cannot monopolize a
+    fetch wave (the reference throttles implicitly via 3 fetcher replicas,
+    WikipediaCrawler/docker-compose.yaml:91-93; this is the explicit,
+    per-host version). Returns (admitted, deferred).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.functions.urls import url_host
+
+    ranked = urls.withColumn("_host", url_host(F.col("url"))).withColumn(
+        "_rn", F.row_number().over(W.partitionBy("_host").orderBy("url"))
+    )
+    admitted = ranked.filter(F.col("_rn") <= max_per_host).drop("_host", "_rn")
+    deferred = ranked.filter(F.col("_rn") > max_per_host).drop("_host", "_rn")
+    return admitted, deferred
