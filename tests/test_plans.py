@@ -45,3 +45,30 @@ def test_fact_join_prefilters_build_side(spark, sf_dir):
 def test_global_topn_avoids_full_sort(spark, sf_dir):
     text = explain_str(q04_orderby_limit(spark, sf_dir))
     assert "TakeOrderedAndProject" in text  # heap-based top-N, not Sort+Exchange
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """With scan-size thresholds lowered to fixture scale, Catalyst injects a
+    runtime bloom filter on the probe side of a shuffled join — rows that
+    cannot match are dropped before the exchange (the at-scale default)."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower()
+        assert j.count() > 0  # and it still computes correctly
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -39,6 +39,10 @@ def get_spark(
         # driver fixtures carry parquet TIMESTAMP(NANOS), which Spark only
         # reads as long; sources/tables.py converts back to timestamps
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # runtime bloom-filter join pruning: rows that cannot match are
+        # dropped before the shuffle (size thresholds keep Spark defaults,
+        # so this fires on cluster-scale joins, not toy ones)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
