@@ -59,3 +59,25 @@ def test_corpus_cached_once(spark, sf_dir):
         assert shared["_corpus"].storageLevel.useMemory
     finally:
         shared["_corpus"].unpersist()
+
+
+def test_results_invariant_to_partitioning(spark, sf_dir):
+    """The same query at different shuffle-partition counts must produce
+    identical results — the order-independence property every aggregate in
+    this engine is designed for (decimal sums, sorted collects, rank
+    tiebreaks)."""
+    from wikipediaetl_spark.catalog import all_queries
+
+    qs = all_queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in ("q01_pricing_summary", "q44_category_distribution", "q77_string_agg"):
+                rows = sorted(map(str, qs[name].fn(spark, sf_dir).collect()))
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name, (a, b) in results.items():
+        assert a == b, f"partitioning-dependent result in {name}"

@@ -334,3 +334,48 @@ def q56_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.35)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+@query(
+    "q122_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           i * 1.0 / sa.sz AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE i * 1.0 / sa.sz >= 0.999
+    """,
+)
+def q122_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment similarity (|A∩B| / |A|): detects docs whose token set is
+    fully covered by another (near-supersets/quotes) — asymmetric, unlike
+    Jaccard, so both pair orientations are scored. Same inverted-index join
+    shape as q52."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = _tokens(d)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .withColumn("containment", F.col("i") * 1.0 / F.col("sz_a"))
+        .filter(F.col("containment") >= 0.999)
+        .select("doc_a", "doc_b", "containment")
+    )
