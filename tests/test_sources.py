@@ -205,3 +205,21 @@ def test_throttle_frontier_per_host_cap(spark):
     assert sum("big" in u for u in adm) == 3
     assert "https://small.example.org/only" in adm
     assert set(adm) | set(dfr) == {r.url for r in urls.collect()}  # nothing lost
+
+
+def test_crawl_with_politeness_cap_still_completes(spark):
+    """With max_per_host=1 the crawl needs extra waves but must reach the
+    same page set — deferral may not lose URLs."""
+    out = crawl(
+        spark,
+        ["https://en.wikipedia.org/wiki/A"],
+        _make_fake_site(),
+        max_rounds=8,
+        max_per_host=1,
+    )
+    urls = sorted(r.url for r in out["pages"].collect())
+    assert urls == [
+        "https://en.wikipedia.org/wiki/A",
+        "https://en.wikipedia.org/wiki/B",
+        "https://en.wikipedia.org/wiki/C",
+    ]

@@ -113,6 +113,7 @@ def crawl(
     transport,
     domain_suffix: str = "en.wikipedia.org",
     max_rounds: int = 10,
+    max_per_host: int | None = None,
 ) -> dict[str, DataFrame]:
     """The complete crawler rebuilt as a BFS of distributed micro-batches.
 
@@ -146,11 +147,24 @@ def crawl(
     pages = None
     metadata = None
     for _ in range(max_rounds):
+        if max_per_host is not None:
+            # politeness: cap this wave per host; deferred URLs rejoin the
+            # next frontier (sources/http.throttle_frontier)
+            from wikipediaetl_spark.sources.http import throttle_frontier
+
+            admitted, deferred = throttle_frontier(frontier, max_per_host)
+            frontier = admitted.localCheckpoint(eager=True)
+            deferred = deferred.localCheckpoint(eager=True)
+        else:
+            deferred = None
         fetched = fetch_urls(frontier, transport).filter(F.col("html").isNotNull())
         batch_pages = fetched.select(
             "url", url_to_filename(F.col("url")).alias("file_name"), "html"
         ).localCheckpoint(eager=True)
         if batch_pages.isEmpty():
+            if deferred is not None and not deferred.isEmpty():
+                frontier = deferred  # whole admitted wave failed; drain deferrals
+                continue
             break
         batch_meta = batch_pages.join(fetched.select("url", "last_modified_raw"), "url").select(
             "url",
@@ -175,10 +189,13 @@ def crawl(
             .filter(is_domain(F.col("url"), domain_suffix))
             .distinct()
         )
-        frontier = discovered.join(seen, "url", "left_anti").localCheckpoint(eager=True)
+        frontier = discovered.join(seen, "url", "left_anti")
+        if deferred is not None:
+            frontier = frontier.unionByName(deferred).distinct()
+        frontier = frontier.localCheckpoint(eager=True)
         if frontier.isEmpty():
             break
-        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+        seen = seen.unionByName(frontier).distinct().localCheckpoint(eager=True)
     empty_pages = spark.createDataFrame([], "url string, file_name string, html string")
     empty_meta = spark.createDataFrame(
         [], "url string, htmlPath string, last_modified timestamp"
