@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational_ext,
         similarity,
         text_analysis,
+        tpch,
     )
     from wikipediaetl_spark.streaming import queries as streaming_queries  # noqa: F401
 

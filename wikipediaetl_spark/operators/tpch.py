@@ -1,0 +1,459 @@
+"""Extended TPC-H query shapes (SURVEY.md §2.3 [E] join breadth, §2.4 [E]).
+
+Together with q01/q98/q99/q112/q115/q116/q117 (Q1/Q3/Q5/Q10/Q6/Q4/Q18 shapes
+in relational.py) this module brings the catalog to 15 of the 22 canonical
+TPC-H query shapes — every one the driver fixture can express (the fixture
+has no partsupp table and lineitem carries no shipmode/commitdate/receiptdate
+columns, so Q2/Q9/Q11/Q12/Q16/Q20/Q21 are not faithfully representable).
+
+The reference performs no analytical joins at all (its joins are N+1 ORM
+lookups, ETL/tasks/categorizer.py:156-187); these shapes exist so the engine's
+join/agg planner surface is exercised on every canonical OLAP topology.
+
+Scale posture (100 TB): dimension sides (nation/region/part/supplier) are
+broadcast so fact tables never shuffle for them; fact-fact joins
+(lineitem⋈orders⋈customer) shuffle each fact exactly once on its join key;
+transitively-implied selective predicates (nation membership, qualifying
+part keys) are pushed by hand as broadcast semi-joins ahead of the wide
+shuffles, mirroring q99's strategy. Money sums accumulate as exact DECIMAL
+(``dsum``) so results are order- and partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.catalog import query
+from wikipediaetl_spark.operators.relational import _t, dsum
+
+
+@query(
+    "q123_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q123_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two nations
+    by ship year, with the OR'd nation-pair predicate.
+
+    The nation restriction reaches the facts only transitively, so we push it
+    by hand: supplier and customer are pre-filtered to the two nations via a
+    broadcast nation join (2/25 selectivity) BEFORE the fact shuffles, and the
+    supplier side then broadcasts onto lineitem — at scale the only wide
+    exchanges are lineitem⋈orders and orders⋈customer, both on already-reduced
+    rows. The asymmetric pair predicate applies after both nation names are
+    in scope."""
+    pair = F.col("n_name").isin("NATION_13", "NATION_19")
+    n = _t(spark, sf_dir, "nation").filter(pair)
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_19"))
+            | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_13"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+
+
+@query(
+    "q124_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                         THEN CAST(volume AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q124_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of PROMO-part
+    revenue sold into EUROPE customers, per order year — the conditional-
+    aggregate-over-join-tree shape.
+
+    Both sums accumulate as exact decimals and the share is one double
+    division of identical operands on both engines, so the hash is stable.
+    Plan: part (filtered, broadcast) prunes lineitem first — p_type
+    selectivity 1/6 — then supplier+nation broadcast attaches supp_nation;
+    the EUROPE restriction is pushed onto customer as a broadcast semi-join
+    before the orders⋈customer shuffle."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_keys = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(eu_keys), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = F.col("volume").cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", dec).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(dec).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q125_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q125_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): histogram of customers by
+    order count, where the order-side predicate lives in the LEFT JOIN
+    condition (not WHERE — zero-order customers must survive with count 0).
+    count(o_orderkey) counts only matched rows. Double aggregation: the first
+    groups a fact-sized join result on the customer key (the one wide
+    shuffle); the second is a tiny histogram over distinct counts."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q126_promo_revenue",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100.0
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS promo_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q126_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): percentage of one month's revenue
+    from PROMO-type parts. The date filter pushes to the lineitem scan
+    (~1/80 of rows); part broadcasts, so the single-month fact slice never
+    shuffles. Numerator/denominator accumulate as exact decimals; the final
+    expression is double arithmetic on identical operands both sides."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", dec).otherwise(zero)).cast("double")
+                * 100.0
+                / F.sum(dec).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q127_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q127_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly per-supplier revenue, keep
+    the supplier(s) achieving the global maximum — the aggregate-then-
+    scalar-subquery-on-the-same-aggregate shape.
+
+    The revenue relation is computed once and reused for both the max and
+    the final filter (Spark reuses the shuffle via exchange reuse; at scale
+    a .persist() would pin it). Equality on the double is safe because both
+    sides derive it from the same exact decimal sum. Supplier names attach
+    by broadcast after the 1-row filter."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q128_small_qty_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_size <= 5
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q128_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+    brand's small parts whose quantity is below 20% of that part's average —
+    a correlated aggregate subquery, decorrelated into a per-part average
+    join.
+
+    The qualifying part-key set is tiny and broadcast twice: once to prune
+    lineitem before the per-part average (so the aggregation runs over the
+    qualifying slice only, not all of lineitem) and once for the final
+    attach. No fact-fact shuffle at all. Quantities are small integers
+    stored as doubles, so sum/count (and hence avg) is exact in any order;
+    the 0.2× threshold compare is deterministic on both engines."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 5))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "q129_discounted_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 11 AND l_discount BETWEEN 0.02 AND 0.08)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20 AND l_discount BETWEEN 0.0 AND 0.06)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 30 AND l_discount BETWEEN 0.04 AND 0.1)
+    """,
+)
+def q129_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): three OR'd predicate groups
+    mixing part attributes (brand, size) with lineitem attributes (quantity,
+    discount) — the disjunctive mixed-table predicate that defeats simple
+    pushdown.
+
+    What CAN push down is the per-table union envelope: part is pre-filtered
+    to the brands/size ranges any branch accepts (and broadcast), lineitem to
+    the quantity/discount envelope — Catalyst does not derive these from the
+    OR itself, so we state them explicitly; the exact disjunction applies
+    after the broadcast join. This is the canonical trick for OR'd
+    multi-table predicates at scale."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30) & F.col("l_discount").between(0.0, 0.1)
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & F.col("p_size").between(1, 30)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+            & F.col("l_discount").between(0.02, 0.08)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+            & F.col("l_discount").between(0.0, 0.06)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 30)
+            & F.col("l_discount").between(0.04, 0.1)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+
+
+@query(
+    "q130_sales_opportunity",
+    oracle="""
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q130_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): never-ordered customers
+    with above-average positive balance, summarized per country code (the
+    fixture has no c_phone, so the nation key stands in for the phone
+    prefix; "never ordered" is windowed to "no order since 2000" because
+    every fixture customer has at least one order). Scalar-subquery average
+    → broadcast to the filter → anti-join against recent orders (the NOT
+    EXISTS) → small grouped rollup. The anti-join shuffles customer once on
+    custkey — against the date-pruned order slice, not all of orders; the
+    average accumulates as an exact decimal sum so the threshold is
+    identical on both engines."""
+    c = _t(spark, sf_dir, "customer")
+    avg_pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
+    )
