@@ -16,11 +16,19 @@ from wikipediaetl_spark.sources import load_table
 
 
 def _trigram_set(d: DataFrame) -> DataFrame:
-    sh = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 3), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+    """Distinct (doc_id, trigram) pairs with NO shuffle: the text is split
+    once, trigrams are assembled by index, and the per-document DISTINCT is
+    an in-row array_distinct before the explode — a narrow plan, unlike
+    explode→dropDuplicates which would shuffle every shingle."""
+    tg = F.expr(
+        "array_distinct(transform(sequence(1, size(w) - 2), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2))))"
     )
-    return d.select("doc_id", F.explode(sh).alias("tok")).distinct()
+    return (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(tg).alias("tok"))
+    )
 
 
 @query(
@@ -44,7 +52,7 @@ def _trigram_set(d: DataFrame) -> DataFrame:
       GROUP BY c.doc_id, b.bench_id
     )
     SELECT doc_id,
-           arg_max(bench_id, printf('%09d|%012d', n_shared, bench_id)) AS worst_benchmark,
+           arg_max(bench_id, n_shared * 10000000000 + bench_id) AS worst_benchmark,
            max(n_shared) AS max_shared
     FROM overlap
     WHERE n_shared >= 5
@@ -61,15 +69,16 @@ def q86_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tri = _trigram_set(d)
     # hot-shingle cap: shingles present in more than half the docs carry no
-    # contamination signal and are the skew/blow-up risk in the join — drop
-    # them via a single-pass document-frequency window (one shuffle on tok,
-    # no second trigram scan), mirrored in the oracle
+    # contamination signal and are the skew/blow-up risk in the join. The
+    # hot set is tiny by definition (≤ corpus_shingles / (n_docs/2)), so
+    # compute it with a map-side-combined groupBy and push it back as a
+    # broadcast anti-join — the full (doc_id, tok) set never shuffles,
+    # unlike a count-over-window which would exchange and sort every pair
     n_docs = d.count()  # tiny action; avoids a second trigram materialization
-    kept = (
-        tri.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("tok")))
-        .filter(F.col("df") <= n_docs // 2)
-        .select("doc_id", "tok")
+    hot = tri.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") > n_docs // 2
     )
+    kept = tri.join(F.broadcast(hot), "tok", "left_anti")
     bench = kept.filter(F.col("doc_id") < 50).select(
         F.col("doc_id").alias("bench_id"), "tok"
     )
@@ -79,7 +88,9 @@ def q86_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    rank = F.format_string("%09d|%012d", F.col("n_shared"), F.col("bench_id"))
+    # integer-packed (n_shared, bench_id) tiebreak — cheaper than a formatted
+    # string in the agg loop and identical on both engines (bench_id < 50)
+    rank = F.col("n_shared") * F.lit(10_000_000_000) + F.col("bench_id")
     return (
         overlap.filter(F.col("n_shared") >= 5)
         .groupBy("doc_id")
@@ -108,17 +119,27 @@ def q86_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q87_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition (Gopher-style filter signal): fraction of
-    repeated word bigrams. High rep_ratio = boilerplate/spam candidate."""
+    repeated word bigrams. High rep_ratio = boilerplate/spam candidate.
+
+    Shuffle-free: repetition is a per-document property, so instead of
+    explode → groupBy(doc_id) → countDistinct (which shuffles every bigram
+    and doubles the agg input via the distinct Expand), the bigram array is
+    built and deduplicated inside the row (array_distinct). The plan is a
+    single narrow projection — embarrassingly parallel at any scale, state
+    bounded by the longest document, not the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    sh = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 2), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))"
+    w = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 2)
+    bg = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
     )
-    bi = d.select("doc_id", F.explode(sh).alias("tok"))
-    return bi.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.countDistinct("tok").alias("n_distinct"),
-        (1.0 - F.countDistinct("tok") * 1.0 / F.count(F.lit(1))).alias("rep_ratio"),
+    bi = w.select("doc_id", bg.alias("bg"))
+    n_bi = F.size("bg").cast("long")
+    n_di = F.size(F.array_distinct("bg")).cast("long")
+    return bi.select(
+        "doc_id",
+        n_bi.alias("n_bigrams"),
+        n_di.alias("n_distinct"),
+        (1.0 - n_di * 1.0 / n_bi).alias("rep_ratio"),
     )
 
 
