@@ -706,7 +706,7 @@ def q105_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q106_collect_set",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            CAST(len(list(DISTINCT o_orderstatus)) AS INTEGER) AS n_statuses
     FROM orders
     GROUP BY o_custkey
@@ -714,10 +714,15 @@ def q105_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q106_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-valued aggregation: collect_set sorted for determinism (a raw
-    collect_set order depends on partitioning — never compare it unsorted)."""
+    collect_set order depends on partitioning — never compare it unsorted).
+    Emitted as a ','-joined string, not array<string>: the driver's pandas
+    canonicalizer sorts columns and lists are unhashable there — same
+    semantics, hashable representation."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
         F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
     )
 
