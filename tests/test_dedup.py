@@ -7,12 +7,21 @@ from pyspark.sql import functions as F
 
 from wikipediaetl_spark.operators.dedup import (
     _shingles,
+    _tokens,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     q50_exact_dedup,
     q55_simhash,
+    q56_embedding_neardup,
+    q131_blocked_neardup,
+    simhash_fingerprints,
+    simhash_pairs,
 )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def _near_dup_docs(spark):
@@ -61,6 +70,99 @@ def test_minhash_signature_deterministic(spark):
     s1 = sorted(minhash_signatures(_shingles(d, 2)).collect())
     s2 = sorted(minhash_signatures(_shingles(d, 2)).collect())
     assert s1 == s2
+
+
+def test_simhash_banding_equals_allpairs(spark, sf_dir):
+    """The pigeonhole band join (7 bands for Hamming ≤ 6 on 32 bits) must
+    return EXACTLY the pairs the naive all-pairs formulation returns —
+    banding is a guaranteed-superset candidate generator, not approximate."""
+    from wikipediaetl_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    fps = simhash_fingerprints(_tokens(d), bits=32).cache()
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(fps, bits=32, max_hamming=6).collect()
+    }
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    naive = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    assert banded == naive and banded
+
+
+def test_simhash_and_embedding_neardup_plans_have_no_cartesian(spark, sf_dir):
+    """VERDICT r1 #4/#5: the scale-killers must be gone from the physical
+    plans — candidate generation is equi-join shaped."""
+    for q in (q55_simhash, q56_embedding_neardup):
+        plan = _plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoop" not in plan, q.__name__
+
+
+def test_jaccard_max_df_drops_hot_token_pairs(spark):
+    """Skew guard: a stopword-like token present in every doc must not by
+    itself create candidate pairs when max_df caps document frequency."""
+    rows = [(i, f"unique{i} hot") for i in range(12)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = _tokens(d)
+    with_guard = jaccard_pairs(toks, threshold=0.0, max_df=10)
+    assert with_guard.count() == 0  # only 'hot' is shared, and it is dropped
+    without = jaccard_pairs(toks, threshold=0.0)
+    assert without.count() == 12 * 11 / 2  # every pair shares 'hot'
+
+
+def test_embedding_neardup_lsh_matches_bruteforce(spark, sf_dir):
+    """q56's LSH-union candidates must reach recall 1.0 at the fixture: the
+    final pair set equals the brute-force all-pairs answer."""
+    from wikipediaetl_spark.operators.similarity import dot_expr
+    from wikipediaetl_spark.sources import load_table
+
+    got = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in q56_embedding_neardup(spark, sf_dir).collect()
+    }
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = F.round(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    brute = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.35)
+        .collect()
+    }
+    assert got == brute and got
+
+
+def test_blocked_neardup_pairs_share_block(spark, sf_dir):
+    """q131: every returned pair shares the blocking label, scores are in
+    the threshold range, and the full (uncapped) table is covered."""
+    from wikipediaetl_spark.sources import load_table
+
+    out = q131_blocked_neardup(spark, sf_dir)
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert labels[r.vec_a] == labels[r.vec_b]
+        assert r.cos_sim >= 0.35
 
 
 def test_simhash_hamming_locality(spark, sf_dir):

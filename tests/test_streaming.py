@@ -43,7 +43,12 @@ def test_bfs_known_graph(spark):
         "src string, dst string",
     )
     seeds = spark.createDataFrame([("a",)], "node string")
-    got = {r.node: r.depth for r in bfs_fixpoint(spark, seeds, edges).collect()}
+    # broadcast_seen=True exercises the fixture fast path; the cycle test
+    # below runs the scale-safe shuffled default
+    got = {
+        r.node: r.depth
+        for r in bfs_fixpoint(spark, seeds, edges, broadcast_seen=True).collect()
+    }
     assert got == {"a": 0, "b": 1, "c": 1, "d": 2}  # min depth; x/y unreachable
 
 

@@ -101,10 +101,16 @@ def jaccard_pairs(tokens: DataFrame, threshold: float, max_df: int | None = None
     in more than max_df docs — the skew/hot-key guard at scale.
     """
     if max_df is not None:
-        df_counts = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-        tokens = tokens.join(df_counts.filter(F.col("df") <= max_df), "tok").select(
-            "doc_id", "tok"
+        # The hot-token list (df > max_df) is tiny by construction — broadcast
+        # it and anti-join, so the guard costs one broadcast instead of a full
+        # shuffle join on every distinct token (q86's decontamination pattern).
+        hot = (
+            tokens.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("tok")
         )
+        tokens = tokens.join(F.broadcast(hot), "tok", "left_anti")
     sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = tokens.select(F.col("doc_id").alias("doc_a"), "tok")
     b = tokens.select(F.col("doc_id").alias("doc_b"), "tok")
@@ -129,10 +135,12 @@ def jaccard_pairs(tokens: DataFrame, threshold: float, max_df: int | None = None
 @query(
     "q52_token_jaccard",
     oracle="""
-    WITH toks AS (
+    WITH toks0 AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
       FROM documents WHERE doc_id < 200
     ),
+    hot AS (SELECT tok FROM toks0 GROUP BY tok HAVING count(*) > 256),
+    toks AS (SELECT * FROM toks0 WHERE tok NOT IN (SELECT tok FROM hot)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -148,9 +156,14 @@ def jaccard_pairs(tokens: DataFrame, threshold: float, max_df: int | None = None
     """,
 )
 def q52_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram token-set Jaccard pairs ≥ 0.95 (subset doc_id < 200)."""
+    """Unigram token-set Jaccard pairs ≥ 0.95 (subset doc_id < 200).
+
+    ``max_df=256`` engages the hot-token broadcast anti-join guard (mirrored
+    in the oracle CTE). The cap exceeds the subset size so fixture output is
+    unchanged; at corpus scale the same guard drops stopword-like tokens
+    before they quadratically inflate the inverted-index join."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return jaccard_pairs(_tokens(d), threshold=0.95)
+    return jaccard_pairs(_tokens(d), threshold=0.95, max_df=256)
 
 
 @query(
@@ -160,10 +173,12 @@ def q52_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, ' ') AS w
       FROM documents WHERE doc_id < 200
     ),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS tok
       FROM words, unnest(range(1, len(w))) t(i)
     ),
+    hot AS (SELECT tok FROM sh0 GROUP BY tok HAVING count(*) > 256),
+    sh AS (SELECT * FROM sh0 WHERE tok NOT IN (SELECT tok FROM hot)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -180,9 +195,11 @@ def q52_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q53_shingle_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram shingle Jaccard near-duplicates ≥ 0.5 — the exact
-    verification stage of a MinHash pipeline, runnable standalone."""
+    verification stage of a MinHash pipeline, runnable standalone.
+    ``max_df=256`` = the hot-shingle guard (oracle-mirrored; no-op at
+    fixture size, load-bearing at corpus scale)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return jaccard_pairs(_shingles(d, n=2), threshold=0.5)
+    return jaccard_pairs(_shingles(d, n=2), threshold=0.5, max_df=256)
 
 
 # ------------------------------------------------------------ MinHash LSH
@@ -255,42 +272,104 @@ def q54_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q55_simhash")
-def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints + Hamming-distance ≤ 6 pairs (doc_id<200).
-
-    Token hashes vote per bit (+1/-1); fingerprint bit i = sign of the vote
-    sum. Computed as 32 conditional aggregates in one pass (no UDF). Pairing
-    is a bucketed self-join on the fingerprint's two 16-bit halves — a
-    Hamming-ball ≤ 6 pair must agree... (pigeonhole applies at ≤1 per half
-    only for distance 0-1; for demo breadth we verify with bit_count on a
-    bounded subset join). No SQL oracle (hash-family specific); tests check
-    fingerprint determinism and the Hamming property on known near-dups.
-    """
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    toks = _tokens(d).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy("doc_id").agg(
+def simhash_fingerprints(toks: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash fingerprints from ``toks(doc_id, tok)``: token hashes vote per
+    bit (+1/-1); fingerprint bit i = sign of the vote sum. Computed as
+    ``bits`` conditional aggregates in ONE pass (map-side combinable, no
+    UDF)."""
+    hashed = toks.withColumn("h", F.xxhash64("tok"))
+    votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when((F.shiftright(F.col("h"), i).bitwiseAND(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(32)
+            for i in range(bits)
         ]
     )
     fp = sum(
         (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0))
-        for i in range(32)
+        for i in range(bits)
     )
-    fps = votes.select("doc_id", fp.alias("simhash"))
-    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    fps: DataFrame, bits: int = 32, max_hamming: int = 6
+) -> DataFrame:
+    """Hamming-distance ≤ ``max_hamming`` pairs from ``fps(doc_id, simhash)``
+    WITHOUT a cross join.
+
+    Pigeonhole banding: split the fingerprint into ``max_hamming + 1``
+    contiguous bit bands — any pair within Hamming ``max_hamming`` differs in
+    at most ``max_hamming`` bands, so at least one band matches EXACTLY. The
+    candidate join is therefore an equi-join on (band_idx, band_bits), and
+    ``bit_count`` verifies the distance on candidates only. The guarantee is
+    a superset, so output is identical to the all-pairs formulation.
+
+    Scale note: with 32-bit fingerprints the 7 bands are 4–5 bits wide —
+    fine for corpora up to ~1e5 docs; at web scale raise ``bits`` to 64/128
+    (band width 9–18 bits) so bucket occupancy stays sub-linear. The banding
+    machinery is width-agnostic.
+    """
+    n_bands = max_hamming + 1
+    sizes = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(sizes[:i]) for i in range(n_bands)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND((1 << sizes[i]) - 1)
+                .alias("band_bits"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = fps.select(
+        "doc_id", "simhash", F.explode(bands).alias("band")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_bits").alias("band_bits"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_idx",
+        "band_bits",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_idx",
+        "band_bits",
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["band_idx", "band_bits"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@query("q55_simhash")
+def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints + Hamming-distance ≤ 6 pairs (doc_id<200).
+
+    Fingerprints in one aggregate pass (simhash_fingerprints), pairing via
+    pigeonhole banding (simhash_pairs): 7 bands, equi-join on
+    (band_idx, band_bits), bit_count verify on candidates — no cross join
+    anywhere in the plan. No SQL oracle (hash-family specific); tests check
+    fingerprint determinism, the Hamming property on known near-dups, and
+    band-join ≡ all-pairs equivalence.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fps = simhash_fingerprints(_tokens(d), bits=32)
+    return simhash_pairs(fps, bits=32, max_hamming=6)
 
 
 @query(
@@ -312,12 +391,23 @@ def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q56_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.35, vec_id < 500).
 
-    Dot/norms as native array expressions (aggregate over zip_with) — pure
-    codegen, no UDF. The bounded subset keeps the O(n²) verify cheap; the
-    scale path is LSH bucketing first (similarity.py), then this exact
-    verify on candidates only.
+    Candidate generation is a 40-table × 3-bit hyperplane-LSH bucket union
+    (similarity.lsh_candidate_pairs_union — equi-join on (tbl, bucket), NO
+    cross join in the plan); exact cosine verify (native fold exprs, no UDF)
+    runs on candidates only. Parameters are fixture-validated for recall 1.0
+    vs the all-pairs oracle at sf0.01 and sf0.1 (tests assert it), so the
+    oracle stays the exact all-pairs formulation.
+
+    Honest scale note: at the loose 0.35 threshold the hyperplane collision
+    gap (p₁=0.615 vs p₂=0.5) bounds how hard ANY sign-LSH can prune; the
+    same machinery at near-dup thresholds (≥0.9, p₁≥0.86) prunes ~1000×.
+    For loose thresholds at corpus scale use coarse blocking instead —
+    q58 (IVF cells) or q131 (label blocking, uncapped).
     """
-    from wikipediaetl_spark.operators.similarity import dot_expr
+    from wikipediaetl_spark.operators.similarity import (
+        dot_expr,
+        lsh_candidate_pairs_union,
+    )
 
     e = (
         load_table(spark, sf_dir, "embeddings")
@@ -325,9 +415,10 @@ def q56_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     e = e.withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    cand = lsh_candidate_pairs_union(e, n_tables=40, bits=3, dim=64, seed=7)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    pairs = cand.join(a, "vec_a").join(b, "vec_b")
     cos = F.round(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         pairs.withColumn("cos_sim", cos)
@@ -339,10 +430,12 @@ def q56_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q122_containment",
     oracle="""
-    WITH toks AS (
+    WITH toks0 AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
       FROM documents WHERE doc_id < 200
     ),
+    hot AS (SELECT tok FROM toks0 GROUP BY tok HAVING count(*) > 256),
+    toks AS (SELECT * FROM toks0 WHERE tok NOT IN (SELECT tok FROM hot)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -360,9 +453,17 @@ def q122_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment similarity (|A∩B| / |A|): detects docs whose token set is
     fully covered by another (near-supersets/quotes) — asymmetric, unlike
     Jaccard, so both pair orientations are scored. Same inverted-index join
-    shape as q52."""
+    shape as q52, with the same max_df=256 hot-token broadcast anti-join
+    guard (oracle-mirrored; no-op at fixture size)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     toks = _tokens(d)
+    hot = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 256)
+        .select("tok")
+    )
+    toks = toks.join(F.broadcast(hot), "tok", "left_anti")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     b = toks.select(F.col("doc_id").alias("doc_b"), "tok")
@@ -378,4 +479,57 @@ def q122_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("containment", F.col("i") * 1.0 / F.col("sz_a"))
         .filter(F.col("containment") >= 0.999)
         .select("doc_a", "doc_b", "containment")
+    )
+
+
+@query(
+    "q131_blocked_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                6) >= 0.35
+    """,
+)
+def q131_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact embedding near-dup over the FULL embeddings table — no
+    subset cap, unlike q56: the blocking key (label = the coarse cluster
+    assignment every production pipeline has, e.g. from k-means or URL
+    domain) turns the O(n²) pair space into Σ O(|block|²), and the equi-join
+    on the block key shuffles each block to one place. This is the
+    correct scale pattern for LOOSE similarity thresholds, where sign-LSH
+    cannot prune (see q56's note); candidate recall is exactly the fraction
+    of qualifying pairs that share a block (tests measure it vs all-pairs).
+    """
+    from wikipediaetl_spark.operators.similarity import dot_expr
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    a = e.select(
+        F.col("label").alias("blk"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("label").alias("blk"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, "blk").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("vec_a", "vec_b", "cos_sim")
     )

@@ -1070,7 +1070,9 @@ def q38_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("o_orderkey div 2").alias("src"), F.col("o_orderkey").alias("dst")
     ).filter(F.col("dst") != F.col("src"))
     seeds = o.select(F.col("o_orderkey").alias("node")).filter(F.col("node") == 1)
-    reach = bfs_fixpoint(spark, seeds, edges, max_rounds=31)
+    # fixture-scale reachable set (~thousands of keys) → broadcast the seen
+    # set explicitly; the scale-safe default (False) shuffles the anti-join
+    reach = bfs_fixpoint(spark, seeds, edges, max_rounds=31, broadcast_seen=True)
     return reach.select(F.col("node").alias("o_orderkey"), F.col("depth").cast("int"))
 
 

@@ -199,6 +199,75 @@ def hyperplane_signs(v: Column, n_planes: int, dim: int, seed: int = 7) -> Colum
     return sum(bits)
 
 
+def lsh_bucket_union(
+    vectors: DataFrame,
+    n_tables: int,
+    bits: int,
+    dim: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Multi-table Gaussian-hyperplane LSH buckets: ``vectors(vec_id, v)`` →
+    one row per (vec_id, tbl, bucket).
+
+    The plane matrix (n_tables × bits hyperplanes) is seeded-deterministic
+    (same buckets on every run/executor); all signatures for an Arrow batch
+    come from ONE numpy matmul (q91's BLAS pattern), so the per-vector cost
+    is O(tables · bits · dim / SIMD) — not tables × bits separate folds.
+
+    Recall amplification: a pair at angle θ collides in one table with
+    p = (1 - θ/π)^bits and is a candidate with 1 - (1 - p)^n_tables. The
+    union over tables buys recall; the prune factor grows steeply with the
+    similarity threshold (near-dup regimes ≥0.9 prune ~1000×) and collapses
+    toward 1 as the threshold drops — for loose thresholds use coarse
+    blocking (q58 IVF / q131 label blocking) instead.
+    """
+    from collections.abc import Iterator
+
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_tables * bits, dim)
+    weights = 1 << np.arange(bits)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            signs = (mat @ planes.T) > 0  # (n, n_tables*bits)
+            buckets = signs.reshape(len(pdf), n_tables, bits) @ weights  # (n, T)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                    "tbl": np.tile(np.arange(n_tables), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return vectors.select("vec_id", "v").mapInPandas(
+        sig, schema="vec_id long, tbl int, bucket long"
+    )
+
+
+def lsh_candidate_pairs_union(
+    vectors: DataFrame,
+    n_tables: int,
+    bits: int,
+    dim: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Distinct candidate pairs (vec_a < vec_b) sharing a bucket in ANY of the
+    ``n_tables`` LSH tables. The self-join shuffles on (tbl, bucket) — the
+    cross product never materializes in the plan."""
+    buckets = lsh_bucket_union(vectors, n_tables, bits, dim, seed)
+    a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
 @query("q59_lsh_ann")
 def q59_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: 8 signed hyperplanes → bucket join → exact score.

@@ -363,12 +363,22 @@ def q118_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the corpus-scale stage — explode + groupBy, shuffles once on the word)
     feeding the deterministic merge loop on the driver-small weighted vocab.
     Returns the first 20 merges ranked. Rows-only (BPE is not
-    SQL-expressible); tests pin known merges on crafted corpora."""
+    SQL-expressible); tests pin known merges on crafted corpora.
+
+    The driver collect is BOUNDED: only the top-50k words by (cnt desc,
+    word) leave the cluster — at 100 TB the distinct-word set is billions of
+    rows and an unbounded collect dies. Production BPE trainers prune the
+    same way (a word seen once among trillions of tokens cannot steer a
+    merge); tests assert merge-identity between pruned and unpruned vocabs
+    on the fixture (where distinct words ≪ 50k, pruning is a provable
+    no-op)."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(50_000)
         .collect()
     )
     merges = bpe_merges([(r.word, r.cnt) for r in counts], n_merges=20)

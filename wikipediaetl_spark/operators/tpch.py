@@ -1,10 +1,23 @@
 """Extended TPC-H query shapes (SURVEY.md §2.3 [E] join breadth, §2.4 [E]).
 
 Together with q01/q98/q99/q112/q115/q116/q117 (Q1/Q3/Q5/Q10/Q6/Q4/Q18 shapes
-in relational.py) this module brings the catalog to 15 of the 22 canonical
-TPC-H query shapes — every one the driver fixture can express (the fixture
-has no partsupp table and lineitem carries no shipmode/commitdate/receiptdate
-columns, so Q2/Q9/Q11/Q12/Q16/Q20/Q21 are not faithfully representable).
+in relational.py) this module brings the catalog to ALL 22 canonical TPC-H
+query shapes. The fixture has no partsupp table and lineitem carries no
+shipmode/commitdate/receiptdate columns, so the 7 shapes that need them
+(Q2/Q9/Q11/Q12/Q16/Q20/Q21 → q132–q138) run on DERIVED inputs, declared
+identically on both engines:
+
+- ``partsupp`` := per-(l_partkey, l_suppkey) aggregate of lineitem
+  (ps_supplycost = min unit price, ps_availqty = 100·line count) — the
+  (part, supplier) grain and both measures the shapes exercise;
+- ``l_shipmode`` / ``l_commitdate`` / ``l_receiptdate`` := deterministic
+  element-wise functions of existing key/date columns (hash-bucketed mode,
+  day-offset intervals), so every predicate/grouping topology of the
+  original query applies unchanged.
+
+The SHAPE (join topology, correlated subqueries, exists/not-exists,
+conditional aggregation) is what these queries verify; the derived inputs
+are data stand-ins, not semantic approximations.
 
 The reference performs no analytical joins at all (its joins are N+1 ORM
 lookups, ETL/tasks/categorizer.py:156-187); these shapes exist so the engine's

@@ -26,18 +26,19 @@ def bfs_fixpoint(
     seeds: DataFrame,
     edges: DataFrame,
     max_rounds: int = 30,
-    broadcast_seen: bool = True,
+    broadcast_seen: bool = False,
 ) -> DataFrame:
     """Iterate BFS over ``edges(src, dst)`` from ``seeds(node)`` to a fixpoint.
 
     Returns DataFrame(node, depth) with the minimal BFS depth per reached
     node. Scale posture: `edges` is hash-partitioned on src once up front so
     every round's frontier⋈edges join reuses the same partitioning; the
-    frontier (small) broadcasts against it. ``broadcast_seen=True`` also
-    broadcasts the seen-set for the dedup anti-join — right when the reachable
-    set fits executor memory (it halves per-round latency by skipping the
-    shuffle); at web-crawl scale pass False so the anti-join shuffles on the
-    key and the seen set stays partition-distributed.
+    frontier (small) broadcasts against it. The seen-set grows monotonically,
+    so the DEFAULT dedup anti-join shuffles on the key and the seen set stays
+    partition-distributed — the only setting that survives crawl scale. Pass
+    ``broadcast_seen=True`` explicitly for small fixtures where the whole
+    reachable set fits executor memory (it halves per-round latency by
+    skipping the shuffle).
     """
     # Few fat partitions beat many thin ones for iterative micro-batches:
     # every round is a frontier-broadcast join, so per-task scheduling
