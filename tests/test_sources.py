@@ -223,3 +223,21 @@ def test_crawl_with_politeness_cap_still_completes(spark):
         "https://en.wikipedia.org/wiki/B",
         "https://en.wikipedia.org/wiki/C",
     ]
+
+
+@pytest.mark.skip(
+    reason="no database in this environment: write_jdbc (sources/formats.py) "
+    "mirrors the JDBC config the reference builds at ETL/tasks/categorizer.py:82-87 "
+    "but needs a reachable JDBC URL; the code path is write.mode().jdbc() only"
+)
+def test_write_jdbc_live_roundtrip():
+    """Would write a small DataFrame to a JDBC table and read it back."""
+
+
+@pytest.mark.skip(
+    reason="no network egress in this environment: requests_transport "
+    "(sources/http.py) mirrors fetcher/app/main.py:28-38; the fetch loop is "
+    "exercised with an injected fake transport in the tests above instead"
+)
+def test_requests_transport_live_fetch():
+    """Would fetch one URL through requests_transport and assert status/body."""

@@ -1,8 +1,10 @@
 """Local differential check: Spark queries vs DuckDB oracles (driver mimic).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [--json OUT.json] [sf_dir] [query ...]
 Compares row count, column names, and an order-insensitive canonicalized
-value multiset for every catalog query that has an oracle.
+value multiset for every catalog query that has an oracle. ``--json`` writes
+a per-query result artifact (the in-repo audit trail for queries outside the
+external driver's verification window — VERDICT r1, next-round #2).
 """
 
 from __future__ import annotations
@@ -48,8 +50,14 @@ def canon_rows(cols, rows):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
-    vanilla = "--vanilla" in sys.argv
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--vanilla"]
+    vanilla = "--vanilla" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     qs = all_queries()
@@ -65,6 +73,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, qd in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -76,10 +85,12 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised")
             traceback.print_exc()
             n_fail += 1
+            results[name] = {"status": "FAIL", "detail": "spark raised"}
             continue
         if qd.oracle is None:
             print(f"rows  {name}: {len(srows)} rows (rows-only check)")
             n_rows_only += 1
+            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             continue
         try:
             res = con.execute(qd.oracle)
@@ -88,6 +99,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: duckdb raised: {e}")
             n_fail += 1
+            results[name] = {"status": "FAIL", "detail": f"duckdb raised: {e}"}
             continue
         problems = []
         if len(srows) != len(orows):
@@ -104,10 +116,24 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
+            results[name] = {"status": "FAIL", "detail": "; ".join(problems)}
         else:
             print(f"PASS  {name}: {len(srows)} rows")
             n_pass += 1
+            results[name] = {"status": "PASS", "rows": len(srows)}
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_out:
+        import json as _json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "vanilla": vanilla,
+            "summary": {"pass": n_pass, "fail": n_fail, "rows_only": n_rows_only},
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 

@@ -30,15 +30,84 @@ transitively-implied selective predicates (nation membership, qualifying
 part keys) are pushed by hand as broadcast semi-joins ahead of the wide
 shuffles, mirroring q99's strategy. Money sums accumulate as exact DECIMAL
 (``dsum``) so results are order- and partitioning-independent.
+
+Broadcast-viability caveat: the ``F.broadcast`` hints on supplier/customer-
+derived sides assume TPC-H dimension ratios at moderate SF (supplier =
+SF×10k rows). At extreme SF (~100k, supplier ≈ 1e9 rows) those sides exceed
+any broadcast threshold — there, drop the hint and let AQE pick a shuffled
+hash join (the filtered/aggregated sides these queries broadcast, e.g.
+2-nation supplier subsets or 1-row scalar results, shrink with selectivity
+and usually remain broadcastable far longer than the raw tables).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from wikipediaetl_spark.catalog import query
 from wikipediaetl_spark.operators.relational import _t, dsum
+
+# Derived partsupp (see module docstring): (part, supplier) grain with a unit
+# cost and an availability measure — the same CTE text is embedded in every
+# q132–q138 oracle so both engines derive the identical relation.
+PARTSUPP_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost,
+             CAST(count(*) * 100 AS BIGINT) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of PARTSUPP_SQL. One shuffle on (partkey, suppkey); at
+    scale this is the materialize-once input every partsupp shape shares."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        (F.count(F.lit(1)) * 100).cast("long").alias("ps_availqty"),
+    )
+
+
+# Derived lineitem transport columns (element-wise, engine-identical):
+# shipmode hash-buckets the (supp, part) pair; commit/receipt are day offsets
+# from shipdate keyed on (orderkey, linenumber).
+SHIPMODE_SQL = (
+    "CASE CAST((l_suppkey + l_partkey) % 3 AS INTEGER) "
+    "WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' ELSE 'AIR' END"
+)
+COMMITDATE_SQL = (
+    "l_shipdate + INTERVAL 1 DAY * CAST((l_orderkey * 17 + l_linenumber * 3) % 30 AS INTEGER)"
+)
+RECEIPTDATE_SQL = (
+    "l_shipdate + INTERVAL 1 DAY * CAST((l_orderkey * 31 + l_linenumber * 7) % 30 AS INTEGER)"
+)
+
+
+def _with_transport(li: DataFrame) -> DataFrame:
+    mode_bucket = F.pmod(F.col("l_suppkey") + F.col("l_partkey"), F.lit(3)).cast("int")
+    return (
+        li.withColumn(
+            "l_shipmode",
+            F.when(mode_bucket == 0, "MAIL").when(mode_bucket == 1, "SHIP").otherwise("AIR"),
+        )
+        .withColumn(
+            "l_commitdate",
+            F.expr(
+                "l_shipdate + make_interval(0, 0, 0, "
+                "CAST(pmod(l_orderkey * 17 + l_linenumber * 3, 30) AS INT), 0, 0, 0)"
+            ),
+        )
+        .withColumn(
+            "l_receiptdate",
+            F.expr(
+                "l_shipdate + make_interval(0, 0, 0, "
+                "CAST(pmod(l_orderkey * 31 + l_linenumber * 7, 30) AS INT), 0, 0, 0)"
+            ),
+        )
+    )
 
 
 @query(
@@ -302,10 +371,11 @@ def q127_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
-        .select("s_suppkey", "s_name", "total_revenue")
+    top = rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+    # broadcast the ~1-row filtered revenue side onto supplier (at SF~100k
+    # supplier is fact-sized; the tiny side must be the build side)
+    return s.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no")).select(
+        "s_suppkey", "s_name", "total_revenue"
     )
 
 
@@ -469,4 +539,412 @@ def q130_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q132_min_cost_supplier",
+    oracle=f"""
+    WITH partsupp AS ({PARTSUPP_SQL}),
+    eu AS (
+      SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name,
+             min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS mc
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM eu JOIN part ON p_partkey = ps_partkey
+    WHERE p_size = 15 AND ps_supplycost = mc
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q132_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each size-15 part, the
+    European supplier(s) offering the region-wide minimum cost — the
+    correlated-min subquery decorrelated into a window min.
+
+    Scale plan: supplier⋈nation⋈region is dimension-sized → broadcast onto
+    partsupp; the window min partitions by ps_partkey, the SAME key partsupp
+    is already grouped on, so min+filter ride the existing partitioning; the
+    part probe broadcasts. Top-100 is TakeOrderedAndProject (no global
+    sort), with a full tiebreak so the limit boundary is deterministic."""
+    ps = _partsupp(spark, sf_dir)
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu = ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+    eu = eu.withColumn(
+        "mc", F.min("ps_supplycost").over(W.partitionBy("ps_partkey"))
+    ).filter(F.col("ps_supplycost") == F.col("mc"))
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
+    return (
+        eu.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q133_product_type_profit",
+    oracle=f"""
+    WITH partsupp AS ({PARTSUPP_SQL})
+    SELECT nation, o_year,
+           CAST(sum(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q133_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per nation per year over
+    parts matching a name pattern, where profit nets supply cost
+    (ps_supplycost × quantity) out of discounted revenue.
+
+    Scale plan: the p_name filter reduces part ~10× → broadcast semi onto
+    lineitem BEFORE any wide shuffle; partsupp joins lineitem on the
+    composite (partkey, suppkey) — the one genuinely fact-sized join — and
+    orders joins on orderkey; supplier⋈nation broadcasts. Profit terms
+    accumulate as exact DECIMAL (dsum) so grouping is order-independent."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    ps = _partsupp(spark, sf_dir)
+    n = _t(spark, sf_dir, "nation")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(dsum(amount, 6).alias("sum_profit"))
+    )
+
+
+@query(
+    "q134_important_stock",
+    oracle=f"""
+    WITH partsupp AS ({PARTSUPP_SQL}),
+    nat AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+      FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    )
+    SELECT ps_partkey,
+           CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS value
+    FROM nat
+    GROUP BY ps_partkey
+    HAVING CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) >
+           (SELECT CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) * 0.001 FROM nat)
+    """,
+)
+def q134_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose stock value within one
+    nation exceeds a fraction of that nation's total stock value — the
+    HAVING-against-global-scalar topology.
+
+    Scale plan: supplier⋈nation broadcasts onto partsupp; ONE scan feeds
+    both the per-part aggregate and the global total (Spark reuses the
+    exchange below the two aggregations); the scalar threshold broadcasts
+    back into the HAVING filter. Value sums accumulate as exact DECIMAL on
+    both engines so the threshold comparison is bit-identical."""
+    ps = _partsupp(spark, sf_dir)
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    nat = ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey")).select(
+        "ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v")
+    )
+    per_part = nat.groupBy("ps_partkey").agg(dsum(F.col("v"), 6).alias("value"))
+    total = nat.agg((dsum(F.col("v"), 6) * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("ps_partkey", "value")
+    )
+
+
+@query(
+    "q135_shipping_modes",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             {SHIPMODE_SQL} AS l_shipmode,
+             {COMMITDATE_SQL} AS l_commitdate,
+             {RECEIPTDATE_SQL} AS l_receiptdate,
+             l_shipdate
+      FROM lineitem
+    )
+    SELECT l_shipmode,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN li ON o_orderkey = l_orderkey
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l_commitdate < l_receiptdate
+      AND l_shipdate < l_commitdate
+      AND l_receiptdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_receiptdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_shipmode
+    """,
+)
+def q135_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes & order priority): late-ship lines in
+    two transport modes, split into high/low-priority conditional counts.
+    Transport columns are the derived stand-ins (module docstring).
+
+    Scale plan: every lineitem predicate (mode, date ordering, receipt
+    window) is element-wise → applies at the scan before the single
+    fact-fact shuffle with orders; the conditional counts are map-side
+    partial aggregates on a 2-row group space."""
+    li = _with_transport(_t(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_receiptdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q136_parts_supplier_relationship",
+    oracle=f"""
+    WITH partsupp AS ({PARTSUPP_SQL})
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 100.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q136_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) over an excluded-supplier NOT IN (the
+    original excludes complaint suppliers; the stand-in predicate excludes
+    low-balance ones).
+
+    Scale plan: the part filter broadcasts onto partsupp; the NOT IN is a
+    broadcast anti-join against the (tiny) excluded-supplier set — never a
+    shuffled subquery; count(DISTINCT) shuffles once on the (brand, type,
+    size, suppkey) expanded key (Spark's two-phase distinct aggregate)."""
+    ps = _partsupp(spark, sf_dir)
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 14, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 100.0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            F.broadcast(excluded),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q137_potential_promotion",
+    oracle=f"""
+    WITH partsupp AS ({PARTSUPP_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    qual AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND ps_availqty > half_qty
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN qual ON s_suppkey = ps_suppkey
+    """,
+)
+def q137_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers holding excess
+    stock (availqty > half of a year's shipped quantity) of name-matched
+    parts — the nested IN/correlated-sum topology, decorrelated.
+
+    Scale plan: the correlated per-(part, supplier) sum becomes one grouped
+    aggregate on the date-pruned lineitem slice joined back on the SAME
+    (partkey, suppkey) key partsupp is grouped on (no extra shuffle under
+    co-partitioning); the p_name filter broadcasts as a semi-join; the
+    final supplier probe is dimension-sized. Quantity sums are exact
+    (integral doubles), so the half-threshold compare is engine-identical."""
+    ps = _partsupp(spark, sf_dir)
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((0.5 * F.sum("l_quantity")).alias("half_qty"))
+    )
+    qual = (
+        ps.join(F.broadcast(small), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(qual, F.col("s_suppkey") == F.col("ps_suppkey")).select(
+        "s_name", "s_acctbal"
+    )
+
+
+@query(
+    "q138_waiting_suppliers",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             {COMMITDATE_SQL} AS l_commitdate,
+             {RECEIPTDATE_SQL} AS l_receiptdate
+      FROM lineitem
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN li l1    ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_receiptdate > l1.l_commitdate
+      AND EXISTS (
+        SELECT 1 FROM li l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM li l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_receiptdate > l3.l_commitdate
+      )
+    GROUP BY s_name
+    """,
+)
+def q138_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): per supplier,
+    late lines on finalized multi-supplier orders where NO other supplier
+    was late — the exists + not-exists double-correlation. Transport dates
+    are the derived stand-ins (module docstring).
+
+    Scale plan: both correlated subqueries collapse into ONE per-order
+    profile aggregate (per (orderkey, suppkey): any-late flag; then per
+    orderkey: supplier count + late-supplier count) joined back on
+    l_orderkey — two aggregations and one join on the already-shuffled
+    orderkey instead of two correlated re-scans of lineitem. EXISTS holds
+    iff the order has >1 supplier; NOT EXISTS holds iff the only late
+    supplier is l1's own."""
+    li = _with_transport(_t(spark, sf_dir, "lineitem")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_receiptdate") > F.col("l_commitdate")).alias("late"),
+    )
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("supp_late")
+    )
+    profile = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("supp_late").alias("n_late_supps"),
+    )
+    f_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = (
+        li.filter(F.col("late"))
+        .join(f_orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(profile, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
