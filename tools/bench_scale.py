@@ -124,7 +124,16 @@ def main() -> None:
     build_s = time.perf_counter() - t0
 
     qs = all_queries()
-    spark = get_spark("bench_scale")
+    # 32MB input splits: the replicated fact files are single ~1GB parquet
+    # files, and the default 128MB split gives only ~8 scan tasks on 32
+    # cores. 32MB was measured the sweet spot (8MB loses to task overhead).
+    spark = get_spark(
+        "bench_scale",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     # warm codegen/JVM on the small fixture
     qs["q01_pricing_summary"].fn(spark, BASE).collect()
 
@@ -142,17 +151,17 @@ def main() -> None:
             "duckdb_s": round(dd, 3),
             "ratio": round(best / dd, 2),
         }
-    print(
-        json.dumps(
-            {
-                "factor": factor,
-                "base": BASE,
-                "build_s": round(build_s, 1),
-                "rows": rows,
-                "queries": result,
-            }
-        )
-    )
+    payload = {
+        "factor": factor,
+        "base": BASE,
+        "build_s": round(build_s, 1),
+        "rows": rows,
+        "queries": result,
+    }
+    print(json.dumps(payload))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_SCALE.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":
