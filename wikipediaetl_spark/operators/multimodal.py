@@ -274,3 +274,36 @@ def q111_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         (F.floor(avg * 1000000 + 0.5) / 1000000).alias("avg_chars"),
     )
+
+
+@query(
+    "q140_frame_offsets",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars % 120 + 1 AS BIGINT) AS duration_s,
+           CAST(t.off AS BIGINT) AS frame_offset_s,
+           CAST(CAST(t.off AS BIGINT) / 10 AS BIGINT) AS frame_idx
+    FROM documents, LATERAL (
+      SELECT unnest(range(0, n_chars % 120 + 1, 10)) AS off
+    ) t
+    WHERE CAST(doc_id % 3 AS INTEGER) = 2
+    """,
+)
+def q140_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: for each video row, explode the
+    stride-10s frame sample offsets implied by its duration metadata
+    (derived here as n_chars % 120 + 1 seconds — the fixture's stand-in for
+    a real duration field). This is the fan-out step ahead of a frame-decode
+    mapInPandas stage (decode itself is stubbed per module docstring): one
+    ``sequence`` + ``explode``, no UDF, and the row-count contract
+    (Σ ⌈duration/stride⌉) is oracle-checked. At scale the explode multiplies
+    rows ~duration/stride ×, so it runs AFTER any metadata filters and the
+    frame worklist shuffles on doc_id for the decode stage."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+    duration = (F.col("meta.declared_size") % 120 + 1).cast("long")
+    offsets = F.sequence(F.lit(0).cast("long"), duration - 1, F.lit(10).cast("long"))
+    return m.select(
+        "doc_id",
+        duration.alias("duration_s"),
+        F.explode(offsets).alias("frame_offset_s"),
+    ).withColumn("frame_idx", (F.col("frame_offset_s") / 10).cast("long"))

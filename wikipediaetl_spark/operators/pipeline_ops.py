@@ -367,3 +367,61 @@ def q121_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(F.col("w"), F.col("start"), 50), " ").alias("chunk_text"),
         )
     )
+
+
+@query(
+    "q139_data_mixing",
+    oracle="""
+    WITH counts AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+    mn AS (SELECT min(cnt) AS mn FROM counts),
+    rates AS (
+      SELECT source, cnt, sqrt(CAST(mn AS DOUBLE) / cnt) AS keep_rate
+      FROM counts, mn
+    ),
+    kept AS (
+      SELECT d.source
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE) < r.keep_rate * 1000000
+    )
+    SELECT r.source, r.cnt AS n_total,
+           (SELECT count(*) FROM kept k WHERE k.source = r.source) AS n_kept,
+           r.keep_rate
+    FROM rates r
+    """,
+)
+def q139_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted data mixing (the multinomial source-sampling
+    step of LLM pretraining pipelines, temperature α=0.5): source s with
+    corpus share p_s is down-sampled at rate √(p_min/p_s), flattening the
+    source distribution toward p_s^α without ever up-weighting the rarest
+    source past 1.0.
+
+    Sampling is a DETERMINISTIC hash gate — keep iff
+    (doc_id·2654435761) mod 1e6 < rate·1e6 — so the decision is
+    engine-identical (Knuth multiplicative hash on integers; √ is
+    IEEE-correctly-rounded on both engines) and reproducible under any
+    partitioning: no rand(), no seed drift across retries/stragglers, the
+    property a 100 TB sampling job needs. One count aggregate + a broadcast
+    of the tiny per-source rate table; the corpus is filtered in a single
+    pass."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("mn"))
+    rates = counts.join(F.broadcast(mn)).select(
+        "source",
+        "cnt",
+        F.sqrt(F.col("mn").cast("double") / F.col("cnt")).alias("keep_rate"),
+    )
+    gate = ((F.col("doc_id") * F.lit(2654435761)) % 1000000).cast("double")
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(gate < F.col("keep_rate") * 1000000)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        F.col("cnt").alias("n_total"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        "keep_rate",
+    )
