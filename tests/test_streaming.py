@@ -52,6 +52,34 @@ def test_bfs_known_graph(spark):
     assert got == {"a": 0, "b": 1, "c": 1, "d": 2}  # min depth; x/y unreachable
 
 
+def test_bfs_lookahead_depth_exact(spark):
+    """k-hop lookahead must assign the SAME minimal depths as plain BFS on a
+    graph with cycles, shortcuts, and multiple shortest paths — the min-agg
+    over per-node hop labels is what keeps depths exact when one round
+    discovers several levels at once."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+            ("a", "c"),              # shortcut: c reachable at depth 1
+            ("c", "a"), ("f", "a"),  # back edges (cycles)
+            ("b", "d"),              # second shortest path to d
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    plain = {
+        r.node: r.depth
+        for r in bfs_fixpoint(spark, seeds, edges, lookahead=1).collect()
+    }
+    assert plain == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3, "f": 4}
+    for k in (2, 3):
+        got = {
+            r.node: r.depth
+            for r in bfs_fixpoint(spark, seeds, edges, lookahead=k).collect()
+        }
+        assert got == plain, f"lookahead={k} diverged: {got}"
+
+
 def test_bfs_cycle_terminates(spark):
     edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
     seeds = spark.createDataFrame([("a",)], "node string")

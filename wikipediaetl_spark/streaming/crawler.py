@@ -27,18 +27,34 @@ def bfs_fixpoint(
     edges: DataFrame,
     max_rounds: int = 30,
     broadcast_seen: bool = False,
+    lookahead: int = 1,
 ) -> DataFrame:
     """Iterate BFS over ``edges(src, dst)`` from ``seeds(node)`` to a fixpoint.
 
     Returns DataFrame(node, depth) with the minimal BFS depth per reached
-    node. Scale posture: `edges` is hash-partitioned on src once up front so
-    every round's frontier⋈edges join reuses the same partitioning; the
-    frontier (small) broadcasts against it. The seen-set grows monotonically,
-    so the DEFAULT dedup anti-join shuffles on the key and the seen set stays
+    node (depth capped at ``max_rounds``). Scale posture: `edges` is
+    hash-partitioned on src once up front so every round's frontier⋈edges
+    join reuses the same partitioning; the frontier (small) broadcasts
+    against it. The seen-set grows monotonically, so the DEFAULT dedup
+    anti-join shuffles on the key and the seen set stays
     partition-distributed — the only setting that survives crawl scale. Pass
     ``broadcast_seen=True`` explicitly for small fixtures where the whole
     reachable set fits executor memory (it halves per-round latency by
     skipping the shuffle).
+
+    ``lookahead=k`` pre-materializes the i-hop edge tables (i ≤ k) once,
+    then expands k depth levels per round inside ONE job — broadcast the
+    frontier against edges ∪ edges² ∪ … — cutting the round count (and its
+    per-round scheduler/checkpoint/barrier cost) by k. Depths stay exact:
+    hop i assigns the per-node label d(u)+i, the round takes min(label) per
+    node, and the seen anti-join drops already-placed nodes. Inductively a
+    round's frontier holds exactly the last k depth levels with exact
+    labels, i-hop coverage reaches every node in the next k levels through
+    unrestricted intermediates, and any label is a path length (≥ true
+    depth), so the min is exact. The trade: |edges^i| ≈ degree^(i-1)·|E|,
+    so lookahead pays on high-diameter, bounded-degree graphs (road nets,
+    tree hierarchies — rounds are the cost) and loses on dense crawl/social
+    graphs (the power-table blowup is the cost) — hence default 1.
     """
     # Few fat partitions beat many thin ones for iterative micro-batches:
     # every round is a frontier-broadcast join, so per-task scheduling
@@ -54,32 +70,61 @@ def bfs_fixpoint(
     # so a default-200 driver session doesn't run 200 tasks per tiny round
     spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     edges = edges.repartition(n_part, "src").persist()
+    # i-hop power tables, built once: hop_tables[i-1] = edges^i(src, dst).
+    # Each is one shuffle join up front; per-round work then needs no
+    # mid-round broadcast builds (broadcasting a chained hop would cost a
+    # sub-job per hop per round — measured slower than lookahead=1).
+    hop_tables = [edges]
+    for _ in range(max(1, lookahead) - 1):
+        prev = hop_tables[-1]
+        nxt = (
+            prev.alias("a")
+            .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .repartition(n_part, "src")
+            .persist()
+        )
+        hop_tables.append(nxt)
     try:
         frontier = seeds.select("node").distinct().withColumn("depth", F.lit(0))
         frontier = frontier.localCheckpoint(eager=True)
         seen = frontier
-        depth = 0
-        while depth < max_rounds:
+        base = 0  # max depth discovered so far
+        while base < max_rounds:
+            k = min(len(hop_tables), max_rounds - base)
             seen_keys = seen.select("node")
             if broadcast_seen:
                 seen_keys = F.broadcast(seen_keys)
+            candidates = None
+            for i in range(k):
+                hop = (
+                    F.broadcast(frontier)
+                    .join(hop_tables[i], frontier["node"] == hop_tables[i]["src"])
+                    .select(
+                        F.col("dst").alias("node"),
+                        (frontier["depth"] + (i + 1)).alias("depth"),
+                    )
+                )
+                candidates = hop if candidates is None else candidates.unionByName(hop)
             new_nodes = (
-                F.broadcast(frontier)
-                .join(edges, frontier["node"] == edges["src"])
-                .select(F.col("dst").alias("node"))
-                .join(seen_keys, "node", "left_anti")
-                .distinct()
-                .withColumn("depth", F.lit(depth + 1))
+                candidates.join(seen_keys, "node", "left_anti")
+                .groupBy("node")
+                .agg(F.min("depth").alias("depth"))
                 .localCheckpoint(eager=True)
             )
             if new_nodes.isEmpty():
                 break
+            # re-checkpointing the unioned seen set each round measured
+            # FASTER than keeping it as a lazy union of frontiers — the
+            # growing union plan re-scans r checkpoints per round and costs
+            # more than one small materialization
             seen = seen.unionByName(new_nodes).localCheckpoint(eager=True)
             frontier = new_nodes
-            depth += 1
+            base += k
         return seen
     finally:
-        edges.unpersist()
+        for t in hop_tables:
+            t.unpersist()
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
