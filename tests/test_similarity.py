@@ -95,3 +95,36 @@ def test_blas_path_matches_expression_path(spark, sf_dir):
         for r in q91_cosine_topk_blas(spark, sf_dir).collect()
     }
     assert expr_path == blas_path
+
+
+def test_pq_ann_recall_vs_exact(spark, sf_dir):
+    """PQ ADC shortlist (40 of ~500 candidates) + exact re-rank must recover
+    most of the exact top-5; re-ranked scores are exact cosines, so every
+    returned (query, neighbor) that IS in the exact top-5 must carry the
+    identical cos_sim."""
+    from wikipediaetl_spark.operators.similarity import q143_pq_ann
+
+    exact_rows = q57_cosine_topk(spark, sf_dir).collect()
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact_rows}
+    approx_rows = q143_pq_ann(spark, sf_dir).collect()
+    approx = {(r.query_id, r.neighbor_id): r.cos_sim for r in approx_rows}
+    assert len(approx) == len(exact)  # 5 per query, same query set
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+    for key in hits:
+        assert exact[key] == approx[key]  # re-rank is exact, not approximate
+
+
+def test_pq_codebooks_deterministic(spark, sf_dir):
+    """Codebook training must be bit-reproducible: same sorted sample in →
+    identical centroids out (the property that makes encode stable across
+    retries/stragglers)."""
+    import numpy as np
+    from wikipediaetl_spark.operators.similarity import pq_codebooks
+
+    rng_free = np.arange(256 * 64, dtype=np.float64).reshape(256, 64) % 17 / 17.0
+    b1 = pq_codebooks(rng_free.copy())
+    b2 = pq_codebooks(rng_free.copy())
+    assert (b1 == b2).all()
+    assert b1.shape == (8, 16, 8)

@@ -533,3 +533,93 @@ def q131_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.35)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+@query(
+    "q141_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    shingles AS (
+      SELECT doc_id, i AS start_pos,
+             array_to_string(w[i:i+4], ' ') AS sh
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, len(w) - 5 + 2)) AS i
+      ) t
+    ),
+    df AS (
+      SELECT sh, count(DISTINCT doc_id) AS df FROM shingles GROUP BY sh
+    ),
+    dup_pos AS (
+      SELECT DISTINCT s.doc_id, p.pos
+      FROM shingles s
+      JOIN df ON s.sh = df.sh AND df.df >= 2,
+      LATERAL (SELECT unnest(range(s.start_pos, s.start_pos + 5)) AS pos) p
+    ),
+    covered AS (
+      SELECT doc_id, count(*) AS n_dup_tokens FROM dup_pos GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           coalesce(c.n_dup_tokens, 0) * 1.0 / len(t.w) AS dup_fraction
+    FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id
+    """,
+)
+def q141_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate coverage — the substring-dedup diagnostic of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    (arXiv:2107.06499), at k-gram granularity (k=5): for every document,
+    the fraction of token positions covered by some 5-gram that also occurs
+    in another document. Pipelines cut spans with dup_fraction ≥ τ instead
+    of whole docs.
+
+    Scale shape — strictly linear, never pairwise: k-grams are built IN-ROW
+    (transform over sequence, no shuffle), the document-frequency aggregate
+    shuffles (shingle → df) once, and occurrences join back to their df by
+    key, so a shingle appearing in 1e6 docs contributes 1e6 rows, not 1e12
+    pairs. Position coverage re-expands each duplicated k-gram to its k
+    positions in-row and distinct-counts per doc. The reference's
+    dedup surface is whole-page (Redis URL set, filter/app/main.py:16-24);
+    this is the finer-grained text-level extension.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    k = 5
+    sh = F.expr(
+        f"transform(sequence(0, size(split(text, ' ')) - {k}), "
+        f"i -> struct(i + 1 AS start_pos, "
+        f"concat_ws(' ', slice(split(text, ' '), i + 1, {k})) AS sh))"
+    )
+    shingles = d.select(
+        "doc_id", F.explode(sh).alias("s")
+    ).select("doc_id", F.col("s.start_pos").alias("start_pos"), F.col("s.sh").alias("sh"))
+    df = (
+        shingles.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("sh")
+    )
+    dup_pos = (
+        shingles.join(df, "sh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start_pos"), F.col("start_pos") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    covered = dup_pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    n_tok = d.select("doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"))
+    return (
+        n_tok.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            (F.coalesce("n_dup_tokens", F.lit(0)) * 1.0 / F.col("n_tokens")).alias(
+                "dup_fraction"
+            ),
+        )
+    )

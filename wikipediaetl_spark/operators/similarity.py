@@ -347,3 +347,159 @@ def q91_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def pq_codebooks(sample: np.ndarray, m: int = 8, k: int = 16, iters: int = 10) -> np.ndarray:
+    """Deterministic per-subspace Lloyd k-means → codebooks[m, k, dim/m].
+
+    Trained on a BOUNDED sample (FAISS practice: codebooks come from ~1e5
+    sampled vectors, never the full corpus), rows pre-sorted by caller so
+    init (first k rows) and every argmin tiebreak (np.argmin → lowest
+    index) are order-independent and bit-reproducible."""
+    n, dim = sample.shape
+    d_sub = dim // m
+    books = np.empty((m, k, d_sub))
+    for s in range(m):
+        x = sample[:, s * d_sub : (s + 1) * d_sub]
+        cents = x[:k].copy()
+        for _ in range(iters):
+            # assignment: nearest centroid by L2 (vectors are pre-normalized,
+            # so L2-nearest == max-inner-product ranking per subspace)
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+@query("q143_pq_ann")
+def q143_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): the memory-bound scale path —
+    64-dim float vectors compress to m=8 one-byte codes (64× smaller), the
+    corpus scan reads codes only, and scoring is m table lookups per vector
+    (ADC) instead of a 64-dim dot product.
+
+    Plan: (1) train per-subspace codebooks driver-side on a bounded
+    deterministic sample (the only collect; FAISS-style), (2) encode the
+    corpus with one mapInPandas pass (vectorized argmin per subspace over
+    Arrow batches; at 100 TB this is the pass that writes the 8-byte code
+    column once, after which ANN queries never touch raw vectors),
+    (3) ADC-score codes against broadcast per-query lookup tables with
+    per-partition partial top-k (map-side combine shape: each batch emits ≤
+    shortlist rows per query, never n·q rows), (4) exact re-rank of the
+    shortlist against true vectors → top-5. Rows-only check (float k-means
+    is not SQL-expressible); recall is tested vs q57's exact top-k."""
+    from typing import Iterator
+
+    m, k, shortlist = 8, 16, 40
+    e = _vectors(spark, sf_dir)
+    # pre-normalize so inner product == cosine and PQ L2 ranking aligns
+    norm = e.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("v_norm")).alias("nv"),
+    )
+    sample_rows = (
+        norm.filter(F.col("vec_id") % 7 == 0)
+        .orderBy("vec_id")
+        .limit(2048)
+        .collect()
+    )
+    sample = np.array([r.nv for r in sample_rows])
+    if sample.size == 0:  # empty corpus: nothing to train/encode/query
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rnk long"
+        )
+    if len(sample) < k:  # tiny corpus: pad by cycling rows so init has k seeds
+        sample = np.tile(sample, (-(-k // len(sample)), 1))[: max(k, len(sample))]
+    books = pq_codebooks(sample, m=m, k=k)
+    d_sub = sample.shape[1] // m
+    sc = spark.sparkContext
+    b_books = sc.broadcast(books)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bks = b_books.value
+        for pdf in batches:
+            mat = np.stack(pdf["nv"].to_numpy())
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                x = mat[:, s * d_sub : (s + 1) * d_sub]
+                d2 = ((x[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    codes = norm.mapInPandas(encode, schema="vec_id long, codes array<int>")
+
+    queries = sorted(
+        (r.vec_id, np.array(r.nv)) for r in norm.filter(F.col("vec_id") < 10).collect()
+    )
+    # per-query ADC lookup tables: lut[q, s, c] = <q_sub, centroid_sc>
+    lut = np.array(
+        [
+            [[qv[s * d_sub : (s + 1) * d_sub] @ books[s][c] for c in range(k)] for s in range(m)]
+            for _, qv in queries
+        ]
+    )
+    qids = np.array([qid for qid, _ in queries])
+    b_lut, b_qids = sc.broadcast(lut), sc.broadcast(qids)
+
+    def adc_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tables, ids = b_lut.value, b_qids.value
+        for pdf in batches:
+            cd = np.stack(pdf["codes"].to_numpy())  # [n, m]
+            vec_ids = pdf["vec_id"].to_numpy()
+            # scores[q, n] = Σ_s lut[q, s, cd[n, s]]
+            scores = tables[:, np.arange(m), cd].sum(axis=2)  # [q, n, m] → [q, n]
+            top = min(len(vec_ids), shortlist)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(ids)):
+                idx = np.argpartition(-scores[qi], top - 1)[:top]
+                out_q.extend([ids[qi]] * len(idx))
+                out_n.extend(vec_ids[idx])
+                out_s.extend(scores[qi][idx])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "approx_sim": out_s}
+            )
+
+    cand = codes.mapInPandas(
+        adc_topk, schema="query_id long, neighbor_id long, approx_sim double"
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the shortlist against true vectors
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("v_norm").alias("q_norm"),
+    )
+    scored = (
+        short.join(e, short["neighbor_id"] == e["vec_id"])
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

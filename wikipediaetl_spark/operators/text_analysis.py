@@ -386,3 +386,101 @@ def q118_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, left string, right string, merged string",
     )
+
+
+@query(
+    "q142_gopher_rules",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_tokens,
+             (length(array_to_string(w, '')) * 1.0) / n_tokens AS mean_tok_len,
+             len(list_filter(w, t -> list_contains([{_STOPWORDS_SQL}], t))) * 1.0
+               / n_tokens AS stop_frac,
+             list_max(list_transform(list_distinct(w),
+                      t -> len(list_filter(w, x -> x = t)))) * 1.0
+               / n_tokens AS top_tok_frac,
+             len(list_distinct(w)) * 1.0 / n_tokens AS uniq_ratio
+      FROM feats
+    )
+    SELECT doc_id, n_tokens, mean_tok_len, stop_frac, top_tok_frac, uniq_ratio,
+           CAST(n_tokens BETWEEN 30 AND 5000 AS INT) AS r_len,
+           CAST(mean_tok_len BETWEEN 2 AND 10 AS INT) AS r_tok_len,
+           CAST(stop_frac >= 0.02 AS INT) AS r_stopwords,
+           CAST(top_tok_frac <= 0.2 AS INT) AS r_dominance,
+           CAST(uniq_ratio >= 0.2 AS INT) AS r_diversity,
+           CAST(n_tokens BETWEEN 30 AND 5000
+                AND mean_tok_len BETWEEN 2 AND 10
+                AND stop_frac >= 0.02
+                AND top_tok_frac <= 0.2
+                AND uniq_ratio >= 0.2 AS INT) AS keep
+    FROM m
+    """,
+)
+def q142_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter (Rae et al., arXiv:2112.11446,
+    Appendix A1.1 shape): per-document rule booleans — token-count bounds,
+    mean token length bounds, minimum stopword fraction, top-token dominance
+    cap, unique-token diversity floor — and the conjunctive keep decision.
+    Pipelines keep the per-rule bits (not just `keep`) so rejection reasons
+    are aggregable.
+
+    Every feature is an IN-ROW array expression over the token vector —
+    including top-token dominance, computed as max over distinct tokens of
+    the token's occurrence count (O(u·n) per row, u = per-doc vocab) instead
+    of an explode+groupBy — so the whole filter is a narrow shuffle-free
+    projection that scales embarrassingly: the plan is one WholeStageCodegen
+    over the scan, nothing else. Extends q61's weighted score with the
+    rule-bit surface."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    feats = d.select(
+        "doc_id",
+        w.alias("w"),
+        F.size(w).cast("long").alias("n_tokens"),
+    )
+    n = F.col("n_tokens")
+    m = feats.select(
+        "doc_id",
+        "n_tokens",
+        (F.length(F.array_join(F.col("w"), "")) * 1.0 / n).alias("mean_tok_len"),
+        (
+            F.size(F.filter(F.col("w"), lambda t: F.array_contains(stop_arr, t))) * 1.0 / n
+        ).alias("stop_frac"),
+        (
+            F.array_max(
+                F.transform(
+                    F.array_distinct(F.col("w")),
+                    lambda t: F.size(F.filter(F.col("w"), lambda x: x == t)),
+                )
+            )
+            * 1.0
+            / n
+        ).alias("top_tok_frac"),
+        (F.size(F.array_distinct(F.col("w"))) * 1.0 / n).alias("uniq_ratio"),
+    )
+    r_len = F.col("n_tokens").between(30, 5000)
+    r_tok_len = F.col("mean_tok_len").between(2, 10)
+    r_stop = F.col("stop_frac") >= 0.02
+    r_dom = F.col("top_tok_frac") <= 0.2
+    r_div = F.col("uniq_ratio") >= 0.2
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        "stop_frac",
+        "top_tok_frac",
+        "uniq_ratio",
+        r_len.cast("int").alias("r_len"),
+        r_tok_len.cast("int").alias("r_tok_len"),
+        r_stop.cast("int").alias("r_stopwords"),
+        r_dom.cast("int").alias("r_dominance"),
+        r_div.cast("int").alias("r_diversity"),
+        (r_len & r_tok_len & r_stop & r_dom & r_div).cast("int").alias("keep"),
+    )
