@@ -174,3 +174,29 @@ def test_simhash_hamming_locality(spark, sf_dir):
     assert rows1 == rows2
     for _, _, h in rows1:
         assert 0 <= h <= 6
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    """q145: the kept set is exactly tau-separated inside every cluster, the
+    lowest-(centroid_sim, id) member of each cluster is always kept, and
+    assignment covers every vector exactly once."""
+    import numpy as np
+
+    from wikipediaetl_spark.operators.dedup import q145_semdedup
+    from wikipediaetl_spark.operators.similarity import _vectors
+
+    rows = q145_semdedup(spark, sf_dir).collect()
+    vecs = {r.vec_id: np.array(r.v) for r in _vectors(spark, sf_dir).collect()}
+    assert len(rows) == len(vecs)  # every vector assigned exactly once
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        first = min(members, key=lambda r: (r.centroid_sim, r.vec_id))
+        assert first.keep == 1
+        kept = [r for r in members if r.keep]
+        for i in range(len(kept)):
+            for j in range(i + 1, len(kept)):
+                a, b = vecs[kept[i].vec_id], vecs[kept[j].vec_id]
+                cos = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+                assert cos < 0.30, (kept[i].vec_id, kept[j].vec_id, cos)

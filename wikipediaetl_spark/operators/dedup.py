@@ -23,7 +23,7 @@ near-dup pipelines drop too-common shingles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from wikipediaetl_spark.catalog import query
@@ -622,4 +622,90 @@ def q141_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dup_fraction"
             ),
         )
+    )
+
+
+@query("q145_semdedup")
+def q145_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    clustering embeddings, then removing near-identical pairs WITHIN each
+    cluster, keeping the member with the lowest similarity to its cluster
+    centroid (the paper's diversity-preserving choice).
+
+    Spark shape: centroids come from the applyInPandas UDAF
+    (similarity.ivf_centroids — one shuffle on the coarse key); every vector
+    is then assigned to its NEAREST centroid (broadcast k×dim table, argmax
+    in-row — an honest assignment step, not the training label), and the
+    pairwise stage is a self-join ON THE CLUSTER KEY: per-cluster quadratic
+    by design, which is SemDeDup's own cost model — k grows with n (k≈√n in
+    the paper's regime) so n²/k per cluster stays bounded, and no pair ever
+    crosses clusters. Removal is an EXISTS semi-join (remove x iff some
+    same-cluster y with cos(x,y) ≥ τ precedes it in (centroid_sim, vec_id)
+    order) — the distributed relaxation of the paper's sequential greedy
+    scan; the kept set is exactly τ-separated within every cluster (asserted
+    in tests). Rows-only (k-means centroids are float-iterative, not
+    SQL-expressible); tests pin the separation + min-member invariants."""
+    from wikipediaetl_spark.operators.similarity import (
+        _vectors,
+        cosine_expr,
+        ivf_centroids,
+    )
+
+    tau = 0.30
+    e = _vectors(spark, sf_dir)
+    cents = ivf_centroids(e)
+    # assignment: nearest centroid (centroids are unit-norm, vectors carry
+    # precomputed norms → cosine argmax in-row against the broadcast table)
+    assigned = (
+        e.crossJoin(F.broadcast(cents.select(F.col("label").alias("cluster"), "centroid")))
+        .select(
+            "vec_id",
+            "v",
+            "cluster",
+            F.round(cosine_expr(F.col("v"), F.col("centroid")), 6).alias("centroid_sim"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("centroid_sim").desc(), F.col("cluster").asc()
+    )
+    member = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster", "centroid_sim")
+    )
+    a = member.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("cluster"),
+        F.col("centroid_sim").alias("sim_a"),
+    )
+    b = member.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("cluster"),
+        F.col("centroid_sim").alias("sim_b"),
+    )
+    # x removed iff ∃ same-cluster y with cos ≥ τ and y ≺ x in
+    # (centroid_sim asc, vec_id asc) — the kept survivor of any dup group is
+    # its (lowest-centroid-sim, lowest-id) member
+    removed = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .filter(
+            (F.col("sim_b") < F.col("sim_a"))
+            | ((F.col("sim_b") == F.col("sim_a")) & (F.col("vec_b") < F.col("vec_a")))
+        )
+        .filter(F.round(cosine_expr(F.col("va"), F.col("vb")), 6) >= tau)
+        .select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        member.join(removed.withColumn("rm", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "centroid_sim",
+            F.when(F.col("rm").isNull(), 1).otherwise(0).alias("keep"),
+        )
+        .orderBy("vec_id")
     )

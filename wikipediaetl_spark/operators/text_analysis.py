@@ -9,6 +9,7 @@ column expressions (no UDFs in the hot path, SURVEY.md §2.10 policy).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -483,4 +484,179 @@ def q142_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_dom.cast("int").alias("r_dominance"),
         r_div.cast("int").alias("r_diversity"),
         (r_len & r_tok_len & r_stop & r_dom & r_div).cast("int").alias("keep"),
+    )
+
+
+@query(
+    "q144_unigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tot AS (SELECT count(*) AS total FROM toks),
+    vocab AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+      ORDER BY cnt DESC, tok LIMIT 50000
+    ),
+    lp AS (
+      SELECT tok,
+             CAST(floor(ln(cnt * 1.0 / total) * 1000000 + 0.5) AS BIGINT) AS lp
+      FROM vocab CROSS JOIN tot
+    ),
+    oov AS (
+      SELECT CAST(floor(ln(1.0 / total) * 1000000 + 0.5) AS BIGINT) AS lp
+      FROM tot
+    ),
+    perdoc AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(coalesce(lp.lp, oov.lp)) AS BIGINT) AS sum_lp_micro
+      FROM toks t LEFT JOIN lp ON t.tok = lp.tok CROSS JOIN oov
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, sum_lp_micro,
+           floor(exp(-(sum_lp_micro / 1000000.0) / n_tokens) * 1000000 + 0.5)
+             / 1000000.0 AS perplexity,
+           CAST(floor(exp(-(sum_lp_micro / 1000000.0) / n_tokens) * 1000000 + 0.5)
+                / 1000000.0 <= 35.0 AS INT) AS keep
+    FROM perdoc
+    """,
+)
+def q144_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape LM-perplexity quality filter (Wenzek et al.,
+    arXiv:1911.00359 §4.3): score each document by the perplexity of a
+    language model and keep the low-perplexity head. CCNet uses a
+    pretrained 5-gram KenLM; with no model artifacts in the environment the
+    LM here is a corpus-trained unigram model — the dataflow (model lookup
+    join + per-doc log-prob reduction) is identical, only the scoring table
+    differs.
+
+    Exactness: per-token log-probs are quantized ONCE, vocab-side, to
+    integer micro-nats (floor(ln(p)*1e6+0.5) as BIGINT), so the per-doc
+    reduction is an exact integer sum — order-independent across any
+    partitioning, bit-identical on both engines; only the final per-doc
+    exp() is float, grid-rounded on the same lattice (q67's recipe, one
+    boundary-risk call per DOC rather than per token).
+
+    Scale shape: the vocab is capped to the top-50k tokens by frequency
+    (TakeOrdered, tree-reduced — no global sort) with an OOV floor prob of
+    1/total, exactly how production LM vocabs bound Zipfian tails; the
+    capped table broadcasts, so the token stream joins map-side and the
+    only real shuffles are the vocab count and the per-doc partial-agg
+    reduce (exploded tokens of a doc are co-partitioned, so partial
+    aggregation collapses them before the wire)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    total_df = toks.agg(F.count(F.lit(1)).alias("total"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(50_000)
+    )
+    micro = lambda p: F.floor(F.log(p) * 1_000_000 + F.lit(0.5)).cast("long")
+    lp = vocab.crossJoin(F.broadcast(total_df)).select(
+        "tok", micro(F.col("cnt") * 1.0 / F.col("total")).alias("lp")
+    )
+    oov = total_df.select(micro(F.lit(1.0) / F.col("total")).alias("oov_lp"))
+    perdoc = (
+        toks.join(F.broadcast(lp), "tok", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("lp", "oov_lp")).cast("long").alias("sum_lp_micro"),
+        )
+    )
+    ppl = (
+        F.floor(
+            F.exp(-(F.col("sum_lp_micro") / 1_000_000.0) / F.col("n_tokens"))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        / 1_000_000.0
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_tokens",
+        "sum_lp_micro",
+        ppl.alias("perplexity"),
+        (ppl <= 35.0).cast("int").alias("keep"),
+    )
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with trained merges: repeatedly apply the
+    present pair with the LOWEST training rank (standard BPE inference
+    order — training order, not greedy-by-count)."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+@query("q146_bpe_encode")
+def q146_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization apply — the inference half of q118's trainer: encode
+    every document with the trained merge table and report exact token
+    accounting (whitespace words in, BPE symbols out, compression vs
+    character-level).
+
+    Spark shape: training reuses q118's bounded path (distributed word
+    count → top-50k collect → driver merge loop); the merge table (tiny,
+    rank-ordered) broadcasts; encoding is an Arrow-batched pandas UDF with a
+    per-batch word memo — each DISTINCT word in a batch is encoded once,
+    which at corpus scale collapses the Zipfian token stream to near-vocab
+    cost per partition. Outputs are exact integers (+ one deterministic
+    division), so the op is reproducible run-to-run; rows-only because the
+    merge loop is iterative, not SQL. Tests assert parity with a driver-side
+    reference encode."""
+    from pyspark.sql.functions import pandas_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(50_000)
+        .collect()
+    )
+    merges = bpe_merges([(r.word, r.cnt) for r in counts], n_merges=20)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    b_ranks = spark.sparkContext.broadcast(ranks)
+
+    @pandas_udf("long")
+    def bpe_token_count(texts: pd.Series) -> pd.Series:
+        rk = b_ranks.value
+        memo: dict[str, int] = {}
+
+        def count_doc(text: str) -> int:
+            n = 0
+            for w in text.split(" "):
+                if w not in memo:
+                    memo[w] = len(bpe_encode_word(w, rk))
+                n += memo[w]
+            return n
+
+        return texts.map(count_doc)
+
+    n_words = F.size(F.split("text", " ")).cast("long")
+    # char-level baseline: every char + one </w> per word
+    n_chars = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + n_words).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_char_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).withColumn(
+        "compression",
+        F.round(F.col("n_char_tokens") * 1.0 / F.col("n_bpe_tokens"), 6),
     )
