@@ -72,3 +72,33 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_duplicate_spans_is_keyed_join(spark, sf_dir):
+    """q141's pair stage must be the inverted-index shingle join — a keyed
+    equi-join, never a cartesian/nested-loop pairing of documents."""
+    from wikipediaetl_spark.operators.dedup import q141_duplicate_spans
+
+    text = explain_str(q141_duplicate_spans(spark, sf_dir))
+    assert "CartesianProduct" not in text
+
+
+def test_perplexity_vocab_broadcasts(spark, sf_dir):
+    """q144's LM lookup table must reach the token stream as a broadcast
+    hash join (map-side), not a shuffled join of the exploded tokens."""
+    from wikipediaetl_spark.operators.text_analysis import q144_unigram_perplexity
+
+    text = explain_str(q144_unigram_perplexity(spark, sf_dir))
+    assert "BroadcastHashJoin" in text
+    assert "CartesianProduct" not in text
+
+
+def test_semdedup_pairs_stay_within_clusters(spark, sf_dir):
+    """q145's quadratic stage must be keyed on the cluster id (hash or
+    sort-merge equi-join) — the only nested-loop allowed is the k-row
+    broadcast centroid table."""
+    from wikipediaetl_spark.operators.dedup import q145_semdedup
+
+    text = explain_str(q145_semdedup(spark, sf_dir))
+    assert "CartesianProduct" not in text
+    assert "cluster" in text
