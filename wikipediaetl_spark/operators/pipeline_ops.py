@@ -425,3 +425,130 @@ def q139_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         "keep_rate",
     )
+
+
+@query(
+    "q148_pipeline_capstone",
+    oracle="""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 50),
+    feats AS (
+      SELECT doc_id, lang, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             string_split(text, ' ') AS w
+      FROM corpus
+    ),
+    q AS (
+      SELECT doc_id, lang, text, n_tokens,
+             (n_tokens BETWEEN 30 AND 5000
+              AND len(list_distinct(w)) * 1.0 / n_tokens >= 0.2
+              AND len(list_filter(w, t -> list_contains(['the','a','and','of','to'], t)))
+                  * 1.0 / n_tokens >= 0.02) AS q_ok
+      FROM feats
+    ),
+    reps AS (
+      SELECT min(doc_id) AS doc_id FROM q WHERE q_ok GROUP BY lower(trim(text))
+    ),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tri AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tok
+      FROM words, unnest(range(1, len(w) - 1)) t(i)
+    ),
+    kept AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM tri)
+      WHERE df <= (SELECT count(*) FROM documents) // 2
+    ),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, tok FROM kept WHERE doc_id >= 50) c
+      JOIN (SELECT doc_id AS bench_id, tok FROM kept WHERE doc_id < 50) b USING (tok)
+      GROUP BY c.doc_id, b.bench_id
+      HAVING count(*) >= 5
+    ),
+    status AS (
+      SELECT q.doc_id, q.lang, q.n_tokens, q.q_ok,
+             q.doc_id IN (SELECT doc_id FROM reps) AS is_rep,
+             q.doc_id NOT IN (SELECT doc_id FROM contaminated) AS clean
+      FROM q
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (q_ok) AS BIGINT) AS n_quality,
+           CAST(count(*) FILTER (q_ok AND is_rep) AS BIGINT) AS n_unique,
+           CAST(count(*) FILTER (q_ok AND is_rep AND clean) AS BIGINT) AS n_final,
+           CAST(coalesce(sum(n_tokens) FILTER (q_ok AND is_rep AND clean), 0) AS BIGINT)
+             AS tokens_final
+    FROM status GROUP BY lang
+    """,
+)
+def q148_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE: the full training-data curation funnel as ONE declarative
+    plan — Gopher-style quality gate → exact dedup among survivors →
+    benchmark decontamination — reported as a per-language funnel (docs in,
+    after quality, after dedup, after decontamination, final token budget).
+    This is the query a dataset curator actually ships; every stage is a
+    column predicate or keyed join, so Catalyst fuses the funnel into one
+    DAG with no driver round-trips between stages.
+
+    Scale shape: quality bits are in-row (q142's expressions); dedup is one
+    hash agg on the normalized-text key carrying min(doc_id); the decontam
+    flag reuses q86's capped inverted-index join (bench side broadcast);
+    final funnel counts are conditional aggregates (q76's shape) — integer
+    outputs end-to-end, no float parity surface at all."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") >= 50)
+    w = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to")])
+    n = F.size(w).cast("long")
+    q_ok = (
+        n.between(30, 5000)
+        & (F.size(F.array_distinct(w)) * 1.0 / n >= 0.2)
+        & (F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t))) * 1.0 / n >= 0.02)
+    )
+    q = corpus.select("doc_id", "lang", "text", n.alias("n_tokens"), q_ok.alias("q_ok"))
+    reps = (
+        q.filter("q_ok")
+        .groupBy(F.lower(F.trim(F.col("text"))).alias("nt"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("is_rep", F.lit(True))
+    )
+    # decontamination flags: q86's capped inverted-index chain
+    tri = _trigram_set(d)
+    n_docs = d.count()
+    hot = tri.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") > n_docs // 2
+    )
+    kept = tri.join(F.broadcast(hot), "tok", "left_anti")
+    bench = kept.filter(F.col("doc_id") < 50).select(F.col("doc_id").alias("bench_id"), "tok")
+    contaminated = (
+        kept.filter(F.col("doc_id") >= 50)
+        .join(F.broadcast(bench), "tok")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .select("doc_id")
+        .distinct()
+        .withColumn("dirty", F.lit(True))
+    )
+    status = (
+        q.join(reps, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "lang",
+            "n_tokens",
+            "q_ok",
+            F.coalesce("is_rep", F.lit(False)).alias("is_rep"),
+            F.col("dirty").isNull().alias("clean"),
+        )
+    )
+    final = F.col("q_ok") & F.col("is_rep") & F.col("clean")
+    return status.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("q_ok")).cast("long").alias("n_quality"),
+        F.count_if(F.col("q_ok") & F.col("is_rep")).cast("long").alias("n_unique"),
+        F.count_if(final).cast("long").alias("n_final"),
+        F.coalesce(F.sum(F.when(final, F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_final"),
+    )

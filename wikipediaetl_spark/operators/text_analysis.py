@@ -504,7 +504,9 @@ def q142_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM vocab CROSS JOIN tot
     ),
     oov AS (
-      SELECT CAST(floor(ln(1.0 / total) * 1000000 + 0.5) AS BIGINT) AS lp
+      -- greatest(total,1): on an empty corpus the OOV row still evaluates;
+      -- its value is never joined to anything, but ln(1/0) must not raise
+      SELECT CAST(floor(ln(1.0 / greatest(total, 1)) * 1000000 + 0.5) AS BIGINT) AS lp
       FROM tot
     ),
     perdoc AS (
@@ -558,7 +560,9 @@ def q144_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = vocab.crossJoin(F.broadcast(total_df)).select(
         "tok", micro(F.col("cnt") * 1.0 / F.col("total")).alias("lp")
     )
-    oov = total_df.select(micro(F.lit(1.0) / F.col("total")).alias("oov_lp"))
+    oov = total_df.select(
+        micro(F.lit(1.0) / F.greatest(F.col("total"), F.lit(1))).alias("oov_lp")
+    )
     perdoc = (
         toks.join(F.broadcast(lp), "tok", "left")
         .crossJoin(F.broadcast(oov))

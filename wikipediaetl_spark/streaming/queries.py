@@ -285,3 +285,37 @@ def q101_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return _run_to_completion(deduped, "append")
+
+
+@query(
+    "q147_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q147_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the unbounded event stream joined to a
+    bounded dimension (customer), then a running per-segment aggregate —
+    the canonical lookup-enrichment every streaming pipeline runs (the
+    reference's analogue: each fetched page consulting the static domain
+    allow-list, filter semantics in parser/app/main.py).
+
+    Scale posture: the static side is read once per micro-batch and
+    broadcast — stream rows never shuffle for the join (stateless, no
+    watermark needed; only the downstream agg keeps state, keyed by the
+    5-value segment). Batch-equivalence: complete-mode output over the
+    bounded fixture must equal the plain batch join, which is the oracle."""
+    from wikipediaetl_spark.sources import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return _run_to_completion(agg, "complete")
