@@ -49,6 +49,7 @@ QUERIES = [
     "q86_decontamination",
     "q53_shingle_neardup",
     "q51_hash_dedup",
+    "q148_pipeline_capstone",
 ]
 
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "events", "embeddings")
