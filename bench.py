@@ -41,6 +41,7 @@ HEADLINE = [
     "q83_neardup_clusters",
     "q86_decontamination",
     "q90_sequence_packing",
+    "q148_pipeline_capstone",
 ]
 
 
