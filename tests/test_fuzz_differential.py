@@ -255,3 +255,73 @@ def test_random_scalar_compositions(spark, ducks, seed):
     ).collect()
     got = sorted("|".join(_canon(v) for v in row) for row in got_rows)
     assert got == want, f"scalar divergence: {outer_sql} / {d_sql}"
+
+
+# ---------------------------------------------------------------- curation ops
+
+
+_FUZZ_VOCAB = (
+    "the a and of to spark duck table row shuffle join scan filter "
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+).split()
+
+
+def _random_corpus(rng: random.Random, n_docs: int):
+    """Random documents with injected exact duplicates and shared spans —
+    the adversarial inputs for dedup/quality operators."""
+    docs = []
+    for i in range(n_docs):
+        n = rng.randint(1, 60)
+        toks = [rng.choice(_FUZZ_VOCAB) for _ in range(n)]
+        docs.append((i, rng.choice(["en", "de"]), "fuzz", " ".join(toks)))
+    # exact duplicate pair
+    if n_docs >= 4:
+        docs[1] = (1, docs[0][1], "fuzz", docs[0][3])
+    # shared 8-token span between two otherwise-random docs
+    if n_docs >= 6:
+        span = " ".join(rng.choice(_FUZZ_VOCAB) for _ in range(8))
+        docs[2] = (2, "en", "fuzz", docs[2][3] + " " + span)
+        docs[3] = (3, "en", "fuzz", span + " " + docs[3][3])
+    return docs
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_curation_ops_differential_on_random_corpora(spark, tmp_path, seed):
+    """q141/q142/q144/q148 on a random corpus: the Spark plan and its DuckDB
+    oracle must agree exactly on inputs neither was hand-tuned for
+    (duplicate injection, shared spans, 1-token docs, skewed vocab)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import canon_rows
+
+    from wikipediaetl_spark.catalog import all_queries
+
+    rng = random.Random(4200 + seed)
+    docs = _random_corpus(rng, rng.randint(6, 30))
+    path = str(tmp_path / f"fuzz{seed}")
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, source string, text string"
+    ).write.parquet(f"{path}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a directory of part files; DuckDB needs the glob
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/documents.parquet/*.parquet')"
+    )
+    qs = all_queries()
+    for name in (
+        "q141_duplicate_spans",
+        "q142_gopher_rules",
+        "q144_unigram_perplexity",
+        "q148_pipeline_capstone",
+    ):
+        sdf = qs[name].fn(spark, path)
+        srows = sdf.collect()
+        ores = con.execute(qs[name].oracle)
+        ocols = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+        assert len(srows) == len(orows), name
+        assert sorted(sdf.columns) == sorted(ocols), name
+        assert canon_rows(sdf.columns, [tuple(r) for r in srows]) == canon_rows(
+            ocols, orows
+        ), f"{name} seed={seed}"

@@ -58,3 +58,47 @@ def test_foreach_batch_sink_checkpoint_recovery(spark, sf_dir, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out).count() == n_events
+
+
+def test_exact_stateful_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """q149's state transition across REAL micro-batch boundaries: events
+    split into 4 files streamed one file per trigger -> 4 state updates per
+    key; the final state must equal the single-batch answer exactly (the
+    integer-cents fold is order-independent by construction)."""
+    from wikipediaetl_spark.streaming.stateful import running_user_stats_exact
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    src = str(tmp_path / "multi")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = _run_to_completion(running_user_stats_exact(stream), "update")
+    # several updates per key: keep the one with the highest n_events
+    final = {
+        r.user_id: r
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_cents").alias("total_cents"),
+            F.max("max_value").alias("max_value"),
+        )
+        .collect()
+    }
+    batch = {
+        r.user_id: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert len(final) == len(batch)
+    for uid, r in final.items():
+        assert r.n_events == batch[uid].n
+        assert r.total_cents == batch[uid].cents  # exact, not approximate
+        assert r.max_value == batch[uid].mx

@@ -80,9 +80,13 @@ def _tokens(d: DataFrame) -> DataFrame:
 def _shingles(d: DataFrame, n: int = 2) -> DataFrame:
     """Distinct word n-gram shingles per doc (native exprs, no UDF)."""
     w = F.split(F.col("text"), " ")
+    # docs shorter than n tokens have no shingles: guard the sequence, which
+    # would otherwise run descending into negative slice starts and raise
     sh = F.expr(
-        f"transform(sequence(0, size(split(text, ' ')) - {n}), "
-        + f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+        f"if(size(split(text, ' ')) >= {n}, "
+        + f"transform(sequence(0, size(split(text, ' ')) - {n}), "
+        + f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n}))), "
+        + "array())"
     )
     return (
         d.select("doc_id", F.explode(sh).alias("tok"))
@@ -586,10 +590,13 @@ def q141_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     k = 5
+    # sub-k-token docs have no k-grams (mirrors the oracle's empty range)
     sh = F.expr(
+        f"if(size(split(text, ' ')) >= {k}, "
         f"transform(sequence(0, size(split(text, ' ')) - {k}), "
         f"i -> struct(i + 1 AS start_pos, "
-        f"concat_ws(' ', slice(split(text, ' '), i + 1, {k})) AS sh))"
+        f"concat_ws(' ', slice(split(text, ' '), i + 1, {k})) AS sh)), "
+        "array())"
     )
     shingles = d.select(
         "doc_id", F.explode(sh).alias("s")

@@ -319,3 +319,45 @@ def q147_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
     return _run_to_completion(agg, "complete")
+
+
+@query(
+    "q149_stateful_running_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q149_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator as a checked query: per-user running
+    (count, exact sum, max) via applyInPandasWithState (SURVEY.md §2.9 [E] —
+    the 'stateful consumer with a side store' the reference builds with
+    Redis, as Spark GroupState). The state transition quantizes each value
+    to integer cents on arrival so the running sum is an exact integer fold
+    — identical under ANY micro-batch or row arrival order, which is what
+    makes a custom stateful operator checkable against a batch oracle at
+    all (and replay/retry-stable in production).
+
+    The bounded run emits one update per key per micro-batch; the final
+    per-key state (max n_events) is the batch-equivalent answer."""
+    from pyspark.sql import Window as W
+
+    from wikipediaetl_spark.streaming.stateful import running_user_stats_exact
+
+    ev = _events_stream(spark, sf_dir)
+    updates = _run_to_completion(running_user_stats_exact(ev), "update")
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_cents").cast("double") / 100.0).alias("total_value"),
+            "max_value",
+        )
+    )

@@ -66,3 +66,57 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EXACT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+EXACT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def _update_exact(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Order-independent state transition: the running sum is kept in integer
+    cents (each value grid-quantized ONCE on arrival), so the fold result is
+    identical under any micro-batch/row arrival order — the property that
+    makes the operator's output oracle-checkable and replay-stable."""
+    import numpy as np
+
+    n, cents, mx = state.get if state.exists else (0, 0, float("-inf"))
+    for pdf in batches:
+        n += len(pdf)
+        cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
+        mx = max(mx, float(pdf["value"].max()))
+    state.update((n, cents, mx))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_cents": [cents], "max_value": [mx]}
+    )
+
+
+def running_user_stats_exact(events_stream: DataFrame) -> DataFrame:
+    """Per-user running (count, cents-sum, max) in GroupState — the
+    oracle-checkable variant of ``running_user_stats``."""
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_exact,
+            outputStructType=EXACT_OUTPUT_SCHEMA,
+            stateStructType=EXACT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
