@@ -325,3 +325,62 @@ def test_curation_ops_differential_on_random_corpora(spark, tmp_path, seed):
         assert canon_rows(sdf.columns, [tuple(r) for r in srows]) == canon_rows(
             ocols, orows
         ), f"{name} seed={seed}"
+
+
+def _doc_only_queries():
+    """Catalog queries whose oracle touches ONLY the documents table — the
+    set that can run against a crafted random corpus."""
+    from wikipediaetl_spark.catalog import all_queries
+    from wikipediaetl_spark.sources import TABLE_NAMES
+
+    others = [t for t in TABLE_NAMES if t != "documents"]
+    return sorted(
+        n
+        for n, q in all_queries().items()
+        if q.oracle and "documents" in q.oracle and not any(t in q.oracle for t in others)
+    )
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_all_document_queries_differential_on_random_corpus(spark, tmp_path, seed):
+    """Catalog-wide random-corpus sweep: EVERY documents-only oracle query
+    must agree with its DuckDB twin on a corpus it was never tuned for —
+    1-token docs, duplicated docs, skewed vocab. This is the harness that
+    caught the short-doc shingle crash."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import canon_rows
+
+    from wikipediaetl_spark.catalog import all_queries
+
+    rng = random.Random(9000 + seed)
+    docs = []
+    for i in range(25):
+        n = rng.randint(1, 60)
+        t = " ".join(rng.choice(_FUZZ_VOCAB) for _ in range(n))
+        docs.append((i, t, rng.choice(["en", "de"]), "fuzz", len(t)))
+    docs[1] = (1, docs[0][1], docs[0][2], "fuzz", docs[0][4])  # exact dup
+    path = str(tmp_path / "sweep")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{path}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/documents.parquet/*.parquet')"
+    )
+    qs = all_queries()
+    failures = []
+    for name in _doc_only_queries():
+        sdf = qs[name].fn(spark, path)
+        srows = sdf.collect()
+        ores = con.execute(qs[name].oracle)
+        ocols = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+        if not (
+            len(srows) == len(orows)
+            and sorted(sdf.columns) == sorted(ocols)
+            and canon_rows(sdf.columns, [tuple(r) for r in srows]) == canon_rows(ocols, orows)
+        ):
+            failures.append(name)
+    assert not failures, f"seed={seed}: {failures}"
