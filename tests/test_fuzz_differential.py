@@ -384,3 +384,94 @@ def test_all_document_queries_differential_on_random_corpus(spark, tmp_path, see
         ):
             failures.append(name)
     assert not failures, f"seed={seed}: {failures}"
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_all_event_queries_differential_on_random_events(spark, tmp_path, seed):
+    """Events-family sweep (batch AND streaming): every events-only oracle
+    query must agree with DuckDB on random events — malformed/empty/null
+    JSON props, negative values, duplicated rows, session-gap-spanning
+    timestamps. Caught: non-total JSON oracles, whole-map-nulling
+    from_json(map<string,int>). Written as ONE tz-aware parquet file (the
+    file-stream source layout)."""
+    import datetime as dt
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import canon_rows
+
+    from wikipediaetl_spark.catalog import all_queries
+    from wikipediaetl_spark.sources import TABLE_NAMES
+
+    rng = random.Random(5100 + seed)
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for i in range(200):
+        ts = base + dt.timedelta(seconds=rng.randint(0, 2 * 86400))
+        props = rng.choice(
+            [
+                '{"k": %d, "s": "x"}' % rng.randint(0, 9),
+                '{"k": %d}' % rng.randint(0, 9),
+                "not json at all",
+                "",
+                None,
+                '{"nested": {"deep": 1}}',
+            ]
+        )
+        rows.append(
+            (
+                i,
+                ts,
+                rng.randint(0, 8),
+                rng.choice(["click", "view", "purchase", "scroll"]),
+                rng.randint(-5000, 100000) / 100.0,  # exact 2-decimal values
+                props,
+            )
+        )
+    rows[10] = (10,) + rows[9][1:]  # duplicate payload, distinct event_id
+    path = str(tmp_path / f"ev{seed}")
+    import os
+
+    os.makedirs(path)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        f"{path}/events.parquet",
+    )
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/events.parquet')"
+    )
+    others = [t for t in TABLE_NAMES if t != "events"]
+    qs = all_queries()
+    names = sorted(
+        n
+        for n, q in qs.items()
+        if q.oracle and "events" in q.oracle and not any(t in q.oracle for t in others)
+    )
+    failures = []
+    for name in names:
+        sdf = qs[name].fn(spark, path)
+        srows = sdf.collect()
+        ores = con.execute(qs[name].oracle)
+        ocols = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+        if not (
+            len(srows) == len(orows)
+            and sorted(sdf.columns) == sorted(ocols)
+            and canon_rows(sdf.columns, [tuple(r) for r in srows]) == canon_rows(ocols, orows)
+        ):
+            failures.append(name)
+    assert not failures, f"seed={seed}: {failures}"

@@ -782,11 +782,19 @@ def q28_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q29_json_extract",
     oracle="""
+    WITH j AS (
+      -- total function: malformed/empty props -> NULL, exactly Spark's
+      -- get_json_object semantics (DuckDB's json_extract raises otherwise)
+      SELECT event_type,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
+      FROM events
+    )
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) * 1.0 / count(*) AS avg_k,
-           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
-    FROM events
+           sum(k) * 1.0 / count(*) AS avg_k,
+           max(k) AS max_k
+    FROM j
     GROUP BY event_type
     """,
 )

@@ -363,9 +363,12 @@ def q83_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q84_map_ops",
     oracle="""
     SELECT event_id,
-           json_keys(props)[1] AS first_key,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
-           CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN json_keys(props)[1] END AS first_key,
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k_value,
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN CAST(len(json_keys(props)) AS INTEGER) END AS n_keys
     FROM events
     WHERE event_id < 2000
     """,
@@ -375,11 +378,15 @@ def q84_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     then map_keys / element access / size (SURVEY.md §1.2 header-map type,
     fetcher/app/main.py:86)."""
     e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    m = F.from_json("props", "map<string,int>")
+    # parse as map<string,string> (total for ANY flat or nested JSON object —
+    # map<string,int> would null the WHOLE map when one value is non-int,
+    # found by the events fuzzer) and cast the typed field at access time,
+    # matching the oracle's per-key json_extract semantics
+    m = F.from_json("props", "map<string,string>")
     return e.select(
         "event_id",
         F.element_at(F.map_keys(m), 1).alias("first_key"),
-        m["k"].alias("k_value"),
+        m["k"].cast("int").alias("k_value"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
 
