@@ -96,3 +96,26 @@ def test_perplexity_prefers_frequent_tokens(spark, tmp_path):
     path = _write_documents(spark, tmp_path, rows)
     out = {r.doc_id: r for r in all_queries()["q144_unigram_perplexity"].fn(spark, path).collect()}
     assert out[1].perplexity < out[2].perplexity < out[3].perplexity
+
+
+def test_content_hash_sample_is_content_keyed(spark, tmp_path):
+    """q151: identical texts under different doc_ids make the same keep/drop
+    decision (content-keyed), and the decision is stable across runs."""
+    import hashlib
+
+    from wikipediaetl_spark.operators.pipeline_ops import q151_content_hash_sample
+
+    texts = [f"document number {i} with some filler words" for i in range(40)]
+    rows = [(i, "en", "web", texts[i]) for i in range(40)]
+    # same texts, re-numbered ids: the sampled multiset of texts must match
+    rows_renum = [(1000 + i, "en", "web", texts[i]) for i in range(40)]
+    p1 = _write_documents(spark, tmp_path / "a", rows)
+    p2 = _write_documents(spark, tmp_path / "b", rows_renum)
+    s1 = q151_content_hash_sample(spark, p1).collect()
+    s2 = q151_content_hash_sample(spark, p2).collect()
+    assert [(r.lang, r.n_sampled) for r in s1] == [(r.lang, r.n_sampled) for r in s2]
+    # cross-check the decision rule against a python md5 reference
+    expect = sum(
+        1 for t in texts if hashlib.md5(("s1|" + t).encode()).hexdigest()[:4] < "2900"
+    )
+    assert s1[0].n_sampled == expect

@@ -200,3 +200,29 @@ def test_semdedup_invariants(spark, sf_dir):
                 a, b = vecs[kept[i].vec_id], vecs[kept[j].vec_id]
                 cos = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
                 assert cos < 0.30, (kept[i].vec_id, kept[j].vec_id, cos)
+
+
+def test_minhash_portable_exact_dups_share_all_bands(spark):
+    """q150's md5 minhash: identical texts get identical signatures, so the
+    pair must surface with all 4 bands shared; disjoint-vocabulary docs must
+    not pair at all."""
+    from wikipediaetl_spark.operators.dedup import q150_minhash_portable
+
+    d = _near_dup_docs(spark)
+    import wikipediaetl_spark.operators.dedup as dd
+
+    orig = dd.load_table
+    try:
+        dd.load_table = lambda spark, sf_dir, name: d
+        out = {(r.doc_a, r.doc_b): r.n_shared_bands for r in q150_minhash_portable(spark, "x").collect()}
+    finally:
+        dd.load_table = orig
+    assert out[(0, 1)] == 4
+    assert not any({a, b} & {3} and {a, b} & {0, 1, 2} for (a, b) in out)
+
+
+def test_minhash_portable_plan_no_cartesian(spark, sf_dir):
+    from wikipediaetl_spark.operators.dedup import q150_minhash_portable
+
+    plan = _plan(q150_minhash_portable(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

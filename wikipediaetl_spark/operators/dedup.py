@@ -276,6 +276,92 @@ def q54_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q150_minhash_portable",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS tok
+      FROM words, unnest(range(1, len(w))) t(i)
+    ),
+    sigs AS (
+      SELECT doc_id,
+             min(md5('0|' || tok)) AS sig_0,
+             min(md5('1|' || tok)) AS sig_1,
+             min(md5('2|' || tok)) AS sig_2,
+             min(md5('3|' || tok)) AS sig_3,
+             min(md5('4|' || tok)) AS sig_4,
+             min(md5('5|' || tok)) AS sig_5,
+             min(md5('6|' || tok)) AS sig_6,
+             min(md5('7|' || tok)) AS sig_7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx, md5(sig_0 || '|' || sig_1) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+      UNION ALL
+      SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+      UNION ALL
+      SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(DISTINCT a.band_idx) AS n_shared_bands
+    FROM bands a
+    JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q150_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash(8) + LSH(4 bands × 2): signatures are
+    ``min(md5(seed || shingle))`` — lexicographic min over lowercase hex
+    digests — so a DuckDB oracle computes the *identical* signatures and the
+    whole shingle→minhash→band→bucket-join pipeline is hash-verified
+    end-to-end (unlike q54, whose xxhash64 family is Spark-only and
+    rows-only-checked).
+
+    Same scale shape as q54: one explode + one map-side-combinable aggregate
+    for signatures, then an equi-join on (band_idx, band_hash) — collision
+    buckets bound the pair count; no cross product anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d, n=2)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("tok")))).alias(f"sig_{k}")
+            for k in range(8)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat(F.col(f"sig_{2 * b}"), F.lit("|"), F.col(f"sig_{2 * b + 1}"))
+                ).alias("band_hash"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct(F.col("band_idx")).alias("n_shared_bands"))
+    )
+
+
 def simhash_fingerprints(toks: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash fingerprints from ``toks(doc_id, tok)``: token hashes vote per
     bit (+1/-1); fingerprint bit i = sign of the vote sum. Computed as

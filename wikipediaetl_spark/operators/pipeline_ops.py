@@ -209,6 +209,40 @@ def q89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q151_content_hash_sample",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_sampled,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents
+    WHERE substr(md5('s1|' || text), 1, 4) < '2900'
+    GROUP BY lang
+    """,
+)
+def q151_content_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed consistent sampling: keep a doc iff the first 16 bits of
+    md5(seed || text) fall under a threshold (0x2900/0x10000 ≈ 16%). Keyed on
+    content rather than id, the decision survives re-crawls, re-sharding and
+    id reassignment, and exact duplicates sample identically — the
+    reproducible-subsample primitive for ablation corpora. Pure narrow
+    projection + filter + partial agg: no shuffle of document bodies, and the
+    lexicographic hex comparison makes the identical decision in any engine
+    (both sides emit lowercase hex; binary collation)."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = F.substring(F.md5(F.concat(F.lit("s1|"), F.col("text"))), 1, 4) < "2900"
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@query(
     "q90_sequence_packing",
     oracle="""
     WITH sized AS (

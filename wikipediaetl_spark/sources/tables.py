@@ -48,6 +48,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Fixtures may store timestamps as parquet TIMESTAMP(MICROS) with
+    # isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ. Normalize
+    # to TimestampType so watermarks/windows work and literal comparisons keep
+    # one type. The NTZ->LTZ cast and the collect-side LTZ->naive conversion
+    # both use the session timezone, so wall-clock values round-trip exactly
+    # and match DuckDB's naive reading of the same files.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -43,6 +43,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # MICROS/isAdjustedToUTC=false fixtures infer as NTZ, which
+        # withWatermark rejects; normalize like sources/tables.py.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
