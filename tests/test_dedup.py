@@ -226,3 +226,41 @@ def test_minhash_portable_plan_no_cartesian(spark, sf_dir):
 
     plan = _plan(q150_minhash_portable(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_portable_matches_python_reference(spark):
+    """q152's nibble-arithmetic bit decode must equal a python md5 bit
+    reference on a crafted doc set, and exact dups must pair at hamming 0."""
+    import hashlib
+
+    import wikipediaetl_spark.operators.dedup as dd
+    from wikipediaetl_spark.operators.dedup import q152_simhash_portable
+
+    d = _near_dup_docs(spark)
+    orig = dd.load_table
+    try:
+        dd.load_table = lambda spark, sf_dir, name: d
+        out = {(r.doc_a, r.doc_b): r.hamming for r in q152_simhash_portable(spark, "x").collect()}
+    finally:
+        dd.load_table = orig
+    assert out[(0, 1)] == 0  # identical texts -> identical fingerprints
+
+    def fp(text):
+        votes = [0] * 32
+        for tok in set(text.split(" ")):
+            h = int(hashlib.md5(("sh|" + tok).encode()).hexdigest()[:8], 16)
+            # nibble j of the hex digest holds bits 4j..4j+3 (MSB-first hex,
+            # so bit (4j+b) of our fingerprint = bit b of nibble j)
+            for i in range(32):
+                j, b = divmod(i, 4)
+                nib = (h >> (4 * (7 - j))) & 0xF
+                votes[i] += 1 if (nib >> b) & 1 else -1
+        return sum(1 << i for i in range(32) if votes[i] > 0)
+
+    rows = {r.doc_id: r.text for r in d.collect()}
+    f0, f2 = fp(rows[0]), fp(rows[2])
+    ham = bin(f0 ^ f2).count("1")
+    if ham <= 3:
+        assert out.get((0, 2)) == ham
+    else:
+        assert (0, 2) not in out

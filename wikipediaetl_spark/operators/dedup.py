@@ -462,6 +462,122 @@ def q55_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(fps, bits=32, max_hamming=6)
 
 
+# Engine-portable SimHash: bit i of a token's 32-bit hash is recovered from
+# the first 8 hex nibbles of md5 with pure integer arithmetic —
+# nibble value d_j = strpos('0123456789abcdef', substr(h, j+1, 1)) - 1,
+# bit (4j+b)   = floor(d_j / 2^b) % 2
+# — the same expressions evaluate identically in Spark SQL and DuckDB, so
+# (unlike xxhash64-based q55) the whole fingerprint is oracle-checkable.
+_HEXTAB = "0123456789abcdef"
+
+
+def _simhash_vote_sql(i: int, h: str) -> str:
+    """SQL for the ±1 vote of fingerprint bit ``i`` given hex digest ``h``
+    (dialect-neutral: instr/substr/floor/% behave identically)."""
+    j, b = divmod(i, 4)
+    bit = f"(floor((instr('{_HEXTAB}', substr({h}, {j + 1}, 1)) - 1) / {1 << b}) % 2)"
+    return f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+
+
+_SIMHASH_FP_SQL = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+)
+_SIMHASH_VOTES_SQL = ",\n             ".join(
+    f"{_simhash_vote_sql(i, 'h')} AS v{i}" for i in range(32)
+)
+
+
+@query(
+    "q152_simhash_portable",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5('sh|' || tok) AS h FROM toks),
+    votes AS (
+      SELECT doc_id,
+             {_SIMHASH_VOTES_SQL}
+      FROM hashed GROUP BY doc_id
+    ),
+    fps AS (SELECT doc_id, CAST({_SIMHASH_FP_SQL} AS BIGINT) AS fp FROM votes),
+    bands AS (
+      -- integer-literal divisors: fp // power(256, k) would promote to
+      -- DOUBLE, where DuckDB's // does not floor and the BIGINT cast rounds
+      SELECT doc_id, fp, 0 AS band_idx, (fp // 1) % 256 AS band_bits FROM fps
+      UNION ALL SELECT doc_id, fp, 1, (fp // 256) % 256 FROM fps
+      UNION ALL SELECT doc_id, fp, 2, (fp // 65536) % 256 FROM fps
+      UNION ALL SELECT doc_id, fp, 3, (fp // 16777216) % 256 FROM fps
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           min(bit_count(xor(a.fp, b.fp))) AS hamming
+    FROM bands a
+    JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING min(bit_count(xor(a.fp, b.fp))) <= 3
+    """,
+)
+def q152_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable SimHash(32) + pigeonhole banding, Hamming ≤ 3.
+
+    Token bit-votes come from md5 hex nibbles via integer arithmetic shared
+    between both dialects (see _simhash_vote_sql), so the DuckDB oracle
+    computes bit-identical
+    fingerprints and the whole vote → fingerprint → 4×8-bit band →
+    bucket-join → bit_count verify pipeline is hash-verified end-to-end.
+    Completeness: Hamming ≤ 3 over 4 disjoint 8-bit bands pigeonholes at
+    least one band equal, so the equi-join loses no qualifying pair.
+
+    Scale shape: one explode + one 32-way conditional aggregate (map-side
+    combinable) per doc, then an equi-join on (band_idx, band_bits) — no
+    cross product; collision buckets bound the pair count. At corpus scale
+    band width must grow with log2(n) to keep buckets small: 4×8-bit bands
+    suit fixture-size inputs; a 1e9-doc corpus wants a 64-bit fingerprint
+    with 16-bit bands (same pipeline, wider _simhash_vote_sql range).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    hashed = toks.select(
+        "doc_id", F.md5(F.concat(F.lit("sh|"), F.col("tok"))).alias("h")
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[F.expr(_simhash_vote_sql(i, "h")).alias(f"v{i}") for i in range(32)]
+    )
+    fps = votes.select(
+        "doc_id", F.expr(_SIMHASH_FP_SQL).cast("long").alias("fp")
+    )
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        (F.expr(f"fp div {256 ** k}") % 256).alias("band_bits"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "fp", "band.band_idx", "band.band_bits")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "band_idx", "band_bits"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"), "band_idx", "band_bits"
+    )
+    return (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min(F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))).alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
 @query(
     "q56_embedding_neardup",
     oracle="""
