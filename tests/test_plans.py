@@ -102,3 +102,23 @@ def test_semdedup_pairs_stay_within_clusters(spark, sf_dir):
     text = explain_str(q145_semdedup(spark, sf_dir))
     assert "CartesianProduct" not in text
     assert "cluster" in text
+
+
+def test_decontamination_corpus_never_shuffles(spark, sf_dir):
+    """q86's 100TB property: the full trigram occurrence stream reaches the
+    bench-shingle BroadcastHashJoin in the SAME narrow stage as the scan —
+    no Exchange may sit between the documents scan/explode and that join.
+    Only post-join (pruned) data may shuffle."""
+    from wikipediaetl_spark.operators.pipeline_ops import q86_decontamination
+
+    text = explain_str(q86_decontamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in text
+    assert "CartesianProduct" not in text
+    # in the tree printout the join's streamed (left) subtree is the block of
+    # ":"-prefixed lines between the join node and its "+- BroadcastExchange"
+    # build side; that block is the corpus scan→split→explode→hash chain and
+    # must contain no Exchange
+    tree = text.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange", 1)[0]
+    streamed = [ln for ln in tree.splitlines() if ln.lstrip().startswith(":")]
+    assert streamed, "expected a printed streamed-side subtree"
+    assert not any("Exchange" in ln for ln in streamed), "\n".join(streamed)

@@ -125,6 +125,10 @@ def main() -> None:
     build_s = time.perf_counter() - t0
 
     qs = all_queries()
+    # SPARK_GRAFT_SCALE_QUERIES=q01_...,q51_... limits the run (large factors
+    # where the heavy pipeline queries would run for tens of minutes)
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    queries = [q for q in QUERIES if q in set(only.split(","))] if only else QUERIES
     # 32MB input splits: the replicated fact files are single ~1GB parquet
     # files, and the default 128MB split gives only ~8 scan tasks on 32
     # cores. 32MB was measured the sweet spot (8MB loses to task overhead).
@@ -139,7 +143,7 @@ def main() -> None:
     qs["q01_pricing_summary"].fn(spark, BASE).collect()
 
     result: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in queries:
         qd = qs[name]
         best = float("inf")
         for _ in range(2):
@@ -161,7 +165,10 @@ def main() -> None:
     }
     print(json.dumps(payload))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_SCALE.json"), "w") as f:
+    # the canonical artifact is the full 100x run; subset/odd-factor runs
+    # (trend points) are written factor-suffixed next to it
+    suffix = "" if factor == 100 and not only else f"_{factor}x"
+    with open(os.path.join(repo, f"BENCH_SCALE{suffix}.json"), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
 
 

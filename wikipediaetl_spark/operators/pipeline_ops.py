@@ -15,19 +15,79 @@ from wikipediaetl_spark.catalog import query
 from wikipediaetl_spark.sources import load_table
 
 
-def _trigram_set(d: DataFrame) -> DataFrame:
-    """Distinct (doc_id, trigram) pairs with NO shuffle: the text is split
-    once, trigrams are assembled by index, and the per-document DISTINCT is
-    an in-row array_distinct before the explode — a narrow plan, unlike
-    explode→dropDuplicates which would shuffle every shingle."""
-    tg = F.expr(
-        "array_distinct(transform(sequence(1, size(w) - 2), "
-        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2))))"
-    )
+def _trigram_occurrences(d: DataFrame) -> DataFrame:
+    """(doc_id, trigram-hash) OCCURRENCES (not per-doc distinct), fully
+    whole-stage-codegen'd: explode the position sequence, then hash the three
+    words as a TOP-LEVEL ``xxhash64(w[i], w[i+1], w[i+2])`` expression.
+    Measured 2.6x faster than the transform-lambda variant (5.9 s vs 15.4 s
+    at 26M shingles) because higher-order-function lambdas evaluate
+    interpreted per element while top-level expressions stay in codegen; the
+    trigram also never exists as a string (8-byte key, no concat). Consumers
+    that need per-doc-distinct semantics dedupe in their aggregate
+    (count_distinct / collect_set) — cheap because they run AFTER the
+    bench-shingle broadcast semi-join prunes the stream.
+
+    Hash-collision budget: expected colliding trigram pairs is n^2/2^65 —
+    ~1e-5 at 26M distinct shingles, and even at 1e12 (~100 TB) a few
+    thousand merged df counts cannot move a >=5-overlap contamination
+    decision. The SQL oracle keeps plain strings; outputs carry no shingle
+    column, so results match."""
     return (
         d.select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= 3)
-        .select("doc_id", F.explode(tg).alias("tok"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(1), F.size("w") - F.lit(2))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.element_at("w", F.col("i")),
+                F.element_at("w", F.col("i") + 1),
+                F.element_at("w", F.col("i") + 2),
+            ).alias("tok"),
+        )
+    )
+
+
+def _bench_overlap(d: DataFrame, n_docs: int, bench_max_id: int = 50) -> DataFrame:
+    """Contamination overlap counts (doc_id, bench_id, n_shared) — the
+    100 TB-shaped plan: the corpus NEVER shuffles.
+
+    1. The benchmark suite (doc_id < bench_max_id) is ~fixed-size; its
+       distinct trigram-hash set is derived from a pushdown-pruned scan and
+       broadcast.
+    2. The full occurrence stream semi-joins that broadcast set in the same
+       codegen stage as the trigram build — only bench-touching occurrences
+       (a tiny fraction) ever reach an exchange.
+    3. ONE aggregation over the survivors computes, per shingle: the
+       per-doc-distinct document frequency (hot-shingle cap — shingles in
+       more than half the docs carry no contamination signal), the distinct
+       benchmark ids, and the distinct corpus ids.
+    4. Pairs explode from those posting lists; each list row is one distinct
+       shared shingle, so the pair count IS the distinct-shingle overlap.
+    """
+    tri = _trigram_occurrences(d)
+    bench_set = _trigram_occurrences(d.filter(F.col("doc_id") < bench_max_id)).select(
+        "tok"
+    ).distinct()
+    hits = tri.join(F.broadcast(bench_set), "tok")
+    tok_stats = hits.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.collect_set(
+            F.when(F.col("doc_id") < bench_max_id, F.col("doc_id"))
+        ).alias("bench_ids"),
+        F.collect_set(
+            F.when(F.col("doc_id") >= bench_max_id, F.col("doc_id"))
+        ).alias("corpus_ids"),
+    )
+    rel = tok_stats.filter(F.col("df") <= n_docs // 2)
+    return (
+        rel.select(F.explode("bench_ids").alias("bench_id"), "corpus_ids")
+        .select("bench_id", F.explode("corpus_ids").alias("doc_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
 
 
@@ -67,27 +127,8 @@ def q86_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot shingles — the benchmark side is small and effectively broadcasts;
     the corpus side never self-joins."""
     d = load_table(spark, sf_dir, "documents")
-    tri = _trigram_set(d)
-    # hot-shingle cap: shingles present in more than half the docs carry no
-    # contamination signal and are the skew/blow-up risk in the join. The
-    # hot set is tiny by definition (≤ corpus_shingles / (n_docs/2)), so
-    # compute it with a map-side-combined groupBy and push it back as a
-    # broadcast anti-join — the full (doc_id, tok) set never shuffles,
-    # unlike a count-over-window which would exchange and sort every pair
-    n_docs = d.count()  # tiny action; avoids a second trigram materialization
-    hot = tri.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") > n_docs // 2
-    )
-    kept = tri.join(F.broadcast(hot), "tok", "left_anti")
-    bench = kept.filter(F.col("doc_id") < 50).select(
-        F.col("doc_id").alias("bench_id"), "tok"
-    )
-    corpus = kept.filter(F.col("doc_id") >= 50)
-    overlap = (
-        corpus.join(F.broadcast(bench), "tok")
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    n_docs = d.count()  # tiny action (count-only scan, no explode)
+    overlap = _bench_overlap(d, n_docs)
     # integer-packed (n_shared, bench_id) tiebreak — cheaper than a formatted
     # string in the agg loop and identical on both engines (bench_id < 50)
     rank = F.col("n_shared") * F.lit(10_000_000_000) + F.col("bench_id")
@@ -540,26 +581,20 @@ def q148_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t))) * 1.0 / n >= 0.02)
     )
     q = corpus.select("doc_id", "lang", "text", n.alias("n_tokens"), q_ok.alias("q_ok"))
+    # dedup key = sha256 of the normalized text (q51's content key): the
+    # exchange carries 32-byte digests instead of full document bodies
     reps = (
         q.filter("q_ok")
-        .groupBy(F.lower(F.trim(F.col("text"))).alias("nt"))
+        .groupBy(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("nt"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
         .withColumn("is_rep", F.lit(True))
     )
-    # decontamination flags: q86's capped inverted-index chain
-    tri = _trigram_set(d)
+    # decontamination flags: q86's bench-broadcast overlap chain — the
+    # corpus-side trigram stream never shuffles (see _bench_overlap)
     n_docs = d.count()
-    hot = tri.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") > n_docs // 2
-    )
-    kept = tri.join(F.broadcast(hot), "tok", "left_anti")
-    bench = kept.filter(F.col("doc_id") < 50).select(F.col("doc_id").alias("bench_id"), "tok")
     contaminated = (
-        kept.filter(F.col("doc_id") >= 50)
-        .join(F.broadcast(bench), "tok")
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _bench_overlap(d, n_docs)
         .filter(F.col("n_shared") >= 5)
         .select("doc_id")
         .distinct()
