@@ -52,19 +52,33 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Drive a streaming query over the bounded fixture to completion and
-    return the materialized result."""
-    name = "sink_" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    return the materialized result.
+
+    State-store parallelism is pinned to 8 for the query's lifetime (the
+    partition count is baked in at stream start): each micro-batch schedules
+    one state task per shuffle partition PER stateful operator, so at
+    fixture volume 32 partitions are pure per-batch overhead (~2x wall on
+    the stream-stream join). On a real cluster the caller sizes
+    spark.sql.shuffle.partitions to the state volume instead. The session
+    value is restored after the bounded run completes — results are
+    partitioning-independent either way."""
     spark = stream_df.sparkSession
+    name = "sink_" + uuid.uuid4().hex[:12]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
