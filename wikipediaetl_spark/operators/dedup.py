@@ -548,9 +548,19 @@ def q152_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = votes.select(
         "doc_id", F.expr(_SIMHASH_FP_SQL).cast("long").alias("fp")
     )
-    bands = fps.select(
-        "doc_id",
+    # Pair DISTINCT FINGERPRINTS, not documents: near-dup corpora collapse
+    # many docs onto one fingerprint, so the banded self-join runs on the
+    # (often much smaller, and bounded by the 2^32 fingerprint space)
+    # fp-group table and the doc-level pair list is recovered by a purely
+    # narrow posting-list explode at the end — the quadratic candidate stage
+    # shrinks by the collapse factor squared and the final output never
+    # shuffles. Identical-fp pairs (hamming 0) come from within-group
+    # expansion; cross-group pairs carry hamming = bit_count(fp_a xor fp_b),
+    # a function of the fingerprint pair computed once per pair of groups.
+    groups = fps.groupBy("fp").agg(F.collect_list("doc_id").alias("ids"))
+    banded = groups.select(
         "fp",
+        "ids",
         F.explode(
             F.array(
                 *[
@@ -562,20 +572,45 @@ def q152_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "fp", "band.band_idx", "band.band_bits")
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "band_idx", "band_bits"
+    ).select("fp", "ids", "band.band_idx", "band.band_bits")
+    a = banded.select(
+        F.col("fp").alias("fp_a"), F.col("ids").alias("ids_a"), "band_idx", "band_bits"
     )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"), "band_idx", "band_bits"
+    b = banded.select(
+        F.col("fp").alias("fp_b"), F.col("ids").alias("ids_b"), "band_idx", "band_bits"
     )
-    return (
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    cross = (
         a.join(b, ["band_idx", "band_bits"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.min(F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))).alias("hamming"))
-        .filter(F.col("hamming") <= 3)
+        .filter((F.col("fp_a") < F.col("fp_b")) & (ham <= 3))
+        .groupBy("fp_a", "fp_b")  # a pair may share several bands: dedupe
+        .agg(
+            F.first("ids_a").alias("ids_a"),
+            F.first("ids_b").alias("ids_b"),
+            F.first(ham).alias("hamming"),
+        )
     )
+    pairs_cross = (
+        cross.select(F.explode("ids_a").alias("d1"), "ids_b", "hamming")
+        .select("d1", F.explode("ids_b").alias("d2"), "hamming")
+        .select(
+            F.least("d1", "d2").alias("doc_a"),
+            F.greatest("d1", "d2").alias("doc_b"),
+            "hamming",
+        )
+    )
+    pairs_within = (
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("d1"), "ids")
+        .select("d1", F.explode("ids").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            F.col("d1").alias("doc_a"),
+            F.col("d2").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return pairs_cross.unionByName(pairs_within)
 
 
 @query(
