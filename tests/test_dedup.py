@@ -100,7 +100,9 @@ def test_simhash_banding_equals_allpairs(spark, sf_dir):
 def test_simhash_and_embedding_neardup_plans_have_no_cartesian(spark, sf_dir):
     """VERDICT r1 #4/#5: the scale-killers must be gone from the physical
     plans — candidate generation is equi-join shaped."""
-    for q in (q55_simhash, q56_embedding_neardup):
+    from wikipediaetl_spark.operators.dedup import q152_simhash_portable
+
+    for q in (q55_simhash, q56_embedding_neardup, q152_simhash_portable):
         plan = _plan(q(spark, sf_dir))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoop" not in plan, q.__name__

