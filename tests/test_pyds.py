@@ -97,3 +97,35 @@ def test_plan_splits_balanced_and_total(tmp_path):
     for s in splits:
         assert len(s.files) >= 1
     assert len(splits) >= 3  # 820 bytes / 250 target
+
+
+def test_wikihtml_streaming_incremental(spark, tmp_path):
+    """readStream picks up only pages landed since the committed offset."""
+    corpus = tmp_path / "inbox"
+    corpus.mkdir()
+    (corpus / "a.html").write_text("<html>a</html>", encoding="utf-8")
+    register(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("wikihtml")
+            .load(str(corpus))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    first = spark.read.parquet(out)
+    assert [os.path.basename(r.path) for r in first.collect()] == ["a.html"]
+
+    (corpus / "b.html").write_text("<html>b</html>", encoding="utf-8")
+    run_batch()
+    second = spark.read.parquet(out)
+    names = sorted(os.path.basename(r.path) for r in second.collect())
+    assert names == ["a.html", "b.html"]  # a.html not re-emitted

@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -147,6 +148,64 @@ class _WikiHtmlWriter(DataSourceWriter):
         return None
 
 
+class _WikiHtmlStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the corpus scan: each micro-batch picks up pages
+    that landed since the last committed offset — the reference's
+    fetch-queue consumption loop (fetcher writes pages, ETL tasks poll,
+    WikipediaCrawler/fetcher/app/main.py) as a registered readStream source.
+
+    Offset = ``{"seen": {path: mtime}}``: exactly-once per (path, mtime) —
+    a rewritten file (newer mtime) is re-emitted, matching the crawler's
+    re-fetch semantics. The offset JSON carries the full listing, which is
+    fine for a landing directory that is drained and archived per batch
+    (sources/formats.py archive_processed); an unbounded directory should
+    compact the offset to a (archive-cutoff mtime, recent-files) pair."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wikihtml: .load(path) is required")
+        self.suffix = options.get("suffix", ".html")
+
+    def initialOffset(self) -> dict:
+        return {"seen": {}}
+
+    def _listing(self) -> dict:
+        out = {}
+        if os.path.isdir(self.path):
+            for dirpath, _dirs, files in os.walk(self.path):
+                for f in files:
+                    if f.endswith(self.suffix):
+                        p = os.path.join(dirpath, f)
+                        out[p] = int(os.stat(p).st_mtime)
+        return out
+
+    def _rows(self, paths) -> Iterator[tuple]:
+        for p in sorted(paths):
+            try:
+                st = os.stat(p)
+                with open(p, "r", encoding="utf-8", errors="replace") as fh:
+                    content = fh.read()
+            except FileNotFoundError:
+                continue  # raced with archival; next listing won't have it
+            yield (p, st.st_size, int(st.st_mtime), content)
+
+    def read(self, start: dict):
+        seen = start.get("seen", {})
+        now = self._listing()
+        fresh = [p for p, mt in now.items() if seen.get(p) != mt]
+        end = {"seen": now}
+        return iter(list(self._rows(fresh))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        seen = start.get("seen", {})
+        fresh = [p for p, mt in end.get("seen", {}).items() if seen.get(p) != mt]
+        return self._rows(fresh)
+
+    def commit(self, end: dict) -> None:
+        return None
+
+
 class WikiHtmlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -162,6 +221,9 @@ class WikiHtmlDataSource(DataSource):
         if overwrite:
             raise ValueError("wikihtml sink is append-only (landing directory)")
         return _WikiHtmlWriter(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _WikiHtmlStreamReader(self.options)
 
 
 def register(spark) -> None:
