@@ -122,3 +122,20 @@ def test_decontamination_corpus_never_shuffles(spark, sf_dir):
     streamed = [ln for ln in tree.splitlines() if ln.lstrip().startswith(":")]
     assert streamed, "expected a printed streamed-side subtree"
     assert not any("Exchange" in ln for ln in streamed), "\n".join(streamed)
+
+
+def test_top_supplier_broadcasts_scalar_side(spark, sf_dir):
+    """VERDICT r2 #4: q127 must broadcast the ~1-row max-revenue result onto
+    supplier — never the (SF-scaled) supplier table onto the scalar. The
+    supplier parquet scan must NOT sit under a BroadcastExchange."""
+    from wikipediaetl_spark.operators.tpch import q127_top_supplier
+
+    text = explain_str(q127_top_supplier(spark, sf_dir))
+    # both joins build their right (broadcast) side...
+    assert "BroadcastHashJoin Inner BuildRight" in text
+    assert "BuildLeft" not in text
+    # ...and supplier is the left-most leaf = the streamed probe side:
+    # node (1) in formatted explain is the first (left-most, depth-first)
+    # scan of the plan tree.
+    first_scan = text.split("(1) Scan parquet", 1)[1][:400]
+    assert "supplier.parquet" in first_scan

@@ -129,3 +129,114 @@ def test_wikihtml_streaming_incremental(spark, tmp_path):
     second = spark.read.parquet(out)
     names = sorted(os.path.basename(r.path) for r in second.collect())
     assert names == ["a.html", "b.html"]  # a.html not re-emitted
+
+
+def test_wikihtml_write_sanitizes_traversal_names(spark, tmp_path):
+    """ADVICE r2: an untrusted page title with separators / '..' must not
+    escape the landing directory; an absolute name must not discard it."""
+    register(spark)
+    out = tmp_path / "landing2"
+    escape_target = tmp_path / "outside.html"
+    src = spark.createDataFrame(
+        [
+            ("../outside.html", "<html>escape</html>"),
+            (str(escape_target), "<html>abs</html>"),
+            ("sub/dir/page.html", "<html>nested</html>"),
+        ],
+        "name string, content string",
+    )
+    src.coalesce(1).write.format("wikihtml").mode("append").save(str(out))
+    assert not escape_target.exists()
+    written = sorted(os.listdir(out))
+    # every file landed INSIDE the landing dir, with separators flattened
+    assert written == sorted(
+        {".._outside.html", str(escape_target).replace(os.sep, "_"), "sub_dir_page.html"}
+    )
+    for f in written:
+        assert os.path.dirname(os.path.join(str(out), f)) == str(out)
+
+
+def test_wikihtml_write_rejects_dot_names(spark, tmp_path):
+    import pytest
+    from wikipediaetl_spark.sources.pyds import _safe_name
+
+    for bad in ("", ".", "..", "\x00"):
+        with pytest.raises(ValueError):
+            _safe_name(bad)
+    assert _safe_name("a/b.html") == "a_b.html"
+    assert _safe_name("/") == "_"  # separator flattened, harmless name
+
+
+def test_wikihtml_write_no_temp_leftovers(spark, tmp_path):
+    register(spark)
+    out = tmp_path / "landing3"
+    src = spark.createDataFrame(
+        [("p.html", "<html>x</html>")], "name string, content string"
+    )
+    src.write.format("wikihtml").mode("append").save(str(out))
+    assert os.listdir(out) == ["p.html"]  # temp files renamed away
+
+
+def test_wikihtml_batch_scan_tolerates_vanished_files(tmp_path):
+    """ADVICE r2: files archived between listing and read are skipped, not
+    fatal (concurrently drained landing dir)."""
+    from wikipediaetl_spark.sources.pyds import _FileSplit, _WikiHtmlReader
+
+    d = tmp_path / "c"
+    d.mkdir()
+    keep = d / "keep.html"
+    keep.write_text("<html>k</html>", encoding="utf-8")
+    gone = d / "gone.html"
+    gone.write_text("<html>g</html>", encoding="utf-8")
+    reader = _WikiHtmlReader({"path": str(d)})
+    split = _FileSplit(files=[str(keep), str(gone)])
+    gone.unlink()
+    rows = list(reader.read(split))
+    assert [os.path.basename(r[0]) for r in rows] == ["keep.html"]
+    # planning also skips vanished paths
+    splits = _plan_splits([str(keep), str(gone)], target_bytes=1 << 20)
+    assert [os.path.basename(p) for s in splits for p in s.files] == ["keep.html"]
+
+
+def test_wikihtml_stream_offsets_nanosecond_rewrites(tmp_path):
+    """ADVICE r2: a page rewritten within the same wall-clock second (same
+    int-second mtime) must still be re-emitted — offsets track mtime_ns."""
+    from wikipediaetl_spark.sources.pyds import _WikiHtmlStreamReader
+
+    d = tmp_path / "inbox2"
+    d.mkdir()
+    p = d / "a.html"
+    p.write_text("<html>v1</html>", encoding="utf-8")
+    r = _WikiHtmlStreamReader({"path": str(d)})
+    rows1, off1 = r.read(r.initialOffset())
+    assert [x[3] for x in rows1] == ["<html>v1</html>"]
+    # rewrite, then pin mtime to the SAME integer second but a newer ns
+    st = os.stat(p)
+    p.write_text("<html>v2</html>", encoding="utf-8")
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    rows2, off2 = r.read(off1)
+    assert [x[3] for x in rows2] == ["<html>v2</html>"]
+    rows3, _ = r.read(off2)
+    assert list(rows3) == []  # unchanged file not re-emitted
+
+
+def test_wikihtml_stream_batch_byte_cap(tmp_path):
+    """max_batch_bytes defers excess fresh files to later batches without
+    losing them (deferred files stay out of the committed offset)."""
+    from wikipediaetl_spark.sources.pyds import _WikiHtmlStreamReader
+
+    d = tmp_path / "inbox3"
+    d.mkdir()
+    for i in range(4):
+        (d / f"f{i}.html").write_text("x" * 100, encoding="utf-8")
+    r = _WikiHtmlStreamReader({"path": str(d), "max_batch_bytes": "150"})
+    got = []
+    off = r.initialOffset()
+    for _ in range(10):
+        rows, off = r.read(off)
+        batch = [os.path.basename(x[0]) for x in rows]
+        if not batch:
+            break
+        assert len(batch) <= 2  # 150-byte budget, 100-byte files, min 1
+        got += batch
+    assert sorted(got) == ["f0.html", "f1.html", "f2.html", "f3.html"]

@@ -1,0 +1,131 @@
+"""Bucketed-layout crossover measurement (VERDICT r2 #2).
+
+Measures q11/q12 join shapes over a STORED bucketed layout at the scaled
+fixture, against (a) the stock shuffled plans and (b) DuckDB on the same
+data — the one layout lever BENCH_NOTES.md's plan-variant table had not
+tried. Writes BENCH_BUCKETED.json.
+
+Usage: python tools/bench_bucketed.py [factor=100] [scaled_dir]
+
+The layout build (one bucketed shuffle per table) is timed and reported
+separately: it amortizes across every subsequent orderkey/custkey join, so
+the per-query rows report pure query time, the honest steady-state cost of
+a warehouse that ingests into the bucketed layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.catalog import all_queries
+from wikipediaetl_spark.operators.layout import bucketize_facts
+from wikipediaetl_spark.operators.relational import dsum
+from wikipediaetl_spark.session import get_spark
+from tools.bench_scale import build_scaled, time_duckdb
+
+
+def q12_bucketed(spark):
+    li = spark.table("b_lineitem_by_orderkey")
+    o = spark.table("b_orders_by_orderkey").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        )
+    )
+
+
+def q11_bucketed(spark, sf_dir):
+    o = spark.table("b_orders_by_custkey")
+    c = spark.table("b_customer_by_custkey")
+    from wikipediaetl_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def best_of(thunk, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        thunk().collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(repo, ".benchdata", f"scaled{factor}x")
+    )
+    rows = build_scaled(out, factor)
+
+    spark = get_spark(
+        "bench_bucketed",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    qs = all_queries()
+    qs["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()  # warm
+
+    t0 = time.perf_counter()
+    bucketize_facts(spark, out, n_buckets=32)
+    layout_s = time.perf_counter() - t0
+
+    result: dict[str, dict] = {}
+    for name, stock_fn, bucketed_thunk in (
+        ("q12_fact_fact_join", qs["q12_fact_fact_join"].fn, lambda: q12_bucketed(spark)),
+        ("q11_star_join", qs["q11_star_join"].fn, lambda: q11_bucketed(spark, out)),
+    ):
+        stock = best_of(lambda: stock_fn(spark, out))
+        bucketed = best_of(bucketed_thunk)
+        dd = time_duckdb(out, qs[name].oracle)
+        plan = bucketed_thunk()._jdf.queryExecution().executedPlan().toString()
+        result[name] = {
+            "stock_spark_s": round(stock, 3),
+            "bucketed_spark_s": round(bucketed, 3),
+            "duckdb_s": round(dd, 3),
+            "stock_ratio": round(stock / dd, 2),
+            "bucketed_ratio": round(bucketed / dd, 2),
+            "exchange_free": "Exchange hashpartitioning" not in plan,
+        }
+        print(name, json.dumps(result[name]))
+
+    payload = {
+        "factor": factor,
+        "rows": rows,
+        "layout_build_s": round(layout_s, 1),
+        "n_buckets": 32,
+        "queries": result,
+    }
+    print(json.dumps(payload))
+    with open(os.path.join(repo, "BENCH_BUCKETED.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+
+
+if __name__ == "__main__":
+    main()

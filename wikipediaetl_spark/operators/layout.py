@@ -1,0 +1,81 @@
+"""Stored bucketed layout — the exchange-elimination lever for repeated
+fact-fact and star joins (VERDICT r2 #2).
+
+A shuffle (Exchange) on the join key is the dominant cost of q11/q12-shaped
+queries once scans are pruned: DuckDB's single-node radix join keeps the
+whole probe in RAM, while Spark pays a full hash-partition write+read per
+query. Bucketing moves that shuffle OFFLINE: write the fact table once as a
+bucketed+sorted table on its join key, and every subsequent join on that key
+reads co-located buckets — SortMergeJoin with NO Exchange on either side
+(zipPartitions over pre-sorted buckets).
+
+At 100 TB this is the difference between re-shuffling ~100 TB per query and
+never shuffling it again: the layout cost is paid once at ingest (the write
+itself shuffles into buckets), then every orderkey join — q12's
+lineitem⋈orders, TPC-H Q3/Q4/Q12/Q18/Q21 shapes, the categorizer's bridge
+joins (ETL/tasks/categorizer.py:178-187 scaled) — rides it. Bucket count is
+a layout-time decision: pick ≥ cluster cores and ≤ target file count
+(buckets × partitions files are written); 32 here to match local[32].
+
+Spark specifics encoded by these helpers:
+- bucketed tables must be saved via ``saveAsTable`` (bucket metadata lives
+  in the catalog, not in parquet footers);
+- both sides must be bucketed with the SAME bucket count on the join key,
+  and ``spark.sql.sources.bucketing.enabled`` (default true) honors it;
+- ``sortBy`` on the bucket key lets SMJ skip the per-task sort too;
+- a bucketed scan produces exactly ``n_buckets`` tasks — for huge tables
+  raise ``spark.sql.sources.bucketing.maxBuckets`` and use more buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wikipediaetl_spark.sources import load_table
+
+
+def bucketize(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as a bucketed (and bucket-sorted) managed table on
+    ``key``. One shuffle now; zero shuffles for every later join/agg on
+    ``key`` between tables sharing the bucket spec."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketize_facts(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 32,
+    prefix: str = "b_",
+) -> dict[str, str]:
+    """Materialize the standard join-heavy layout for the fixture schema:
+    lineitem+orders bucketed on orderkey (fact-fact joins), orders+customer
+    bucketed on custkey (star probes). Returns {role: table_name}.
+
+    orders appears twice (two join keys → two layouts); at 100 TB you keep
+    the one matching the dominant workload, or both if storage is cheaper
+    than the recurring shuffle (it usually is — this is the same trade as a
+    secondary index)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    tables = {
+        "lineitem_by_orderkey": (li, "l_orderkey"),
+        "orders_by_orderkey": (o, "o_orderkey"),
+        "orders_by_custkey": (o, "o_custkey"),
+        "customer_by_custkey": (c, "c_custkey"),
+    }
+    out = {}
+    for role, (df, key) in tables.items():
+        name = prefix + role
+        bucketize(df, name, key, n_buckets=n_buckets)
+        out[role] = name
+    return out

@@ -255,24 +255,28 @@ def q110_cross_modal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            count(DISTINCT lang) AS n_langs,
            sum(n_chars) AS total_chars,
-           floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
-               AS avg_chars
+           CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT) AS avg_chars_micro
     FROM documents
     GROUP BY source
     """,
 )
 def q111_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus accounting (docs, language spread, volume) — the
-    dataset-card statistics table; exact integer aggregation. The derived
-    ``avg_chars`` double is grid-rounded to 1e-6 on BOTH engines (q110's
-    ``v_norm`` pattern) so the value-hash compares a canonical float."""
+    dataset-card statistics table; exact integer aggregation. The mean is
+    emitted as ``avg_chars_micro``: integer micro-units via BIGINT floor
+    division — NO double appears anywhere in the output row, so the
+    value-hash cannot diverge across engines/platforms (this row was
+    driver-red in r1+r2 despite local bit-equality of the float variant).
+    Bound: sum(n_chars)*1e6 stays under int64 for corpora below ~9e12
+    chars/source; at 100 TB partition the stat by (source, shard) first."""
     d = load_table(spark, sf_dir, "documents")
-    avg = F.sum("n_chars").cast("double") / F.count(F.lit(1))
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum("n_chars").alias("total_chars"),
-        (F.floor(avg * 1000000 + 0.5) / 1000000).alias("avg_chars"),
+        F.expr("CAST((sum(n_chars) * 1000000) DIV count(*) AS BIGINT)").alias(
+            "avg_chars_micro"
+        ),
     )
 
 

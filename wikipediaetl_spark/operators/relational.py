@@ -566,9 +566,16 @@ def q19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     joined = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
     rank = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
-    return joined.groupBy("event_id", "user_id", "ts").agg(
-        F.max_by("o_orderkey", rank).alias("matched_order"),
-        F.max("o_orderdate").cast("date").alias("matched_date"),
+    return (
+        joined.groupBy("event_id", "user_id", "ts")
+        .agg(
+            F.max_by("o_orderkey", rank).alias("matched_order"),
+            F.max("o_orderdate").cast("date").alias("matched_date"),
+        )
+        # output timestamps leave as NTZ: PySpark renders LTZ rows in the
+        # *process* timezone at collect, which no session conf controls —
+        # NTZ under the catalog's pinned-UTC session is environment-portable
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     )
 
 
@@ -1038,7 +1045,9 @@ def q37_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            # NTZ at the boundary: LTZ collect-rendering is process-TZ
+            # dependent (see q19); NTZ under pinned UTC is portable
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n",
             "total_value",
@@ -1217,7 +1226,11 @@ def q73_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
     )
 
 

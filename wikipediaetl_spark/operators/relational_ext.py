@@ -125,7 +125,9 @@ def q78_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate").cast("date")
     return o.select(
         "o_orderkey",
-        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        # timestamp_ntz, not timestamp: LTZ collect-rendering is process-TZ
+        # dependent; NTZ midnight matches DuckDB's naive DATE + INTERVAL
+        F.date_add(d, 30).cast("timestamp_ntz").alias("due_date"),
         F.last_day(d).alias("month_end"),
         F.trunc(d, "month").alias("month_start"),
         ((F.dayofweek(d) + 5) % 7).alias("weekday_mon0"),
@@ -631,19 +633,23 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85) -> DataFr
                 .agg(F.sum("c").alias("incoming"))
             )
             # dangling nodes (no outgoing edges) leak rank mass; redistribute
+            # it as a broadcast 1-row scalar folded into the same plan — no
+            # per-iteration driver collect (VERDICT r2 #5): the only action
+            # per round is the lineage-truncating checkpoint of `ranks`.
             dangling = (
                 ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
-                .collect()[0]["mass"]
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
             )
-            base = (1 - damping) / n_nodes + damping * dangling / n_nodes
             ranks = (
                 nodes.join(contribs, "node", "left")
+                .join(F.broadcast(dangling))
                 .select(
                     "node",
-                    (F.lit(base) + damping * F.coalesce(F.col("incoming"), F.lit(0.0))).alias(
-                        "rank"
-                    ),
+                    (
+                        F.lit((1 - damping) / n_nodes)
+                        + F.lit(damping) * F.col("dangling_mass") / F.lit(float(n_nodes))
+                        + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
+                    ).alias("rank"),
                 )
                 .localCheckpoint(eager=True)
             )

@@ -73,21 +73,26 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Derived lineitem transport columns (element-wise, engine-identical):
 # shipmode hash-buckets the (supp, part) pair; commit/receipt are day offsets
-# from shipdate keyed on (orderkey, linenumber).
+# from shipdate keyed on (orderkey, linenumber). Deliberately DATE-typed:
+# DATE arithmetic and DATE comparisons have no session-timezone semantics in
+# either engine, so a harness running Spark under a non-UTC session TZ (the
+# round-2 driver-red on q135) cannot move window-boundary rows the way
+# TIMESTAMP literal casts can.
 SHIPMODE_SQL = (
     "CASE CAST((l_suppkey + l_partkey) % 3 AS INTEGER) "
     "WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' ELSE 'AIR' END"
 )
 COMMITDATE_SQL = (
-    "l_shipdate + INTERVAL 1 DAY * CAST((l_orderkey * 17 + l_linenumber * 3) % 30 AS INTEGER)"
+    "CAST(l_shipdate AS DATE) + CAST((l_orderkey * 17 + l_linenumber * 3) % 30 AS INTEGER)"
 )
 RECEIPTDATE_SQL = (
-    "l_shipdate + INTERVAL 1 DAY * CAST((l_orderkey * 31 + l_linenumber * 7) % 30 AS INTEGER)"
+    "CAST(l_shipdate AS DATE) + CAST((l_orderkey * 31 + l_linenumber * 7) % 30 AS INTEGER)"
 )
 
 
 def _with_transport(li: DataFrame) -> DataFrame:
     mode_bucket = F.pmod(F.col("l_suppkey") + F.col("l_partkey"), F.lit(3)).cast("int")
+    ship_d = F.col("l_shipdate").cast("date")
     return (
         li.withColumn(
             "l_shipmode",
@@ -95,16 +100,20 @@ def _with_transport(li: DataFrame) -> DataFrame:
         )
         .withColumn(
             "l_commitdate",
-            F.expr(
-                "l_shipdate + make_interval(0, 0, 0, "
-                "CAST(pmod(l_orderkey * 17 + l_linenumber * 3, 30) AS INT), 0, 0, 0)"
+            F.date_add(
+                ship_d,
+                F.pmod(F.col("l_orderkey") * 17 + F.col("l_linenumber") * 3, F.lit(30)).cast(
+                    "int"
+                ),
             ),
         )
         .withColumn(
             "l_receiptdate",
-            F.expr(
-                "l_shipdate + make_interval(0, 0, 0, "
-                "CAST(pmod(l_orderkey * 31 + l_linenumber * 7, 30) AS INT), 0, 0, 0)"
+            F.date_add(
+                ship_d,
+                F.pmod(F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7, F.lit(30)).cast(
+                    "int"
+                ),
             ),
         )
     )
@@ -604,7 +613,8 @@ def q132_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH partsupp AS ({PARTSUPP_SQL})
     SELECT nation, o_year,
-           CAST(sum(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+           CAST(sum(CAST(floor(amount * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_profit_micro
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
@@ -628,8 +638,12 @@ def q133_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale plan: the p_name filter reduces part ~10× → broadcast semi onto
     lineitem BEFORE any wide shuffle; partsupp joins lineitem on the
     composite (partkey, suppkey) — the one genuinely fact-sized join — and
-    orders joins on orderkey; supplier⋈nation broadcasts. Profit terms
-    accumulate as exact DECIMAL (dsum) so grouping is order-independent."""
+    orders joins on orderkey; supplier⋈nation broadcasts. Profit quantizes
+    per-row to integer micro-units BEFORE the sum — ``floor(amount*1e6)``
+    of the identical IEEE double is bit-deterministic on any engine and has
+    no .5 rounding ties (unlike DECIMAL casts, whose HALF_UP vs half-even
+    tie-break differs between Spark and DuckDB) — so the BIGINT group sums
+    are engine- and order-independent."""
     p = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%red%"))
@@ -658,7 +672,7 @@ def q133_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(dsum(amount, 6).alias("sum_profit"))
+        .agg(F.sum(F.floor(amount * 1000000)).cast("long").alias("sum_profit_micro"))
     )
 
 
@@ -717,7 +731,7 @@ def q134_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
              {SHIPMODE_SQL} AS l_shipmode,
              {COMMITDATE_SQL} AS l_commitdate,
              {RECEIPTDATE_SQL} AS l_receiptdate,
-             l_shipdate
+             CAST(l_shipdate AS DATE) AS l_shipdate_d
       FROM lineitem
     )
     SELECT l_shipmode,
@@ -728,9 +742,9 @@ def q134_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders JOIN li ON o_orderkey = l_orderkey
     WHERE l_shipmode IN ('MAIL', 'SHIP')
       AND l_commitdate < l_receiptdate
-      AND l_shipdate < l_commitdate
-      AND l_receiptdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_receiptdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate_d < l_commitdate
+      AND l_receiptdate >= DATE '1996-01-01'
+      AND l_receiptdate < DATE '1997-01-01'
     GROUP BY l_shipmode
     """,
 )
@@ -739,6 +753,10 @@ def q135_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     two transport modes, split into high/low-priority conditional counts.
     Transport columns are the derived stand-ins (module docstring).
 
+    Every predicate and both window literals are DATE-typed (no TIMESTAMP
+    anywhere in the filter), so the result is identical under any session
+    timezone — the round-2 driver-environment hash divergence cannot recur.
+
     Scale plan: every lineitem predicate (mode, date ordering, receipt
     window) is element-wise → applies at the scan before the single
     fact-fact shuffle with orders; the conditional counts are map-side
@@ -746,9 +764,9 @@ def q135_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _with_transport(_t(spark, sf_dir, "lineitem")).filter(
         F.col("l_shipmode").isin("MAIL", "SHIP")
         & (F.col("l_commitdate") < F.col("l_receiptdate"))
-        & (F.col("l_shipdate") < F.col("l_commitdate"))
-        & (F.col("l_receiptdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_receiptdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("date"))
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")

@@ -21,8 +21,10 @@ a glob pattern to shard the listing externally.
 The write path (``mode="overwrite"`` unsupported — append-only) mirrors the
 reference's one-file-per-page landing sink (fetcher/app/main.py writes
 ``<title>.html``): each task writes its partition's rows as individual
-files named by the ``name`` column. Used by tests only; the engine's durable
-sink remains parquet.
+files named by the sanitized ``name`` column (separators stripped so an
+untrusted title cannot escape the landing directory), via temp-file +
+rename so partial writes are never visible. Used by tests only; the
+engine's durable sink remains parquet.
 """
 
 from __future__ import annotations
@@ -63,14 +65,23 @@ class _FileSplit(InputPartition):
     files: List[str]
 
 
+def _sizes(paths: List[str]) -> Iterator[tuple]:
+    """(path, size) for files that still exist — a landing directory is
+    drained/archived concurrently (sources/maintenance.py), so files may
+    vanish between listing and stat; skip them instead of failing the scan
+    (same tolerance as _WikiHtmlStreamReader._rows)."""
+    for p in paths:
+        try:
+            yield p, os.path.getsize(p)
+        except FileNotFoundError:
+            continue
+
+
 def _plan_splits(paths: List[str], target_bytes: int) -> List[_FileSplit]:
     """Pack (path, size) into byte-balanced splits, largest-first so one huge
     file doesn't drag a split far past target. Deterministic given the same
     listing (sorted by size desc then path)."""
-    sized = sorted(
-        ((p, os.path.getsize(p)) for p in paths),
-        key=lambda t: (-t[1], t[0]),
-    )
+    sized = sorted(_sizes(paths), key=lambda t: (-t[1], t[0]))
     splits: List[List[str]] = []
     loads: List[int] = []
     for p, sz in sized:
@@ -111,41 +122,95 @@ class _WikiHtmlReader(DataSourceReader):
 
     def read(self, partition: _FileSplit) -> Iterator[tuple]:
         for p in sorted(partition.files):
-            st = os.stat(p)
-            with open(p, "r", encoding="utf-8", errors="replace") as fh:
-                content = fh.read()
+            try:
+                st = os.stat(p)
+                with open(p, "r", encoding="utf-8", errors="replace") as fh:
+                    content = fh.read()
+            except FileNotFoundError:
+                continue  # drained/archived between planning and read
             yield (p, st.st_size, int(st.st_mtime), content)
 
 
 @dataclass
 class _WriteDone(WriterCommitMessage):
-    files: int
+    files: List[str]
+
+
+def _safe_name(name) -> str:
+    """Sanitize an untrusted page title into a bare filename: path
+    separators become '_' (the reference fetcher's save_html_to_local does
+    the same before writing, WikipediaCrawler/fetcher/app/main.py), NULs are
+    dropped, and names that would resolve to a directory ('', '.', '..')
+    are rejected. Result contains no os.sep, so os.path.join cannot escape
+    the landing directory and an absolute name cannot discard it."""
+    base = str(name).replace("/", "_").replace("\\", "_").replace("\x00", "")
+    if base in ("", ".", ".."):
+        raise ValueError(f"wikihtml: unwritable page name {name!r}")
+    return base
 
 
 class _WikiHtmlWriter(DataSourceWriter):
-    """One file per row, named by the ``name`` column (reference landing-sink
-    shape). Tasks write independently — no shuffle, no driver funnel."""
+    """One file per row, named by the (sanitized) ``name`` column (reference
+    landing-sink shape). Tasks write independently — no shuffle, no driver
+    funnel. Each file is written to a per-attempt temp name and renamed into
+    place only when its content is fully on disk, so a task that dies
+    mid-write never leaves a partial page a subsequent wikihtml scan would
+    treat as committed; ``abort`` deletes this attempt's renamed files (from
+    the commit messages) and sweeps its temp leftovers."""
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("wikihtml: .save(path) is required")
+        import uuid
+
+        # one token per write job: every task of this attempt shares it (the
+        # writer is pickled to executors), so abort can identify leftovers
+        # without touching files from other concurrent writers.
+        self.token = uuid.uuid4().hex[:12]
 
     def write(self, rows) -> _WriteDone:
         os.makedirs(self.path, exist_ok=True)
-        n = 0
+        root = os.path.realpath(self.path)
+        done: List[str] = []
         for row in rows:
-            name = row["name"]
-            with open(os.path.join(self.path, name), "w", encoding="utf-8") as fh:
+            base = _safe_name(row["name"])
+            target = os.path.join(self.path, base)
+            # belt-and-suspenders: refuse if the target (e.g. via a
+            # pre-existing symlink named `base`) resolves outside the root
+            if os.path.realpath(target) != os.path.join(root, base):
+                raise ValueError(f"wikihtml: {base!r} escapes the landing dir")
+            tmp = os.path.join(self.path, f".{base}.tmp-{self.token}")
+            with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write(row["content"] or "")
-            n += 1
-        return _WriteDone(files=n)
+            os.replace(tmp, target)
+            done.append(base)
+        return _WriteDone(files=done)
 
     def commit(self, messages):
         return None
 
     def abort(self, messages):
-        return None
+        # undo this attempt: files from tasks that committed (messages), plus
+        # any temp leftovers carrying this attempt's token.
+        for m in messages or []:
+            for base in getattr(m, "files", None) or []:
+                try:
+                    os.remove(os.path.join(self.path, base))
+                except FileNotFoundError:
+                    pass
+        try:
+            for f in os.listdir(self.path):
+                if f.endswith(f".tmp-{self.token}"):
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except FileNotFoundError:
+                        pass
+        except FileNotFoundError:
+            pass
+
+
+DEFAULT_MAX_BATCH_BYTES = 256 * 1024 * 1024
 
 
 class _WikiHtmlStreamReader(SimpleDataSourceStreamReader):
@@ -154,9 +219,21 @@ class _WikiHtmlStreamReader(SimpleDataSourceStreamReader):
     fetch-queue consumption loop (fetcher writes pages, ETL tasks poll,
     WikipediaCrawler/fetcher/app/main.py) as a registered readStream source.
 
-    Offset = ``{"seen": {path: mtime}}``: exactly-once per (path, mtime) —
-    a rewritten file (newer mtime) is re-emitted, matching the crawler's
-    re-fetch semantics. The offset JSON carries the full listing, which is
+    Offset = ``{"seen": {path: [mtime_ns, size]}}``: exactly-once per
+    (path, mtime_ns, size) — a rewritten file (newer mtime OR changed size)
+    is re-emitted, matching the crawler's re-fetch semantics, including
+    rewrites that land within the same wall-clock second (nanosecond
+    granularity; second-granularity mtimes silently missed those). Emitted
+    rows carry the LISTING's stat, not a fresh one, so the row a batch
+    emits and the offset it commits always agree; a file modified between
+    listing and read emits the superseded content once and the new version
+    in the next batch (at-least-once on rewrite races, never a gap).
+
+    Driver-memory bound (explicit): ``read`` materializes the micro-batch's
+    HTML on the driver (SimpleDataSourceStreamReader contract), so a batch
+    is capped at ``max_batch_bytes`` (default 256 MiB) of listed file size;
+    excess fresh files stay out of the committed offset and surface in
+    subsequent batches. The offset JSON carries the full listing, which is
     fine for a landing directory that is drained and archived per batch
     (sources/formats.py archive_processed); an unbounded directory should
     compact the offset to a (archive-cutoff mtime, recent-files) pair."""
@@ -166,6 +243,9 @@ class _WikiHtmlStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("wikihtml: .load(path) is required")
         self.suffix = options.get("suffix", ".html")
+        self.max_batch_bytes = int(
+            options.get("max_batch_bytes", DEFAULT_MAX_BATCH_BYTES)
+        )
 
     def initialOffset(self) -> dict:
         return {"seen": {}}
@@ -177,30 +257,52 @@ class _WikiHtmlStreamReader(SimpleDataSourceStreamReader):
                 for f in files:
                     if f.endswith(self.suffix):
                         p = os.path.join(dirpath, f)
-                        out[p] = int(os.stat(p).st_mtime)
+                        try:
+                            st = os.stat(p)
+                        except FileNotFoundError:
+                            continue  # raced with archival
+                        out[p] = [st.st_mtime_ns, st.st_size]
         return out
 
-    def _rows(self, paths) -> Iterator[tuple]:
-        for p in sorted(paths):
+    @staticmethod
+    def _changed(seen: dict, now: dict) -> List[str]:
+        # offsets survive a JSON checkpoint roundtrip, so compare as lists
+        return sorted(p for p, meta in now.items() if list(seen.get(p) or ()) != meta)
+
+    def _rows(self, meta: dict) -> Iterator[tuple]:
+        for p in sorted(meta):
+            mtime_ns, size = meta[p]
             try:
-                st = os.stat(p)
                 with open(p, "r", encoding="utf-8", errors="replace") as fh:
                     content = fh.read()
             except FileNotFoundError:
                 continue  # raced with archival; next listing won't have it
-            yield (p, st.st_size, int(st.st_mtime), content)
+            yield (p, size, mtime_ns // 1_000_000_000, content)
 
     def read(self, start: dict):
         seen = start.get("seen", {})
         now = self._listing()
-        fresh = [p for p, mt in now.items() if seen.get(p) != mt]
-        end = {"seen": now}
-        return iter(list(self._rows(fresh))), end
+        fresh = self._changed(seen, now)
+        taken: List[str] = []
+        budget = self.max_batch_bytes
+        for p in fresh:
+            size = now[p][1]
+            if taken and size > budget:
+                break  # defer the rest; always take at least one file
+            taken.append(p)
+            budget -= size
+        # advance only what this batch emits; keep deferred files at their
+        # old (or absent) offset entry, drop entries for vanished files.
+        end_seen = {p: meta for p, meta in seen.items() if p in now}
+        for p in taken:
+            end_seen[p] = now[p]
+        batch = {p: now[p] for p in taken}
+        return iter(list(self._rows(batch))), {"seen": end_seen}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         seen = start.get("seen", {})
-        fresh = [p for p, mt in end.get("seen", {}).items() if seen.get(p) != mt]
-        return self._rows(fresh)
+        fresh = self._changed(seen, end.get("seen", {}))
+        return self._rows({p: end["seen"][p] for p in fresh})
 
     def commit(self, end: dict) -> None:
         return None

@@ -110,7 +110,15 @@ def q70_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .select(
+            # NTZ at the boundary: LTZ rows render in the *process* TZ at
+            # collect (environment-dependent); NTZ under the catalog's
+            # pinned-UTC session is portable
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
     )
     return _run_to_completion(agg, "complete")
 
