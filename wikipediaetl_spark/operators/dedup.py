@@ -95,35 +95,74 @@ def _shingles(d: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
-def jaccard_pairs(tokens: DataFrame, threshold: float, max_df: int | None = None) -> DataFrame:
-    """Inverted-index Jaccard self-join over ``tokens(doc_id, tok)``.
+# all (a, b) pairs with a < b from a pre-sorted posting list `ds`
+_PAIRS_EXPR = (
+    "flatten(transform(ds, (x, i) -> "
+    "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+)
 
-    |A∩B| via a join on tok (shuffle key = shingle, not doc pair); set sizes
-    joined back; Jaccard = i / (|A|+|B|-i) — an integer ratio, so the double
-    division is bit-identical on any engine (no rounding needed or wanted).
-    ``max_df`` drops shingles present
-    in more than max_df docs — the skew/hot-key guard at scale.
+
+def jaccard_pairs(
+    tokens: DataFrame,
+    threshold: float,
+    max_df: int | None = None,
+    hash_tokens: bool = False,
+) -> DataFrame:
+    """Inverted-index Jaccard over ``tokens(doc_id, tok)``.
+
+    |A∩B| is counted per candidate pair with the shuffle keyed on the
+    shingle, never on the doc pair; set sizes joined back; Jaccard =
+    i / (|A|+|B|-i) — an integer ratio, so the double division is
+    bit-identical on any engine (no rounding needed or wanted).
+
+    With ``max_df`` (the skew/hot-key guard at scale) the pair stage is the
+    POSTING-LIST formulation: group surviving tokens into per-shingle sorted
+    doc lists and explode each list's a<b combinations — the same pairs the
+    tok self-join would emit, at one fewer wide stage (the df aggregate and
+    the posting aggregate share one exchange on tok, and the sort-merge
+    self-join disappears; measured 1.18 s → 0.65 s on the 100×-scaled
+    fixture, tools/profile notes in PLANS.md). Per-list fan-out is bounded
+    by max_df² by construction. The hot-token list (df > max_df) is tiny —
+    broadcast anti-join, never a shuffled membership probe; hot posting
+    lists are dropped BEFORE any collect_list materializes them.
+
+    ``hash_tokens`` dictionary-encodes shingles to BIGINT (xxhash64) ahead
+    of every shuffle — measured a wash at fixture scale (hash cost ≈ key
+    shrink) but the right trade for corpora whose shingles are long
+    relative to 8 bytes; results are identical up to 64-bit hash collisions
+    (~n²·2⁻⁶⁴), which the SQL oracles do not mirror, so catalog queries
+    keep it off.
     """
+    if hash_tokens:
+        tokens = tokens.select("doc_id", F.xxhash64("tok").alias("tok"))
+    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
-        # The hot-token list (df > max_df) is tiny by construction — broadcast
-        # it and anti-join, so the guard costs one broadcast instead of a full
-        # shuffle join on every distinct token (q86's decontamination pattern).
         hot = (
             tokens.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
             .select("tok")
         )
-        tokens = tokens.join(F.broadcast(hot), "tok", "left_anti")
-    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = tokens.select(F.col("doc_id").alias("doc_a"), "tok")
-    b = tokens.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        a.join(b, "tok")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+        cold = tokens.join(F.broadcast(hot), "tok", "left_anti")
+        posts = cold.groupBy("tok").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ds")
+        )
+        inter = (
+            posts.filter(F.size("ds") >= 2)
+            .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+    else:
+        a = tokens.select(F.col("doc_id").alias("doc_a"), "tok")
+        b = tokens.select(F.col("doc_id").alias("doc_b"), "tok")
+        inter = (
+            a.join(b, "tok")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
