@@ -1,0 +1,131 @@
+"""Edge-semantics tests for the Spark-4 surface / merge operators
+(operators/advanced.py). Full-output parity vs DuckDB is covered by
+tools/check_oracle.py; these pin the boundary behaviors the oracles rely on."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikipediaetl_spark.operators.advanced import (
+    q153_session_windows,
+    q154_sentence_udtf,
+    q155_bigram_lift,
+    q156_variant_json,
+    q157_unpivot_measures,
+    q158_upsert_snapshot,
+    register_sentence_udtf,
+)
+
+
+def test_session_window_merge_boundary(spark):
+    """A gap of exactly the window size MERGES (new session only when
+    gap > 30 min) — the rule q153's oracle lag-condition mirrors."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 30, 0)),  # exactly 30:00 → merges
+        (1, dt.datetime(2024, 1, 1, 1, 0, 1)),  # 30:01 → new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("sw.start")
+        .collect()
+    )
+    assert [r.n for r in out] == [2, 1]
+    # session_end = last event + gap
+    assert out[0].sw.end == dt.datetime(2024, 1, 1, 1, 0, 0)
+
+
+def test_q153_schema_and_invariants(spark, sf_dir):
+    out = q153_session_windows(spark, sf_dir)
+    assert out.columns == ["user_id", "session_start", "session_end", "n_events", "value_micro"]
+    rows = out.collect()
+    assert rows, "fixture should produce sessions"
+    for r in rows:
+        assert r.user_id % 20 == 0
+        # end is strictly after start by at least the gap
+        assert (r.session_end - r.session_start) >= dt.timedelta(minutes=30)
+        assert r.n_events >= 1
+
+
+def test_sentence_udtf_idempotent_and_literal_split(spark):
+    register_sentence_udtf(spark)
+    register_sentence_udtf(spark)  # re-register must not raise
+    df = spark.createDataFrame([(1, "Dr. No. A film. x")], "doc_id long, text string")
+    df.createOrReplaceTempView("udtf_probe")
+    out = spark.sql(
+        "SELECT s.sentence_idx, s.sentence FROM udtf_probe, "
+        "LATERAL split_sentences(text) s"
+    ).collect()
+    # literal '. ' split (not regex): 'Dr. No. A film. x' → 4 parts
+    assert [(r.sentence_idx, r.sentence) for r in out] == [
+        (0, "Dr"),
+        (1, "No"),
+        (2, "A film"),
+        (3, "x"),
+    ]
+
+
+def test_q154_indices_survive_filter(spark, sf_dir):
+    out = q154_sentence_udtf(spark, sf_dir).limit(200).collect()
+    assert out
+    assert all(len(r.sentence) >= 5 for r in out)
+    # sentence_idx is assigned pre-filter, so gaps are legal but all ≥ 0
+    assert all(r.sentence_idx >= 0 for r in out)
+    assert all(r.doc_id % 5 == 0 for r in out)
+
+
+def test_q155_lift_properties(spark, sf_dir):
+    rows = q155_bigram_lift(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    assert all(r.c_xy >= 5 for r in rows)
+    micro = [r.lift_micro for r in rows]
+    assert micro == sorted(micro, reverse=True)
+    # lift of a meaningful collocation exceeds independence (1.0 = 1e6 micro)
+    assert micro[0] > 1_000_000
+
+
+def test_q156_variant_matches_string_path(spark, sf_dir):
+    out = q156_variant_json(spark, sf_dir)
+    probe = out.limit(50).collect()
+    assert probe
+    assert all(r.event_id % 17 == 0 for r in probe)
+    assert all(isinstance(r.k, int) for r in probe)
+    # variant path agrees with the legacy string-path extractor on props.k
+    from wikipediaetl_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    legacy = e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+    assert out.select("event_id", "k").exceptAll(legacy).count() == 0
+
+
+def test_q157_unpivot_counts(spark, sf_dir):
+    from wikipediaetl_spark.sources import load_table
+
+    out = {r.measure: r for r in q157_unpivot_measures(spark, sf_dir).collect()}
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    assert set(out) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    assert all(r.n == n_li for r in out.values())
+    assert out["l_extendedprice"].total_micro > out["l_discount"].total_micro
+
+
+def test_q158_merge_latest_wins(spark, sf_dir):
+    from wikipediaetl_spark.sources import load_table
+
+    out = {r.o_orderstatus: r for r in q158_upsert_snapshot(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    n_base = o.count()
+    n_upd = o.filter(F.col("o_orderkey") % 10 == 0).count()
+    n_ins = o.filter(F.col("o_orderkey") % 97 == 0).count()
+    # every update key collapses to ONE row with the change's status
+    assert out["X"].n == n_upd
+    assert out["N"].n == n_ins
+    assert sum(r.n for r in out.values()) == n_base + n_ins
+    # inserted rows carry the change's price (1.0 → 1_000_000 micro each)
+    assert out["N"].total_micro == n_ins * 1_000_000

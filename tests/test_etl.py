@@ -39,8 +39,23 @@ def test_converter_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
 def test_media_decode_stub_contract():
     import pytest
 
+    from wikipediaetl_spark.operators import multimodal
+
+    if multimodal._HAS_PIL:
+        # Extras guard active: real image decode runs (same 8-stat contract).
+        import io
+
+        img = multimodal._PILImage.new("L", (2, 2), color=7)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        feats = decode_media(buf.getvalue(), "image", fake=False)
+        assert len(feats) == 8 and feats[0] == 4  # 2x2 pixels
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_media(b"abc", "image", fake=False)
+    # audio has no real path in any environment (needs ffmpeg-class libs)
     with pytest.raises(NotImplementedError):
-        decode_media(b"abc", "image", fake=False)
+        decode_media(b"abc", "audio", fake=False)
     feats = decode_media(b"abc", "image", fake=True)
     assert len(feats) == 8
     assert feats[0] == 3  # n_bytes

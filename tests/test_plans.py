@@ -139,3 +139,36 @@ def test_top_supplier_broadcasts_scalar_side(spark, sf_dir):
     # scan of the plan tree.
     first_scan = text.split("(1) Scan parquet", 1)[1][:400]
     assert "supplier.parquet" in first_scan
+
+
+def test_bigram_lift_broadcasts_vocab(spark, sf_dir):
+    """q155: unigram-count joins must broadcast (vocab ≪ corpus) and the
+    scalar attaches must be broadcast nested loops — no shuffled join of the
+    bigram table against 1-row aggregates, no cartesian product."""
+    from wikipediaetl_spark.operators.advanced import q155_bigram_lift
+
+    text = explain_str(q155_bigram_lift(spark, sf_dir))
+    assert text.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" in text  # the lazy 1-row scalar attaches
+
+
+def test_upsert_merge_single_shuffle(spark, sf_dir):
+    """q158: base ∪ changes must shuffle ONCE on the merge key (the window),
+    not once per branch — the union is exchange-free row concatenation."""
+    from wikipediaetl_spark.operators.advanced import q158_upsert_snapshot
+
+    text = explain_str(q158_upsert_snapshot(spark, sf_dir))
+    assert "RunningWindowFunction" in text or "Window" in text
+    # exchanges: one hashpartitioning(o_orderkey) for the window + one for
+    # the final small groupBy — the three union branches add none
+    assert text.count("hashpartitioning(o_orderkey") == 1
+
+
+def test_unpivot_is_row_local(spark, sf_dir):
+    """q157: the wide→long expansion must not shuffle; only the 4-group
+    aggregate exchanges."""
+    from wikipediaetl_spark.operators.advanced import q157_unpivot_measures
+
+    text = explain_str(q157_unpivot_measures(spark, sf_dir))
+    assert text.count("Exchange") <= 2  # partial→final agg only

@@ -50,6 +50,9 @@ QUERIES = [
     "q53_shingle_neardup",
     "q51_hash_dedup",
     "q148_pipeline_capstone",
+    # round-3 additions: merge + reshape over the scaled fact tables
+    "q157_unpivot_measures",
+    "q158_upsert_snapshot",
 ]
 
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "events", "embeddings")

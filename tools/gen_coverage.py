@@ -15,7 +15,7 @@ MAPPING = """## SURVEY §2 row mapping
 
 | SURVEY §2 area | queries / code |
 |---|---|
-| §2.1 scans/sources/sinks | q02 (parquet scan+pushdown), sources/tables.py (wholetext+provenance), sources/formats.py (JSON/CSV/partitioned parquet/JDBC/archival), sources/http.py (HTTP source), streaming/queries.foreach_batch_parquet_sink, tests/test_sources.py |
+| §2.1 scans/sources/sinks | q02 (parquet scan+pushdown), sources/tables.py (wholetext+provenance), sources/formats.py (JSON/CSV/partitioned parquet/JDBC/archival), sources/http.py (HTTP source), sources/pyds.py (registered Spark 4 Python DataSource "wikihtml": byte-balanced corpus splits, per-page landing sink, and an exactly-once streaming reader for the landing directory, tests/test_pyds.py), streaming/queries.foreach_batch_parquet_sink, tests/test_sources.py |
 | §2.2 projections/filters/predicates | q02, q03, q79 (null predicates), q46 (domain filter) |
 | §2.3 joins | q11 (star/broadcast), q12 (fact-fact), q13 (left), q14 (semi), q15 (anti = insert-if-absent), q16 (full), q17 (cross), q18 (range), q19 (as-of via max_by), q81 (salted skew), q85 (MERGE upsert), q92 (correlated subquery decorrelated), q44/etl.categorizer_tables (bridge M2M), bucketed co-located join (tests/test_scale_patterns.py); TPC-H shapes: Q1=q01 Q3=q98 Q4=q116 Q5=q99 Q6=q115 Q7=q123 Q8=q124 Q10=q112 Q13=q125 Q14=q126 Q15=q127 Q17=q128 Q18=q117 Q19=q129 Q22=q130 Q2=q132 Q9=q133 Q11=q134 Q12=q135 Q16=q136 Q20=q137 Q21=q138 (22 of 22; Q2/Q9/Q11/Q16/Q20 run on a derived partsupp view and Q12/Q21 on derived shipmode/commit/receipt columns — both derivations declared identically in the oracles, see operators/tpch.py docstring) |
 | §2.4 aggregations | q01, q05, q06, q07, q08 (approx), q09 (rollup), q10 (cube), q66 (grouping sets), q39 (percentiles), q75 (argmin/max), q76 (conditional), q77 (string_agg), q42 (word count) |
@@ -24,8 +24,9 @@ MAPPING = """## SURVEY §2 row mapping
 | §2.7 set ops | q26 (union), q27 (intersect), q28 (except = frontier∖seen) |
 | §2.8 scalar functions | q29/q84 (JSON/map), q30 (CASE), q31 (strings), q32/q78 (dates), q33 (scalar subquery), q34/q35 (pivot/unpivot), q47 (sanitize), q46 (URL normalize), q48 (arrays), q49 (levenshtein), q80 (histogram), q95 (regex groups), q96 (explode_outer), q97 (structs), q41 (date parse 'd MMMM yyyy') |
 | §2.9 streaming | q70 (tumbling+watermark), q71 (keyed dedup = Redis set), q72 (fan-out), q73 (sliding), q74 (session windows), q147 (stream-static enrichment join), q36 (batch sessionize), q37 (batch tumbling), q38 (BFS cycle), q149 (applyInPandasWithState running stats, oracle-checked), streaming/queries.retry_queue_step (DLQ/TTL), streaming/queries.foreach_batch_parquet_sink (ack/idempotent sink), streaming/crawler.crawl (full loop), watermark-guarantee + checkpoint-recovery tests |
-| §2.10 UDF surface | functions/html.parse_page_udf (pandas UDF), similarity.ivf_centroids (applyInPandas UDAF), similarity.q91 (mapInPandas BLAS), multimodal.extract_features (mapInPandas), sources/http.fetch_urls (mapInPandas) |
-| §2.11 LLM-pipeline extensions | q50/q51 (exact/hash dedup), q52/q53 (Jaccard), q54 (MinHash LSH), q150 (portable md5-MinHash, oracle-verified end-to-end), q55 (SimHash), q152 (portable md5-SimHash, oracle-verified end-to-end), q151 (content-keyed consistent sampling), q56 (embedding near-dup), q83 (near-dup clustering), q57/q91 (cosine top-k), q58 (IVF), q59 (LSH ANN), q60 (lang-ID), q61 (quality), q62 (token count), q63 (fingerprint), q67 (TF-IDF), q68 (stopwords), q69 (sentiment), q82 (heavy hitters), q86 (decontamination), q87 (repetition), q88 (PII redaction), q89 (stratified sampling), q90 (sequence packing), q122 (containment), q131 (blocked near-dup, full table), q139 (temperature data mixing), q141 (duplicate spans, Lee et al.), q142 (Gopher quality rules), q143 (PQ ANN), q144 (unigram-LM perplexity filter), q145 (SemDeDup), q146 (BPE encode), q148 (full curation-funnel capstone), q64/q65 (multimodal binary), q140 (frame-offset sampling) |
+| §2.10 UDF surface | functions/html.parse_page_udf (pandas UDF), similarity.ivf_centroids (applyInPandas UDAF), similarity.q91 (mapInPandas BLAS), multimodal.extract_features (mapInPandas), sources/http.fetch_urls (mapInPandas), q154 (Python UDTF in LATERAL join — Spark-4 table-function surface) |
+| §2.11 LLM-pipeline extensions | q50/q51 (exact/hash dedup), q52/q53 (Jaccard), q54 (MinHash LSH), q150 (portable md5-MinHash, oracle-verified end-to-end), q55 (SimHash), q152 (portable md5-SimHash, oracle-verified end-to-end), q151 (content-keyed consistent sampling), q56 (embedding near-dup), q83 (near-dup clustering), q57/q91 (cosine top-k), q58 (IVF), q59 (LSH ANN), q60 (lang-ID), q61 (quality), q62 (token count), q63 (fingerprint), q67 (TF-IDF), q68 (stopwords), q69 (sentiment), q82 (heavy hitters), q86 (decontamination), q87 (repetition), q88 (PII redaction), q89 (stratified sampling), q90 (sequence packing), q122 (containment), q131 (blocked near-dup, full table), q139 (temperature data mixing), q141 (duplicate spans, Lee et al.), q142 (Gopher quality rules), q143 (PQ ANN), q144 (unigram-LM perplexity filter), q145 (SemDeDup), q146 (BPE encode), q148 (full curation-funnel capstone), q64/q65 (multimodal binary), q140 (frame-offset sampling), q155 (bigram collocation lift / PMI) |
+| §2 round-3 Spark-4 surface (operators/advanced.py) | q153 (native session_window per-session rows), q154 (Python UDTF), q156 (VariantType parse_json/variant_get), q157 (DataFrame.unpivot melt), q158 (set-based SCD1 upsert merge — the reference ORM bulk-write pattern at scale) |
 """
 
 

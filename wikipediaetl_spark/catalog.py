@@ -78,6 +78,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def all_queries() -> dict[str, QueryDef]:
     # Import registers everything; local import avoids a cycle at module load.
     from wikipediaetl_spark.operators import (  # noqa: F401
+        advanced,
         dedup,
         etl,
         multimodal,

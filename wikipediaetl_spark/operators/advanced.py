@@ -1,0 +1,392 @@
+"""Spark-4 API-surface and merge/session operators (SURVEY.md §2 extensions).
+
+Round-3 widening beyond the reference's own surface (reference core is the
+microservice ETL — e.g. ETL/tasks/categorizer.py's set-based ORM writes;
+q158 is that upsert pattern re-expressed as a distributed latest-wins merge):
+
+- ``q153_session_windows``: the native ``F.session_window`` operator (per-
+  session rows, not just per-user counts — q36 is the lag+cumsum variant).
+- ``q154_sentence_udtf``: a Python UDTF in a LATERAL join — the Spark-4
+  user-defined *table* function surface (§2.10).
+- ``q155_bigram_lift``: collocation scoring (lift = exp(PMI)) with integer-
+  portable output; array-transform bigrams, no positional self-join.
+- ``q156_variant_json``: VariantType (``parse_json`` / ``variant_get``) —
+  Spark 4's semi-structured column type over the events props payload.
+- ``q157_unpivot_measures``: ``DataFrame.unpivot`` (melt) of lineitem
+  measures.
+- ``q158_upsert_snapshot``: set-based upsert (SCD1 latest-wins merge) as a
+  window-dedup over base ∪ changes.
+
+All float-valued outputs are integer micro-units (``floor(x*1e6)`` summed as
+BIGINT on both engines) so value-hashes are engine- and platform-portable
+(VERDICT r2 §Next-round #1 pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from wikipediaetl_spark.catalog import query
+from wikipediaetl_spark.sources import load_table
+
+
+def _micro(col: F.Column) -> F.Column:
+    """Tie-free integer micro-units: floor of the same IEEE double is
+    bit-deterministic on every engine (no HALF_UP/HALF_EVEN divergence)."""
+    return F.floor(col * F.lit(1000000.0)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# q153: native session windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q153_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WHERE user_id % 20 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_micro
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q153_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rows via the native ``F.session_window`` operator (30-min
+    gap; merge rule verified: a gap of exactly 30:00 merges, i.e. a new
+    session starts only when gap > 30 min — the oracle's lag condition
+    mirrors that strictly). ``session_end`` is Spark's definition:
+    last event + gap. Scale: session assembly is a single keyed shuffle on
+    user_id with in-partition merge — no window-sort of the whole table; the
+    streaming twin with watermarked state is the same expression under
+    ``readStream``. Bounded to user_id % 20 to keep the differential-check
+    collect small (~5k sessions at sf0.1)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    return (
+        e.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_micro(F.col("value"))).alias("value_micro"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "value_micro",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154: Python UDTF in a LATERAL join
+# ---------------------------------------------------------------------------
+
+
+def register_sentence_udtf(spark: SparkSession) -> None:
+    """Register the sentence-splitting UDTF (idempotent)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string")
+    class SplitSentences:
+        # Python str.split is a LITERAL split (not regex), matching the
+        # oracle's string_split; indices are assigned before any filtering
+        # so both sides agree on sentence_idx.
+        def eval(self, text):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+
+
+@query(
+    "q154_sentence_udtf",
+    oracle="""
+    SELECT * FROM (
+      SELECT d.doc_id,
+             CAST(unnest(range(1, len(parts) + 1)) - 1 AS INTEGER)
+               AS sentence_idx,
+             unnest(parts) AS sentence
+      FROM (SELECT doc_id, string_split(text, '. ') AS parts
+            FROM documents WHERE doc_id % 5 = 0) d
+    )
+    WHERE length(sentence) >= 5
+    """,
+)
+def q154_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation through a Python UDTF in a LATERAL join — the
+    Spark-4 user-defined table-function surface (one input row → N output
+    rows, worker-side). The UDTF is the API-parity demonstration; the hot
+    path for this particular splitter would be the pure-JVM
+    ``posexplode(split(...))`` (used by q114/q121) — a UDTF earns its cost
+    only when the row-expansion logic genuinely needs Python. Scale: the
+    expansion runs inside each task (no shuffle added); Python-worker
+    round-trip is the overhead to weigh."""
+    register_sentence_udtf(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    d.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence
+        FROM docs_for_udtf d, LATERAL split_sentences(d.text) s
+        WHERE length(s.sentence) >= 5
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q155: bigram collocation lift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q155_bigram_lift",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS tok
+      FROM t
+    ),
+    uni AS (SELECT tok, count(*) AS c FROM pos GROUP BY tok),
+    tot AS (SELECT count(*) AS n FROM pos),
+    big AS (
+      SELECT a.tok AS x, b.tok AS y, count(*) AS c_xy
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY 1, 2
+    ),
+    btot AS (SELECT sum(c_xy) AS m FROM big)
+    SELECT x, y, c_xy,
+           CAST(floor(CAST(c_xy AS DOUBLE) * n * n
+                      / (CAST(m AS DOUBLE) * ux.c * uy.c)
+                      * 1000000) AS BIGINT) AS lift_micro
+    FROM big, tot, btot
+    JOIN uni ux ON big.x = ux.tok
+    JOIN uni uy ON big.y = uy.tok
+    WHERE c_xy >= 5
+    ORDER BY lift_micro DESC, x, y
+    LIMIT 100
+    """,
+)
+def q155_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by lift = P(xy)/(P(x)P(y)) (= exp(PMI)).
+    Bigrams come from a per-doc array ``transform`` (zero positional
+    self-join — the oracle's join is just the SQL spelling); unigram counts
+    join back marked broadcast (vocab ≪ corpus; at web scale drop the hint
+    and let AQE pick). The lift double is a fixed multiply/divide chain —
+    IEEE-exact, so ``floor(x*1e6)`` is bit-identical on both engines (no
+    libm log in the output)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    pos = docs.select(F.explode("w").alias("tok"))
+    uni = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    big = (
+        docs.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, size(w)-1), i -> struct(w[i-1] AS x, w[i] AS y))")
+            ).alias("b")
+        )
+        .select("b.x", "b.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    # Fully lazy scalars: 1-row aggregates attached as broadcast cross joins
+    # (no mid-plan driver collect — VERDICT r2 #5 posture).
+    n_total = pos.agg(F.count(F.lit(1)).alias("n"))
+    m_total = big.agg(F.sum("c_xy").alias("m"))
+    ux = F.broadcast(uni.select(F.col("tok").alias("x"), F.col("c").alias("cx")))
+    uy = F.broadcast(uni.select(F.col("tok").alias("y"), F.col("c").alias("cy")))
+    lift = (
+        F.col("c_xy").cast("double")
+        * F.col("n")
+        * F.col("n")
+        / (F.col("m").cast("double") * F.col("cx") * F.col("cy"))
+    )
+    return (
+        big.filter(F.col("c_xy") >= 5)
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(m_total))
+        .select("x", "y", "c_xy", F.floor(lift * 1000000).cast("long").alias("lift_micro"))
+        .orderBy(F.desc("lift_micro"), "x", "y")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q156: VariantType semi-structured extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q156_variant_json",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"user":' || CAST(user_id AS VARCHAR) || ',"evt":"' ||
+             event_type || '","props":' || props || '}' AS payload
+      FROM events WHERE event_id % 17 = 0
+    )
+    SELECT event_id,
+           CAST(json_extract_string(payload, '$.user') AS BIGINT) AS user_id_v,
+           json_extract_string(payload, '$.evt') AS evt,
+           CAST(json_extract_string(payload, '$.props.k') AS INTEGER) AS k
+    FROM j
+    """,
+)
+def q156_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VariantType: a nested
+    JSON payload is ``parse_json``-ed ONCE into a variant column, then typed
+    paths are pulled with ``variant_get`` — the open-schema ingestion
+    pattern (parse once, bind types late). Unlike ``get_json_object``, the
+    variant is a parsed binary encoding: repeated path extraction does not
+    re-parse the string. All JVM-side, codegen-friendly."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    payload = F.concat(
+        F.lit('{"user":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"evt":"'),
+        F.col("event_type"),
+        F.lit('","props":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+    v = F.parse_json(payload)
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.user", "bigint").alias("user_id_v"),
+        F.variant_get(v, "$.evt", "string").alias("evt"),
+        F.variant_get(v, "$.props.k", "int").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q157: unpivot / melt
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q157_unpivot_measures",
+    oracle="""
+    SELECT measure, count(*) AS n,
+           CAST(sum(CAST(floor(val * 1000000) AS BIGINT)) AS BIGINT)
+             AS total_micro
+    FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def q157_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape with the native ``DataFrame.unpivot`` (melt)
+    operator, then a per-measure profile — the feature-audit step before
+    normalizing heterogeneous measure columns. Unpivot is a row-local
+    expansion (no shuffle); only the 4-row aggregate shuffles. The oracle
+    spells the same reshape as UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_micro(F.col("val"))).alias("total_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158: set-based upsert (latest-wins merge)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q158_upsert_snapshot",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 1 AS o_totalprice,
+             1 AS src
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', 1.0, 1
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    all_rows AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src FROM orders
+      UNION ALL SELECT * FROM changes
+    ),
+    merged AS (
+      SELECT * FROM all_rows
+      QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) = 1
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+             AS total_micro
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def q158_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based upsert: base ∪ changes → latest-wins per key (SCD1 merge).
+    This is the reference's ORM bulk upsert (ETL/tasks/categorizer.py:178-187
+    set-based writes) re-expressed as a distributed merge: one shuffle on
+    the key, a per-key ``row_number`` keeping the change over the base, then
+    the post-merge audit aggregate. At 100 TB the same plan backs a
+    storage-level MERGE INTO (Delta/Iceberg); AQE handles change-batch skew.
+    The change set here is derived deterministically from orders (updates:
+    key%10, inserts: key%97 shifted out of the base key range)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+        F.lit(1).alias("src"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit(1).alias("src"),
+    )
+    all_rows = o.withColumn("src", F.lit(0)).unionByName(updates).unionByName(inserts)
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("src"))
+    merged = all_rows.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_micro(F.col("o_totalprice"))).alias("total_micro"),
+    )

@@ -15,12 +15,25 @@ oracle-checkable in DuckDB.
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Extras guard: if the container ever gains Pillow, the real image decode /
+# resize paths below activate automatically; without it they raise the
+# declared NotImplementedError (audio/video additionally need ffmpeg-class
+# libs and stay stubbed regardless).
+try:  # pragma: no cover - container has no PIL; guard itself is tested
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAS_PIL = True
+except Exception:
+    _PILImage = None
+    _HAS_PIL = False
 
 from wikipediaetl_spark.catalog import query
 from wikipediaetl_spark.sources import load_table
@@ -75,8 +88,28 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndar
     Real decode requires PIL/ffmpeg-class libraries not present in this
     container. With ``fake=True`` a deterministic byte-statistics feature
     vector is produced so the distributed plumbing is testable end-to-end.
+    If Pillow IS importable (extras guard ``_HAS_PIL``), real image decode
+    runs: the payload is opened as an image, converted to grayscale, and the
+    same 8-stat feature contract is computed over pixel values.
     """
     if not fake:
+        if media_type == "image" and _HAS_PIL:
+            img = _PILImage.open(io.BytesIO(payload)).convert("L")
+            px = np.asarray(img, dtype=np.float64).ravel()
+            if px.size == 0:
+                return np.zeros(8)
+            return np.array(
+                [
+                    px.size,
+                    float(px.mean()),
+                    float(px.std()),
+                    float(px.min()),
+                    float(px.max()),
+                    float(np.median(px)),
+                    float(px[0]),
+                    float(px[-1]),
+                ]
+            )
         raise NotImplementedError(
             "media decode requires image/audio libs not available in this environment; "
             "pass fake=True for the deterministic test double"
@@ -187,19 +220,25 @@ def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = True) -> Dat
 
 
 def resize_images(media: DataFrame, target: tuple[int, int] = (32, 32), fake: bool = True) -> DataFrame:
-    """STUB resize: real path needs PIL; the fake double re-hashes the
-    payload into a target-sized deterministic byte grid, preserving the
-    (doc_id, width, height, pixels binary) output contract."""
+    """STUB resize: real path needs PIL (runs automatically if the extras
+    guard ``_HAS_PIL`` finds Pillow: decode → grayscale → resize →
+    ``tobytes``); the fake double re-hashes the payload into a target-sized
+    deterministic byte grid, preserving the (doc_id, width, height,
+    pixels binary) output contract."""
     from collections.abc import Iterator
 
     w, h = target
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if not fake and not _HAS_PIL:
                 raise NotImplementedError("image resize requires PIL-class libs")
             pixels = []
             for payload in pdf["payload"]:
+                if not fake:
+                    img = _PILImage.open(io.BytesIO(payload)).convert("L")
+                    pixels.append(img.resize((w, h)).tobytes())
+                    continue
                 need = w * h
                 reps = (need // max(1, len(payload))) + 1
                 pixels.append((payload * reps)[:need])
