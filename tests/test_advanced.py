@@ -129,3 +129,22 @@ def test_q158_merge_latest_wins(spark, sf_dir):
     assert sum(r.n for r in out.values()) == n_base + n_ins
     # inserted rows carry the change's price (1.0 → 1_000_000 micro each)
     assert out["N"].total_micro == n_ins * 1_000_000
+
+
+def test_q159_tercile_invariants(spark, sf_dir):
+    from wikipediaetl_spark.operators.text_analysis import q159_ccnet_buckets
+
+    rows = q159_ccnet_buckets(spark, sf_dir).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        assert r.ppl_tercile in (1, 2, 3)
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.ppl_tercile)
+        # tercile sizes differ by at most 1 (ntile contract)
+        sizes = [r.n_docs for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+        # score ranges are non-overlapping and increasing head→tail
+        for a, b in zip(rs, rs[1:]):
+            assert a.max_nll_milli <= b.min_nll_milli

@@ -61,6 +61,21 @@ COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "events", "em
 def build_scaled(out: str, factor: int) -> dict[str, int]:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # idempotent: a prior build of the SAME factor over the SAME base is
+    # reused (the replication is deterministic), so chained bench tools
+    # don't pay the ~2-min COPY again
+    marker = os.path.join(out, ".scale_marker")
+    want = f"{factor}:{BASE}"
+    if os.path.exists(marker) and open(marker).read() == want and all(
+        os.path.exists(f"{out}/{t}.parquet")
+        for t in ("lineitem", "orders", "documents", *COPY_TABLES)
+    ):
+        return {
+            t: con.execute(
+                f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
+            ).fetchone()[0]
+            for t in ("lineitem", "orders", "documents")
+        }
     off_o = con.execute(
         f"SELECT max(o_orderkey) + 1 FROM read_parquet('{BASE}/orders.parquet')"
     ).fetchone()[0]
@@ -97,6 +112,8 @@ def build_scaled(out: str, factor: int) -> dict[str, int]:
         rows[t] = con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
         ).fetchone()[0]
+    with open(marker, "w") as f:
+        f.write(want)
     return rows
 
 

@@ -79,3 +79,36 @@ def bucketize_facts(
         bucketize(df, name, key, n_buckets=n_buckets)
         out[role] = name
     return out
+
+
+def materialize_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "m_orders_by_custkey",
+) -> None:
+    """Materialized aggregate (summary/rollup table) — the layer ABOVE
+    bucketing for star-schema dashboards: orders partially aggregated to the
+    custkey grain (count + exact DECIMAL revenue), written once.
+
+    A star query like q11 then reads |customers| rows instead of |orders|
+    and re-aggregates to the asked grain — partial decimal sums merge
+    associatively, so the final double is bit-identical to aggregating the
+    raw fact table (asserted by tools/bench_bucketed.py). At 100 TB this is
+    the standard cube/materialized-view trade: the rollup is maintained
+    incrementally at ingest (each micro-batch appends its partial
+    aggregates; a periodic compaction re-merges the grain), and every
+    region/nation/segment dashboard query rides it instead of the fact
+    scan. The grain column keeps FULL fidelity — any dimension join still
+    works — only the additive measures are pre-combined."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue_d"),
+        )
+        .write.mode("overwrite")
+        .saveAsTable(table)
+    )

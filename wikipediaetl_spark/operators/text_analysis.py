@@ -487,6 +487,39 @@ def q142_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def perdoc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage for q144/q159: per-doc EXACT integer log-prob sum under
+    the corpus-trained unigram LM (top-50k vocab, OOV floor 1/total).
+    Returns (doc_id, n_tokens BIGINT, sum_lp_micro BIGINT). Per-token
+    log-probs are quantized once vocab-side to micro-nats, so the per-doc
+    reduction is an order-independent integer sum."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    total_df = toks.agg(F.count(F.lit(1)).alias("total"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(50_000)
+    )
+    micro = lambda p: F.floor(F.log(p) * 1_000_000 + F.lit(0.5)).cast("long")
+    lp = vocab.crossJoin(F.broadcast(total_df)).select(
+        "tok", micro(F.col("cnt") * 1.0 / F.col("total")).alias("lp")
+    )
+    oov = total_df.select(
+        micro(F.lit(1.0) / F.greatest(F.col("total"), F.lit(1))).alias("oov_lp")
+    )
+    return (
+        toks.join(F.broadcast(lp), "tok", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("lp", "oov_lp")).cast("long").alias("sum_lp_micro"),
+        )
+    )
+
+
 @query(
     "q144_unigram_perplexity",
     oracle="""
@@ -547,31 +580,7 @@ def q144_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     only real shuffles are the vocab count and the per-doc partial-agg
     reduce (exploded tokens of a doc are co-partitioned, so partial
     aggregation collapses them before the wire)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    total_df = toks.agg(F.count(F.lit(1)).alias("total"))
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("tok"))
-        .limit(50_000)
-    )
-    micro = lambda p: F.floor(F.log(p) * 1_000_000 + F.lit(0.5)).cast("long")
-    lp = vocab.crossJoin(F.broadcast(total_df)).select(
-        "tok", micro(F.col("cnt") * 1.0 / F.col("total")).alias("lp")
-    )
-    oov = total_df.select(
-        micro(F.lit(1.0) / F.greatest(F.col("total"), F.lit(1))).alias("oov_lp")
-    )
-    perdoc = (
-        toks.join(F.broadcast(lp), "tok", "left")
-        .crossJoin(F.broadcast(oov))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.coalesce("lp", "oov_lp")).cast("long").alias("sum_lp_micro"),
-        )
-    )
+    perdoc = perdoc_logprob(spark, sf_dir)
     ppl = (
         F.floor(
             F.exp(-(F.col("sum_lp_micro") / 1_000_000.0) / F.col("n_tokens"))
@@ -586,6 +595,82 @@ def q144_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_lp_micro",
         ppl.alias("perplexity"),
         (ppl <= 35.0).cast("int").alias("keep"),
+    )
+
+
+@query(
+    "q159_ccnet_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tot AS (SELECT count(*) AS total FROM toks),
+    vocab AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+      ORDER BY cnt DESC, tok LIMIT 50000
+    ),
+    lp AS (
+      SELECT tok,
+             CAST(floor(ln(cnt * 1.0 / total) * 1000000 + 0.5) AS BIGINT) AS lp
+      FROM vocab CROSS JOIN tot
+    ),
+    oov AS (
+      SELECT CAST(floor(ln(1.0 / greatest(total, 1)) * 1000000 + 0.5) AS BIGINT) AS lp
+      FROM tot
+    ),
+    perdoc AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(coalesce(lp.lp, oov.lp)) AS BIGINT) AS sum_lp_micro
+      FROM toks t LEFT JOIN lp ON t.tok = lp.tok CROSS JOIN oov
+      GROUP BY t.doc_id
+    ),
+    scored AS (
+      SELECT d.lang, p.doc_id, p.n_tokens,
+             CAST((-p.sum_lp_micro * 1000) // p.n_tokens AS BIGINT) AS nll_milli
+      FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+    ),
+    buck AS (
+      SELECT lang, doc_id, n_tokens, nll_milli,
+             ntile(3) OVER (PARTITION BY lang ORDER BY nll_milli, doc_id)
+               AS ppl_tercile
+      FROM scored
+    )
+    SELECT lang, ppl_tercile,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           min(nll_milli) AS min_nll_milli,
+           max(nll_milli) AS max_nll_milli
+    FROM buck
+    GROUP BY lang, ppl_tercile
+    """,
+)
+def q159_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus partitioning (Wenzek et al.,
+    arXiv:1911.00359 §4.3): per language, rank documents by LM score and cut
+    into perplexity terciles — the head feeds training directly, the middle
+    is re-filtered, the tail is dropped. Builds on q144's exact-integer
+    per-doc log-prob stage (``perdoc_logprob``): the ranking key is
+    ``(-sum_lp_micro * 1000) DIV n_tokens`` — pure BIGINT arithmetic, so the
+    per-language total order (key, doc_id) is engine-identical and ntile(3)
+    is deterministic. Scale: one window sort per language partition over
+    doc-level rows (not tokens); skewed languages split fine because the
+    tercile is a rank cut, not a value threshold."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    perdoc = perdoc_logprob(spark, sf_dir)
+    scored = perdoc.join(d, "doc_id").select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.expr("CAST((-sum_lp_micro * 1000) DIV n_tokens AS BIGINT)").alias("nll_milli"),
+    )
+    w = W.partitionBy("lang").orderBy("nll_milli", "doc_id")
+    buck = scored.withColumn("ppl_tercile", F.ntile(3).over(w))
+    return buck.groupBy("lang", "ppl_tercile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("nll_milli").alias("min_nll_milli"),
+        F.max("nll_milli").alias("max_nll_milli"),
     )
 
 
