@@ -120,6 +120,22 @@ def test_jaccard_max_df_drops_hot_token_pairs(spark):
     assert without.count() == 12 * 11 / 2  # every pair shares 'hot'
 
 
+def test_jaccard_sizes_use_post_guard_universe(spark):
+    """When the guard actually fires, |A| and |B| must be the FILTERED set
+    sizes (the oracles' post-guard `sizes` CTE). Pre-guard sizes deflate
+    every score: here the true post-guard Jaccard of d1/d2 is 1.0, while
+    the pre-guard computation would report 2/(3+3-2)=0.5 — a recall
+    collapse first observed on the full sf0.1 corpus (Spark 0 pairs vs
+    oracle 96813 at threshold 0.5)."""
+    rows = [(1, "hot a b"), (2, "hot a b"), (3, "hot x y")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(_tokens(d), threshold=0.9, max_df=2).collect()
+    }
+    assert out == {(1, 2): 1.0}
+
+
 def test_embedding_neardup_lsh_matches_bruteforce(spark, sf_dir):
     """q56's LSH-union candidates must reach recall 1.0 at the fixture: the
     final pair set equals the brute-force all-pairs answer."""

@@ -135,7 +135,6 @@ def jaccard_pairs(
     """
     if hash_tokens:
         tokens = tokens.select("doc_id", F.xxhash64("tok").alias("tok"))
-    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         hot = (
             tokens.groupBy("tok")
@@ -143,6 +142,12 @@ def jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("tok")
         )
+        # the guard redefines the universe: sizes MUST come from the
+        # filtered token sets (matching the oracles' post-guard `sizes`
+        # CTE) — pre-guard sizes deflate every Jaccard once any token is
+        # actually hot, collapsing recall at corpus scale (latent until a
+        # corpus where df really exceeds max_df; caught by the full-corpus
+        # parity test in tests/test_dedup.py)
         cold = tokens.join(F.broadcast(hot), "tok", "left_anti")
         posts = cold.groupBy("tok").agg(
             F.sort_array(F.collect_list("doc_id")).alias("ds")
@@ -154,6 +159,7 @@ def jaccard_pairs(
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("i"))
         )
+        tokens = cold
     else:
         a = tokens.select(F.col("doc_id").alias("doc_a"), "tok")
         b = tokens.select(F.col("doc_id").alias("doc_b"), "tok")
@@ -163,6 +169,7 @@ def jaccard_pairs(
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("i"))
         )
+    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
