@@ -254,19 +254,27 @@ def q155_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_id % 17 = 0
     )
     SELECT event_id,
-           CAST(json_extract_string(payload, '$.user') AS BIGINT) AS user_id_v,
-           json_extract_string(payload, '$.evt') AS evt,
-           CAST(json_extract_string(payload, '$.props.k') AS INTEGER) AS k
+           CASE WHEN payload IS NOT NULL AND json_valid(payload) THEN
+             CAST(json_extract_string(payload, '$.user') AS BIGINT) END
+             AS user_id_v,
+           CASE WHEN payload IS NOT NULL AND json_valid(payload) THEN
+             json_extract_string(payload, '$.evt') END AS evt,
+           CASE WHEN payload IS NOT NULL AND json_valid(payload) THEN
+             CAST(json_extract_string(payload, '$.props.k') AS INTEGER) END
+             AS k
     FROM j
     """,
 )
 def q156_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction through Spark 4's VariantType: a nested
-    JSON payload is ``parse_json``-ed ONCE into a variant column, then typed
-    paths are pulled with ``variant_get`` — the open-schema ingestion
-    pattern (parse once, bind types late). Unlike ``get_json_object``, the
-    variant is a parsed binary encoding: repeated path extraction does not
-    re-parse the string. All JVM-side, codegen-friendly."""
+    JSON payload is parsed ONCE into a variant column, then typed paths are
+    pulled with ``try_variant_get`` — the open-schema ingestion pattern
+    (parse once, bind types late). Unlike ``get_json_object``, the variant
+    is a parsed binary encoding: repeated path extraction does not re-parse
+    the string. All JVM-side, codegen-friendly. TOTAL on hostile input
+    (q29's rule): ``try_parse_json`` nulls malformed payloads instead of
+    failing the job — embedded props may be arbitrary garbage — and the
+    oracle mirrors with a ``json_valid`` guard."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
     payload = F.concat(
         F.lit('{"user":'),
@@ -277,12 +285,12 @@ def q156_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props"),
         F.lit("}"),
     )
-    v = F.parse_json(payload)
+    v = F.try_parse_json(payload)
     return e.select(
         "event_id",
-        F.variant_get(v, "$.user", "bigint").alias("user_id_v"),
-        F.variant_get(v, "$.evt", "string").alias("evt"),
-        F.variant_get(v, "$.props.k", "int").alias("k"),
+        F.try_variant_get(v, "$.user", "bigint").alias("user_id_v"),
+        F.try_variant_get(v, "$.evt", "string").alias("evt"),
+        F.try_variant_get(v, "$.props.k", "int").alias("k"),
     )
 
 
