@@ -60,6 +60,17 @@ SHOWCASE = {
     "q152_simhash_portable": "32 bit-votes in one aggregate pass; 4×8-bit pigeonhole "
     "band join over DISTINCT fingerprints (doc posting lists explode after); "
     "bit_count verify on candidates only.",
+    "q153_session_windows": "native session_window: ONE keyed shuffle on user_id with "
+    "in-partition session merge — no window sort of the events table.",
+    "q155_bigram_lift": "bigrams from an in-row array transform (no positional "
+    "self-join); vocab counts broadcast back; 1-row n/m scalars attach as "
+    "BroadcastNestedLoopJoin — fully lazy, no mid-plan collect.",
+    "q157_unpivot_measures": "unpivot expands rows inside the scan stage "
+    "(zero exchanges for the reshape); only the 4-group agg shuffles.",
+    "q158_upsert_snapshot": "base ∪ changes is exchange-free concatenation; ONE "
+    "hashpartitioning(o_orderkey) feeds the latest-wins row_number window.",
+    "q159_ccnet_buckets": "doc-grain rows only reach the per-language ntile window; "
+    "the token-level work collapses in q144's broadcast-LM partial aggregate.",
 }
 
 

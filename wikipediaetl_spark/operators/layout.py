@@ -29,9 +29,23 @@ Spark specifics encoded by these helpers:
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 from wikipediaetl_spark.sources import load_table
+
+
+def _drop_table(spark: SparkSession, table: str) -> None:
+    """Drop a managed table AND its warehouse location. A location orphaned
+    by a previous session (catalog entry gone, directory still on disk)
+    makes saveAsTable fail with LOCATION_ALREADY_EXISTS — remove it too."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        shutil.rmtree(f"{wh.removeprefix('file:')}/{table}", ignore_errors=True)
+    except Exception:
+        pass
 
 
 def bucketize(
@@ -44,6 +58,7 @@ def bucketize(
     """Write ``df`` as a bucketed (and bucket-sorted) managed table on
     ``key``. One shuffle now; zero shuffles for every later join/agg on
     ``key`` between tables sharing the bucket spec."""
+    _drop_table(df.sparkSession, table)
     w = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)
@@ -102,6 +117,7 @@ def materialize_rollup(
     works — only the additive measures are pre-combined."""
     from pyspark.sql import functions as F
 
+    _drop_table(spark, table)
     o = load_table(spark, sf_dir, "orders")
     (
         o.groupBy("o_custkey")
