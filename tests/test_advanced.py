@@ -148,3 +148,62 @@ def test_q159_tercile_invariants(spark, sf_dir):
         # score ranges are non-overlapping and increasing head→tail
         for a, b in zip(rs, rs[1:]):
             assert a.max_nll_milli <= b.min_nll_milli
+
+
+def test_rollup_incremental_merge_equals_full(spark, sf_dir):
+    """Three ingest batches folded via merge_batch_into_rollup must produce
+    exactly the table materialize_rollup builds in one shot (partial DECIMAL
+    sums are associative)."""
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        materialize_rollup,
+        merge_batch_into_rollup,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    _drop_table(spark, "t_rollup_inc")
+    for i in range(3):
+        merge_batch_into_rollup(
+            spark, o.filter(F.col("o_orderkey") % 3 == i), table="t_rollup_inc"
+        )
+    materialize_rollup(spark, sf_dir, table="t_rollup_full")
+    inc = spark.table("t_rollup_inc")
+    full = spark.table("t_rollup_full")
+    assert inc.count() == full.count()
+    assert inc.exceptAll(full).count() == 0 and full.exceptAll(inc).count() == 0
+    _drop_table(spark, "t_rollup_inc")
+    _drop_table(spark, "t_rollup_full")
+
+
+def test_rollup_sink_foreachbatch_stream(spark, sf_dir, tmp_path):
+    """The streaming entry point: orders fed through foreachBatch maintains
+    the same rollup table."""
+    from wikipediaetl_spark.operators.layout import _drop_table, rollup_sink
+    from wikipediaetl_spark.sources import load_table
+
+    schema = load_table(spark, sf_dir, "orders").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    _drop_table(spark, "t_rollup_stream")
+    q = (
+        stream.writeStream.foreachBatch(rollup_sink(spark, table="t_rollup_stream"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue_d"),
+        )
+    )
+    got = spark.table("t_rollup_stream")
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+    _drop_table(spark, "t_rollup_stream")
