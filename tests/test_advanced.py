@@ -207,3 +207,34 @@ def test_rollup_sink_foreachbatch_stream(spark, sf_dir, tmp_path):
     got = spark.table("t_rollup_stream")
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
     _drop_table(spark, "t_rollup_stream")
+
+
+def test_lineitem_rollup_merges_to_stock_q12(spark, sf_dir):
+    """The bucketed lineitem→orderkey rollup must reproduce stock q12
+    bit-for-bit (decimal terms cast before partial summation)."""
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        materialize_lineitem_rollup,
+    )
+    from wikipediaetl_spark.operators.relational import q12_fact_fact_join
+    from wikipediaetl_spark.sources import load_table
+
+    materialize_lineitem_rollup(spark, sf_dir, table="t_li_rollup", n_buckets=4)
+    r = spark.table("t_li_rollup")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    got = {
+        x["o_orderpriority"]: (x["n_lines"], x["revenue"])
+        for x in r.join(o, r.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("revenue_d").cast("double").alias("revenue"),
+        )
+        .collect()
+    }
+    want = {
+        x["o_orderpriority"]: (x["n_lines"], x["revenue"])
+        for x in q12_fact_fact_join(spark, sf_dir).collect()
+    }
+    assert got == want
+    _drop_table(spark, "t_li_rollup")

@@ -63,6 +63,22 @@ def q11_bucketed(spark, sf_dir):
     )
 
 
+def q12_rollup(spark):
+    """q12 over the bucketed lineitem→orderkey rollup: ~|orders| probe rows
+    instead of ~4x|orders| lineitems, and the join stays exchange-free
+    (both sides bucketed on orderkey)."""
+    r = spark.table("m_lineitem_by_orderkey")
+    o = spark.table("b_orders_by_orderkey").filter(F.col("o_orderstatus") == "F")
+    return (
+        r.join(o, r.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("revenue_d").cast("double").alias("revenue"),
+        )
+    )
+
+
 def q11_rollup(spark, sf_dir):
     """q11 over the materialized custkey rollup: |customers| input rows
     instead of |orders|; partial DECIMAL sums merge exactly."""
@@ -145,11 +161,39 @@ def main() -> None:
 
     # materialized-rollup lever for the star shape: aggregate table at the
     # custkey grain, maintained at ingest — q11 then reads |customers| rows
-    from wikipediaetl_spark.operators.layout import materialize_rollup
+    from wikipediaetl_spark.operators.layout import (
+        materialize_lineitem_rollup,
+        materialize_rollup,
+    )
 
     t0 = time.perf_counter()
     materialize_rollup(spark, out)
     rollup_build_s = time.perf_counter() - t0
+
+    # same lever for the fact-fact shape: lineitem rolled up to orderkey
+    # grain, bucketed so the orders probe stays exchange-free
+    t0 = time.perf_counter()
+    materialize_lineitem_rollup(spark, out)
+    li_rollup_build_s = time.perf_counter() - t0
+    stock12 = {
+        r["o_orderpriority"]: (r["n_lines"], r["revenue"])
+        for r in qs["q12_fact_fact_join"].fn(spark, out).collect()
+    }
+    roll12 = {
+        r["o_orderpriority"]: (r["n_lines"], r["revenue"])
+        for r in q12_rollup(spark).collect()
+    }
+    assert roll12 == stock12, "q12 rollup must merge to the exact stock result"
+    r12_s = best_of(lambda: q12_rollup(spark))
+    result["q12_fact_fact_join"].update(
+        {
+            "rollup_spark_s": round(r12_s, 3),
+            "rollup_ratio": round(r12_s / result["q12_fact_fact_join"]["duckdb_s"], 2),
+            "rollup_build_s": round(li_rollup_build_s, 1),
+            "rollup_exact_match": True,
+        }
+    )
+    print("q12_rollup", json.dumps(result["q12_fact_fact_join"]))
     stock_rows = {
         (r["r_name"], r["n_name"]): (r["n_orders"], r["revenue"])
         for r in qs["q11_star_join"].fn(spark, out).collect()

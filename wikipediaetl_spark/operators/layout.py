@@ -181,3 +181,32 @@ def rollup_sink(spark: SparkSession, table: str = "m_orders_by_custkey"):
         merge_batch_into_rollup(spark, batch, table=table)
 
     return _sink
+
+
+def materialize_lineitem_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "m_lineitem_by_orderkey",
+    n_buckets: int = 32,
+) -> None:
+    """Join-aggregate pushdown as a stored layout: lineitem pre-aggregated
+    to the orderkey grain (line count + exact DECIMAL(18,6) revenue terms),
+    written BUCKETED on the grain key so the orders⋈rollup probe is also
+    exchange-free. An orderkey-grain query like q12 then joins ~|orders|
+    rows instead of ~4×|orders| lineitem rows and merges partials —
+    bit-identical to aggregating raw lineitem (per-term decimal casts
+    happen before the partial sum, so association order is irrelevant).
+    Same incremental-maintenance story as ``merge_batch_into_rollup``."""
+    from pyspark.sql import functions as F
+
+    _drop_table(spark, table)
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        ).alias("revenue_d"),
+    )
+    agg.write.mode("overwrite").bucketBy(n_buckets, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable(table)
