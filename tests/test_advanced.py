@@ -112,7 +112,7 @@ def test_q157_unpivot_counts(spark, sf_dir):
     n_li = load_table(spark, sf_dir, "lineitem").count()
     assert set(out) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
     assert all(r.n == n_li for r in out.values())
-    assert out["l_extendedprice"].total_micro > out["l_discount"].total_micro
+    assert out["l_extendedprice"].total_cents > out["l_discount"].total_cents
 
 
 def test_q158_merge_latest_wins(spark, sf_dir):
@@ -127,8 +127,8 @@ def test_q158_merge_latest_wins(spark, sf_dir):
     assert out["X"].n == n_upd
     assert out["N"].n == n_ins
     assert sum(r.n for r in out.values()) == n_base + n_ins
-    # inserted rows carry the change's price (1.0 → 1_000_000 micro each)
-    assert out["N"].total_micro == n_ins * 1_000_000
+    # inserted rows carry the change's price (1.0 → 100 cents each)
+    assert out["N"].total_cents == n_ins * 100
 
 
 def test_q159_tercile_invariants(spark, sf_dir):
@@ -238,3 +238,36 @@ def test_lineitem_rollup_merges_to_stock_q12(spark, sf_dir):
     }
     assert got == want
     _drop_table(spark, "t_li_rollup")
+
+
+def test_q160_outlier_exact_flag(spark, sf_dir):
+    from wikipediaetl_spark.operators.advanced import q160_outlier_zscore
+
+    rows = {r.event_type: r for r in q160_outlier_zscore(spark, sf_dir).collect()}
+    assert set(rows) == {"click", "view", "purchase", "signup", "error"}
+    for r in rows.values():
+        assert 0 <= r.n_outliers < r.n
+
+
+def test_q161_funnel_monotone(spark, sf_dir):
+    from wikipediaetl_spark.operators.advanced import q161_funnel
+
+    r = q161_funnel(spark, sf_dir).collect()[0]
+    assert r.n_view >= r.n_click_after_view >= r.n_purchase_after_click >= 0
+    assert r.n_view > 0
+
+
+def test_q162_cohort_triangle(spark, sf_dir):
+    from wikipediaetl_spark.operators.advanced import q162_cohort_retention
+
+    rows = q162_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    # offset-0 row exists for every cohort and is its maximum (every user is
+    # active on their first-seen day)
+    by_cohort = {}
+    for r in rows:
+        assert r.day_offset >= 0
+        by_cohort.setdefault(r.cohort_day, {})[r.day_offset] = r.n_active_users
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs
+        assert offs[0] == max(offs.values())

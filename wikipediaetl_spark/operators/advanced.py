@@ -16,9 +16,13 @@ q158 is that upsert pattern re-expressed as a distributed latest-wins merge):
   measures.
 - ``q158_upsert_snapshot``: set-based upsert (SCD1 latest-wins merge) as a
   window-dedup over base ∪ changes.
+- ``q160_outlier_zscore`` / ``q161_funnel`` / ``q162_cohort_retention``:
+  the event-analytics surface — exact-integer z-score outlier flags, the
+  ordered view→click→purchase funnel, and the retention triangle.
 
-All float-valued outputs are integer micro-units (``floor(x*1e6)`` summed as
-BIGINT on both engines) so value-hashes are engine- and platform-portable
+All float-valued outputs are integer-quantized on both engines (micro-units
+for bounded per-group sums, exact cents for table-wide money totals — see
+``_micro``/``_cents``) so value-hashes are engine- and platform-portable
 (VERDICT r2 §Next-round #1 pattern).
 """
 
@@ -34,8 +38,20 @@ from wikipediaetl_spark.sources import load_table
 
 def _micro(col: F.Column) -> F.Column:
     """Tie-free integer micro-units: floor of the same IEEE double is
-    bit-deterministic on every engine (no HALF_UP/HALF_EVEN divergence)."""
+    bit-deterministic on every engine (no HALF_UP/HALF_EVEN divergence).
+    For PER-GROUP sums over bounded groups only — see ``_cents`` for
+    table-wide money totals."""
     return F.floor(col * F.lit(1000000.0)).cast("long")
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Exact integer cents for the fixture's 2-decimal money values.
+    Table-wide micro-unit sums overflow BIGINT around 2e12 cents-rows
+    (caught live: q157's micro total at the 400×/240M-row fixture hit
+    ANSI ARITHMETIC_OVERFLOW); cents keep the same exactness with 1e4 more
+    headroom (~1.8e12 rows at 5e6 cents/row — beyond a 100 TB lineitem).
+    floor(x*100+0.5) round-half-up is deterministic on both engines."""
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
 
 
 # ---------------------------------------------------------------------------
@@ -303,8 +319,8 @@ def q156_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q157_unpivot_measures",
     oracle="""
     SELECT measure, count(*) AS n,
-           CAST(sum(CAST(floor(val * 1000000) AS BIGINT)) AS BIGINT)
-             AS total_micro
+           CAST(sum(CAST(floor(val * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM (
       SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
       UNION ALL
@@ -322,7 +338,9 @@ def q157_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, then a per-measure profile — the feature-audit step before
     normalizing heterogeneous measure columns. Unpivot is a row-local
     expansion (no shuffle); only the 4-row aggregate shuffles. The oracle
-    spells the same reshape as UNION ALL."""
+    spells the same reshape as UNION ALL. Totals are exact integer CENTS
+    (2-decimal fixture money): micro-units overflowed BIGINT at the
+    400×/240M-row scale fixture (see ``_cents``)."""
     li = load_table(spark, sf_dir, "lineitem")
     long = li.unpivot(
         ["l_orderkey", "l_linenumber"],
@@ -332,7 +350,7 @@ def q157_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return long.groupBy("measure").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_micro(F.col("val"))).alias("total_micro"),
+        F.sum(_cents(F.col("val"))).alias("total_cents"),
     )
 
 
@@ -361,8 +379,8 @@ def q157_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
       QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) = 1
     )
     SELECT o_orderstatus, count(*) AS n,
-           CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
-             AS total_micro
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM merged
     GROUP BY o_orderstatus
     """,
@@ -396,5 +414,170 @@ def q158_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = all_rows.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_micro(F.col("o_totalprice"))).alias("total_micro"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q160-q162: event-analytics surface (outliers, funnel, cohort retention)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q160_outlier_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s,
+             CAST(sum(v * v) AS BIGINT) AS q
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           max(stats.n) AS n,
+           CAST(count(*) FILTER (
+             CAST(stats.n AS DECIMAL(38,0)) * (stats.n * c.v - stats.s)
+               * (stats.n * c.v - stats.s)
+             > 9 * CAST(stats.n AS DECIMAL(38,0))
+               * (stats.n * stats.q - stats.s * stats.s)
+           ) AS BIGINT) AS n_outliers
+    FROM c JOIN stats USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def q160_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier flagging at |z| > 3 with EXACT integer algebra —
+    no float mean/std anywhere: values become cents (BIGINT), and the
+    z-test (x-μ)² > 9σ² is cross-multiplied to
+    n·(n·x−S)² > 9·n·(nQ−S²) over DECIMAL(38,0), so the flag is
+    bit-portable across engines AND independent of summation order — the
+    way to run distributed quality control without a nondeterministic
+    threshold boundary. Plan: one partial-agg shuffle for (n,S,Q), stats
+    broadcast back onto the stream, flags counted map-side."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v")
+    )
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+    )
+    j = c.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("v") - F.col("s")
+    lhs = F.col("n").cast("decimal(38,0)") * dev * dev
+    rhs = (
+        F.lit(9)
+        * F.col("n").cast("decimal(38,0)")
+        * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    )
+    return j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum((lhs > rhs).cast("long")).cast("long").alias("n_outliers"),
+    )
+
+
+@query(
+    "q161_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def q161_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): each stage keeps the
+    earliest qualifying event at-or-after the previous stage's timestamp —
+    the product-analytics sequence query. Three keyed aggregations, each
+    joined forward on user_id; the per-stage tables shrink monotonically,
+    so every join after the first has a reduced build side. Timestamps
+    never leave the JVM; the result row is three exact counts."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click_after_view"))))
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+        )
+    )
+
+
+@query(
+    "q162_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS DATE) AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           count(*) AS n_active_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def q162_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted as
+    active per day-offset — the standard retention triangle. The first-seen
+    table joins back marked broadcast (|users| ≪ |events|; drop the hint at
+    web scale and AQE picks). All outputs are DATE/BIGINT — no floats, no
+    TZ-sensitive instants (DATE arithmetic under the pinned UTC session)."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
     )
