@@ -71,6 +71,12 @@ SHOWCASE = {
     "hashpartitioning(o_orderkey) feeds the latest-wins row_number window.",
     "q159_ccnet_buckets": "doc-grain rows only reach the per-language ntile window; "
     "the token-level work collapses in q144's broadcast-LM partial aggregate.",
+    "q160_outlier_zscore": "one partial-agg shuffle for (n,S,Q); 5-row stats broadcast "
+    "back; the exact-integer z-test evaluates map-side — no float threshold boundary.",
+    "q161_funnel": "three keyed aggregations with monotonically shrinking build sides; "
+    "stage counts attach as broadcast 1-row scalars.",
+    "q162_cohort_retention": "first-seen table broadcast onto events; DATE-only "
+    "arithmetic; distinct + count ride one exchange on (cohort, offset).",
 }
 
 
