@@ -204,9 +204,50 @@ def test_rollup_sink_foreachbatch_stream(spark, sf_dir, tmp_path):
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue_d"),
         )
     )
-    got = spark.table("t_rollup_stream")
+    got = spark.table("t_rollup_stream").select("o_custkey", "n_orders", "revenue_d")
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
     _drop_table(spark, "t_rollup_stream")
+
+
+def test_rollup_merge_replay_is_idempotent(spark, sf_dir):
+    """A foreachBatch replay (same batch_id re-delivered after a completed
+    merge) must be a no-op — the batch id is stamped atomically with the
+    merged rows, so double-counting cannot occur (ADVICE r3)."""
+    from wikipediaetl_spark.operators.layout import _drop_table, merge_batch_into_rollup
+    from wikipediaetl_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    _drop_table(spark, "t_rollup_replay")
+    merge_batch_into_rollup(spark, o, table="t_rollup_replay", batch_id=0)
+    once = spark.table("t_rollup_replay").select("o_custkey", "n_orders", "revenue_d")
+    once_rows = sorted(map(tuple, once.collect()))
+    # replay batch 0: must not double-count
+    merge_batch_into_rollup(spark, o, table="t_rollup_replay", batch_id=0)
+    twice = spark.table("t_rollup_replay").select("o_custkey", "n_orders", "revenue_d")
+    assert sorted(map(tuple, twice.collect())) == once_rows
+    # a genuinely new batch still merges
+    merge_batch_into_rollup(spark, o.limit(10), table="t_rollup_replay", batch_id=1)
+    n_after = spark.table("t_rollup_replay").agg(F.sum("n_orders")).first()[0]
+    assert n_after == o.count() + 10
+    _drop_table(spark, "t_rollup_replay")
+
+
+def test_rollup_interrupted_swap_recovers_from_staging(spark, sf_dir):
+    """Simulate a crash between drop(table) and rename(staging→table): the
+    next merge call must first recover the completed staging merge instead
+    of restarting history from the incoming batch alone."""
+    from wikipediaetl_spark.operators.layout import _drop_table, merge_batch_into_rollup
+    from wikipediaetl_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    _drop_table(spark, "t_rollup_crash")
+    merge_batch_into_rollup(spark, o, table="t_rollup_crash", batch_id=0)
+    # simulate the crash window: completed merge sits in staging, table gone
+    spark.sql("ALTER TABLE t_rollup_crash RENAME TO t_rollup_crash_staging")
+    merge_batch_into_rollup(spark, o.limit(10), table="t_rollup_crash", batch_id=1)
+    n_after = spark.table("t_rollup_crash").agg(F.sum("n_orders")).first()[0]
+    assert n_after == o.count() + 10  # history preserved, batch folded once
+    _drop_table(spark, "t_rollup_crash")
 
 
 def test_lineitem_rollup_merges_to_stock_q12(spark, sf_dir):

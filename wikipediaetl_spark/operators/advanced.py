@@ -435,16 +435,18 @@ def q158_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(v) AS BIGINT) AS s,
-             CAST(sum(v * v) AS BIGINT) AS q
+             sum(CAST(v AS HUGEINT) * v) AS q
       FROM c GROUP BY event_type
     )
     SELECT c.event_type,
            max(stats.n) AS n,
            CAST(count(*) FILTER (
-             CAST(stats.n AS DECIMAL(38,0)) * (stats.n * c.v - stats.s)
-               * (stats.n * c.v - stats.s)
-             > 9 * CAST(stats.n AS DECIMAL(38,0))
-               * (stats.n * stats.q - stats.s * stats.s)
+             CAST(stats.n AS HUGEINT)
+               * (CAST(stats.n AS HUGEINT) * c.v - stats.s)
+               * (CAST(stats.n AS HUGEINT) * c.v - stats.s)
+             > 9 * CAST(stats.n AS HUGEINT)
+               * (CAST(stats.n AS HUGEINT) * stats.q
+                  - CAST(stats.s AS HUGEINT) * stats.s)
            ) AS BIGINT) AS n_outliers
     FROM c JOIN stats USING (event_type)
     GROUP BY c.event_type
@@ -454,11 +456,15 @@ def q160_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group outlier flagging at |z| > 3 with EXACT integer algebra —
     no float mean/std anywhere: values become cents (BIGINT), and the
     z-test (x-μ)² > 9σ² is cross-multiplied to
-    n·(n·x−S)² > 9·n·(nQ−S²) over DECIMAL(38,0), so the flag is
-    bit-portable across engines AND independent of summation order — the
-    way to run distributed quality control without a nondeterministic
-    threshold boundary. Plan: one partial-agg shuffle for (n,S,Q), stats
-    broadcast back onto the stream, flags counted map-side."""
+    n·(n·x−S)² > 9·n·(nQ−S²). EVERY multiplication runs in wide exact
+    integer space — DECIMAL(38,0) on Spark, HUGEINT (int128) in the
+    oracle — including the Q = Σv² accumulation itself, so nothing
+    touches int64 after the per-row cents cast: with ~4e7 rows/group at
+    the 400× fixture, S ≈ 4e12 means S² ≈ 1.6e25 and Σv² ≈ 4e17, both
+    past or near int64 but far under the 1e38/1.7e38 exact range. The
+    flag is bit-portable across engines AND independent of summation
+    order. Plan: one partial-agg shuffle for (n,S,Q), stats broadcast
+    back onto the stream, flags counted map-side."""
     e = load_table(spark, sf_dir, "events")
     c = e.select(
         "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v")
@@ -466,16 +472,14 @@ def q160_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = c.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v").cast("long").alias("s"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q"),
     )
     j = c.join(F.broadcast(stats), "event_type")
-    dev = F.col("n") * F.col("v") - F.col("s")
-    lhs = F.col("n").cast("decimal(38,0)") * dev * dev
-    rhs = (
-        F.lit(9)
-        * F.col("n").cast("decimal(38,0)")
-        * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
-    )
+    n_d = F.col("n").cast("decimal(38,0)")
+    s_d = F.col("s").cast("decimal(38,0)")
+    dev = n_d * F.col("v") - s_d
+    lhs = n_d * dev * dev
+    rhs = F.lit(9) * n_d * (n_d * F.col("q") - s_d * s_d)
     return j.groupBy("event_type").agg(
         F.max("n").alias("n"),
         F.sum((lhs > rhs).cast("long")).cast("long").alias("n_outliers"),

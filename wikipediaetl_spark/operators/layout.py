@@ -134,20 +134,40 @@ def merge_batch_into_rollup(
     spark: SparkSession,
     batch: DataFrame,
     table: str = "m_orders_by_custkey",
+    batch_id: int | None = None,
 ) -> None:
     """Incremental rollup maintenance: fold one ingest batch's partial
-    aggregates into the stored summary table.
+    aggregates into the stored summary table, idempotently.
 
     The batch is aggregated to the rollup grain (count + exact DECIMAL
     partial sums — associative, so merge order is irrelevant), unioned with
-    the current table, re-merged per key, and swapped in atomically
-    (write to a staging table, then drop+rename — never overwrite a table
-    that the merge plan is reading). Cost per batch is O(batch + |grain|),
+    the current table, re-merged per key, and swapped in via
+    staging-write + drop + rename. The drop→rename pair is NOT a single
+    atomic step, so two hazards are handled explicitly rather than assumed
+    away: (1) a crash between drop and rename leaves only the staging
+    table — on the next call the completed staging merge is recovered by
+    renaming it into place before anything else; (2) a foreachBatch replay
+    after a completed merge would double-count — so when ``batch_id`` is
+    given it is stamped into every rollup row (constant ``last_batch_id``
+    column, atomic with the data it describes) and a replayed id ≤ the
+    stored one is a no-op. Cost per batch is O(batch + |grain|),
     independent of the fact table's full history — the property that makes
     a 100 TB rollup maintainable. The streaming entry point is
     ``rollup_sink`` (a foreachBatch wrapper)."""
     from pyspark.sql import functions as F
 
+    staging = f"{table}_staging"
+    # Recover an interrupted swap: if the main table is gone but staging
+    # exists, staging IS the completed previous merge — finish the rename.
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(staging):
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    grain_cols = ["o_custkey", "n_orders", "revenue_d"]
+    if batch_id is not None and spark.catalog.tableExists(table):
+        cur = spark.table(table)
+        if "last_batch_id" in cur.columns:
+            row = cur.select("last_batch_id").first()
+            if row is not None and row[0] is not None and batch_id <= row[0]:
+                return  # replayed batch already folded into the rollup
     partial = batch.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue_d"),
@@ -155,6 +175,7 @@ def merge_batch_into_rollup(
     if spark.catalog.tableExists(table):
         merged = (
             spark.table(table)
+            .select(*grain_cols)
             .unionByName(partial)
             .groupBy("o_custkey")
             .agg(
@@ -164,7 +185,8 @@ def merge_batch_into_rollup(
         )
     else:
         merged = partial
-    staging = f"{table}_staging"
+    if batch_id is not None:
+        merged = merged.withColumn("last_batch_id", F.lit(batch_id).cast("long"))
     _drop_table(spark, staging)
     merged.write.mode("overwrite").saveAsTable(staging)
     _drop_table(spark, table)
@@ -174,11 +196,13 @@ def merge_batch_into_rollup(
 def rollup_sink(spark: SparkSession, table: str = "m_orders_by_custkey"):
     """foreachBatch sink maintaining the rollup from a stream of orders:
     ``stream.writeStream.foreachBatch(rollup_sink(spark)).start()``.
-    Micro-batch replays are idempotent only per completed merge (the swap
-    is atomic); production pairs this with checkpointed batch ids."""
+    Replays are idempotent: the micro-batch id is stamped into the rollup
+    atomically with the merged data (see ``merge_batch_into_rollup``), so
+    a redelivered batch after a completed merge is skipped, and an
+    interrupted drop/rename swap is recovered from staging."""
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        merge_batch_into_rollup(spark, batch, table=table)
+        merge_batch_into_rollup(spark, batch, table=table, batch_id=batch_id)
 
     return _sink
 

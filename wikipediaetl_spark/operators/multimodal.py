@@ -293,7 +293,7 @@ def q110_cross_modal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*) AS n_docs,
            count(DISTINCT lang) AS n_langs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT) AS avg_chars_micro
     FROM documents
     GROUP BY source

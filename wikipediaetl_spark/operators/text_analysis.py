@@ -638,7 +638,7 @@ def q144_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, ppl_tercile,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            min(nll_milli) AS min_nll_milli,
            max(nll_milli) AS max_nll_milli
     FROM buck

@@ -735,10 +735,10 @@ def q134_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT l_shipmode,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN li ON o_orderkey = l_orderkey
     WHERE l_shipmode IN ('MAIL', 'SHIP')
       AND l_commitdate < l_receiptdate
