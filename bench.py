@@ -59,17 +59,20 @@ def main() -> None:
     except Exception:
         pass
 
-    # best-of-2 per query (min over repetitions — standard practice; the
-    # second run measures the engine rather than first-call codegen/GC noise)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        qd = qs[name]
-        best = float("inf")
-        for _ in range(2):
+    # best-of-3, round-robin: the whole suite runs three times and each
+    # query keeps its minimum. Round-robin (vs back-to-back reps) decouples
+    # a query's two samples by ~20s, so a transient GC pause or OS cache
+    # eviction can't poison both — back-to-back best-of-2 showed ±50%
+    # swings on individual queries between otherwise identical runs.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    timings = {name: float("inf") for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            qd = qs[name]
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {name: round(v, 3) for name, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

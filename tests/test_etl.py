@@ -61,6 +61,23 @@ def test_media_decode_stub_contract():
     assert feats[0] == 3  # n_bytes
 
 
+def test_media_decode_undecodable_payload_yields_zero_row(monkeypatch):
+    """When the real PIL path IS available but the payload is truncated or
+    hostile, decode must yield the TOTAL zero-feature row, never kill the
+    task (ADVICE r3). Simulated with a stub Image whose open() raises — the
+    same code path a corrupt byte-stream takes through real PIL."""
+    from wikipediaetl_spark.operators import multimodal
+
+    class _BrokenImage:
+        @staticmethod
+        def open(_buf):
+            raise OSError("cannot identify image file")
+
+    monkeypatch.setattr(multimodal, "_pil_image", lambda: _BrokenImage)
+    feats = multimodal.decode_media(b"\xff\xd8garbage", "image", fake=False)
+    assert list(feats) == [0.0] * 8
+
+
 def test_media_features_pipeline(spark, sf_dir):
     m = media_table(spark, sf_dir)
     feats = extract_features(m, fake=True)

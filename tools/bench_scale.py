@@ -50,12 +50,23 @@ QUERIES = [
     "q53_shingle_neardup",
     "q51_hash_dedup",
     "q148_pipeline_capstone",
-    # round-3 additions: merge + reshape over the scaled fact tables
+    # round-3 additions: merge + reshape over the scaled fact tables, plus
+    # the full Spark-4/event-analytics surface (ADVICE r3: q153-q162 must
+    # run at a factor where their integer-width guards actually fire —
+    # events is now replicated too, so q160's s*s crosses int64 at 400x)
+    "q153_session_windows",
+    "q154_sentence_udtf",
+    "q155_bigram_lift",
+    "q156_variant_json",
     "q157_unpivot_measures",
     "q158_upsert_snapshot",
+    "q159_ccnet_buckets",
+    "q160_outlier_zscore",
+    "q161_funnel",
+    "q162_cohort_retention",
 ]
 
-COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "events", "embeddings")
+COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "embeddings")
 
 
 def build_scaled(out: str, factor: int) -> dict[str, int]:
@@ -65,16 +76,17 @@ def build_scaled(out: str, factor: int) -> dict[str, int]:
     # reused (the replication is deterministic), so chained bench tools
     # don't pay the ~2-min COPY again
     marker = os.path.join(out, ".scale_marker")
-    want = f"{factor}:{BASE}"
+    # v2: events is now replicated (user/event id offsets), not copied
+    want = f"v2:{factor}:{BASE}"
     if os.path.exists(marker) and open(marker).read() == want and all(
         os.path.exists(f"{out}/{t}.parquet")
-        for t in ("lineitem", "orders", "documents", *COPY_TABLES)
+        for t in ("lineitem", "orders", "documents", "events", *COPY_TABLES)
     ):
         return {
             t: con.execute(
                 f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
             ).fetchone()[0]
-            for t in ("lineitem", "orders", "documents")
+            for t in ("lineitem", "orders", "documents", "events")
         }
     off_o = con.execute(
         f"SELECT max(o_orderkey) + 1 FROM read_parquet('{BASE}/orders.parquet')"
@@ -82,6 +94,10 @@ def build_scaled(out: str, factor: int) -> dict[str, int]:
     off_d = con.execute(
         f"SELECT max(doc_id) + 1 FROM read_parquet('{BASE}/documents.parquet')"
     ).fetchone()[0]
+    off_e, off_u = con.execute(
+        f"SELECT max(event_id) + 1, max(user_id) + 1 "
+        f"FROM read_parquet('{BASE}/events.parquet')"
+    ).fetchone()
     con.execute(
         f"""COPY (
           SELECT l_orderkey + i * {off_o} AS l_orderkey, l_partkey, l_suppkey,
@@ -103,12 +119,23 @@ def build_scaled(out: str, factor: int) -> dict[str, int]:
           FROM read_parquet('{BASE}/documents.parquet'), range({factor}) t(i)
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)"""
     )
+    # events replicates per-user histories onto disjoint user_id ranges:
+    # each replica's users repeat the base timeline, so session/funnel/
+    # retention shapes are preserved while per-event_type group sizes grow
+    # FACTOR-fold (the axis that fires q160's integer-width guards)
+    con.execute(
+        f"""COPY (
+          SELECT event_id + i * {off_e} AS event_id, ts,
+                 user_id + i * {off_u} AS user_id, event_type, value, props
+          FROM read_parquet('{BASE}/events.parquet'), range({factor}) t(i)
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)"""
+    )
     for t in COPY_TABLES:
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copy(f"{BASE}/{t}.parquet", dst)
     rows = {}
-    for t in ("lineitem", "orders", "documents"):
+    for t in ("lineitem", "orders", "documents", "events"):
         rows[t] = con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
         ).fetchone()[0]

@@ -35,6 +35,22 @@ except Exception:
     _PILImage = None
     _HAS_PIL = False
 
+
+def _pil_image():
+    """Resolve PIL in the process that actually runs the decode.
+
+    The module-level ``_HAS_PIL`` is evaluated once per Python process: on a
+    cluster where the driver has Pillow but executors don't (or vice versa),
+    trusting it inside a mapInPandas closure would make workers die with
+    AttributeError instead of the declared clean behavior. Import at call
+    time instead — worker-side this runs in the executor's Python."""
+    try:  # pragma: no cover - container has no PIL
+        from PIL import Image  # type: ignore
+
+        return Image
+    except Exception:
+        return None
+
 from wikipediaetl_spark.catalog import query
 from wikipediaetl_spark.sources import load_table
 
@@ -93,9 +109,16 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndar
     same 8-stat feature contract is computed over pixel values.
     """
     if not fake:
-        if media_type == "image" and _HAS_PIL:
-            img = _PILImage.open(io.BytesIO(payload)).convert("L")
-            px = np.asarray(img, dtype=np.float64).ravel()
+        Image = _pil_image() if media_type == "image" else None
+        if Image is not None:
+            try:
+                img = Image.open(io.BytesIO(payload)).convert("L")
+                px = np.asarray(img, dtype=np.float64).ravel()
+            except Exception:
+                # hostile/truncated payload: TOTAL zero-feature row, never a
+                # task-killing exception (matches the repo's other
+                # TOTAL-on-hostile-input paths)
+                return np.zeros(8)
             if px.size == 0:
                 return np.zeros(8)
             return np.array(
@@ -230,14 +253,21 @@ def resize_images(media: DataFrame, target: tuple[int, int] = (32, 32), fake: bo
     w, h = target
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # PIL resolved inside the closure: this runs executor-side, where
+        # the driver's import state is meaningless (ADVICE r3)
+        Image = None if fake else _pil_image()
         for pdf in batches:
-            if not fake and not _HAS_PIL:
+            if not fake and Image is None:
                 raise NotImplementedError("image resize requires PIL-class libs")
             pixels = []
             for payload in pdf["payload"]:
                 if not fake:
-                    img = _PILImage.open(io.BytesIO(payload)).convert("L")
-                    pixels.append(img.resize((w, h)).tobytes())
+                    try:
+                        img = Image.open(io.BytesIO(payload)).convert("L")
+                        pixels.append(img.resize((w, h)).tobytes())
+                    except Exception:
+                        # undecodable payload → zero pixel grid, same contract
+                        pixels.append(b"\x00" * (w * h))
                     continue
                 need = w * h
                 reps = (need // max(1, len(payload))) + 1
