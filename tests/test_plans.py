@@ -29,6 +29,10 @@ def test_column_pruning(spark, sf_dir):
 def test_dims_broadcast_in_star_join(spark, sf_dir):
     text = explain_str(q11_star_join(spark, sf_dir))
     assert text.count("BroadcastHashJoin") >= 2  # nation & region never shuffle facts
+    # eager aggregation: the fact scan feeds a HashAggregate keyed on the
+    # join key (o_custkey) before any join — the only fact-side exchange
+    # carries |customer|-grain partial aggregates, not raw orders rows
+    assert "Keys [1]: [o_custkey" in text
 
 
 def test_fact_join_prefilters_build_side(spark, sf_dir):

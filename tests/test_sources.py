@@ -225,13 +225,35 @@ def test_crawl_with_politeness_cap_still_completes(spark):
     ]
 
 
-@pytest.mark.skip(
-    reason="no database in this environment: write_jdbc (sources/formats.py) "
-    "mirrors the JDBC config the reference builds at ETL/tasks/categorizer.py:82-87 "
-    "but needs a reachable JDBC URL; the code path is write.mode().jdbc() only"
-)
-def test_write_jdbc_live_roundtrip():
-    """Would write a small DataFrame to a JDBC table and read it back."""
+def test_write_jdbc_embedded_derby_roundtrip(spark, sf_dir, tmp_path):
+    """Live JDBC round-trip through embedded Apache Derby (VERDICT r3 #6):
+    the derby jars ship on Spark's classpath (Hive metastore dependency), so
+    ``write_jdbc`` can be exercised against a real in-process database —
+    reference parity with the MySQL load the reference configures at
+    ETL/tasks/categorizer.py:82-87 and performs at :143-195, but set-based:
+    executors write batches, then spark.read.jdbc reads them back."""
+    from wikipediaetl_spark.sources.formats import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        # embedded Derby serializes concurrent inserts; one partition keeps
+        # the test deterministic (a real server DB takes parallel writers)
+        .coalesce(1)
+    )
+    write_jdbc(df, url, "nation_sink", properties=props, mode="overwrite")
+    back = spark.read.jdbc(url, "nation_sink", properties=props)
+    assert back.count() == df.count()
+    assert {c.lower() for c in back.columns} == {"n_nationkey", "n_name", "n_regionkey"}
+    got = {(r[0], r[1], r[2]) for r in back.collect()}
+    want = {(r[0], r[1], r[2]) for r in df.collect()}
+    assert got == want
+    # append mode: second write doubles the rows (the reference's repeated
+    # DAG runs appended through the ORM the same way)
+    write_jdbc(df, url, "nation_sink", properties=props, mode="append")
+    assert spark.read.jdbc(url, "nation_sink", properties=props).count() == 2 * df.count()
 
 
 @pytest.mark.skip(

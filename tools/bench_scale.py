@@ -64,6 +64,13 @@ QUERIES = [
     "q160_outlier_zscore",
     "q161_funnel",
     "q162_cohort_retention",
+    # streaming family at scale (VERDICT r3 #5): the sf0.1 ratios are
+    # micro-batch fixed cost on 600k rows; with events replicated the
+    # wall-time trend vs DuckDB is the honest measurement
+    "q100_stream_stream_join",
+    "q101_dedup_within_watermark",
+    "q147_stream_static_enrich",
+    "q149_stateful_running_stats",
 ]
 
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "embeddings")
@@ -212,10 +219,20 @@ def main() -> None:
     }
     print(json.dumps(payload))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # the canonical artifact is the full 100x run; subset/odd-factor runs
-    # (trend points) are written factor-suffixed next to it
-    suffix = "" if factor == 100 and not only else f"_{factor}x"
-    with open(os.path.join(repo, f"BENCH_SCALE{suffix}.json"), "w") as f:
+    # the canonical artifact is the full 100x run; other factors are written
+    # factor-suffixed next to it. Subset runs (SPARK_GRAFT_SCALE_QUERIES)
+    # MERGE into the existing same-factor artifact instead of clobbering it,
+    # so the sweep can be run in chunks.
+    suffix = "" if factor == 100 else f"_{factor}x"
+    path = os.path.join(repo, f"BENCH_SCALE{suffix}.json")
+    if only and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev.get("factor") == factor and prev.get("base") == BASE:
+            prev["queries"].update(payload["queries"])
+            prev["rows"] = payload["rows"]
+            payload = prev
+    with open(path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
 
 

@@ -167,6 +167,103 @@ def q58_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q163_ivf_ann_oracle",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    c AS (
+      SELECT label, v AS centroid FROM e
+      QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id ASC) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, label FROM (
+        SELECT q.query_id, q.qv, c.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, c.centroid)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+                 c.label ASC) AS rn
+        FROM q CROSS JOIN c
+      ) WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(p.qv, e.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+      FROM probes p JOIN e ON p.label = e.label AND p.query_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q163_ivf_ann_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked IVF probe (VERDICT r3 #7): identical cell-probe
+    topology to q58 — rank coarse cells, probe the top 3, exact-score only
+    inside probed cells, top-5 per query — but the coarse quantizer is the
+    MEDOID SEED (each label's minimum-vec_id vector) instead of a float
+    mean, so centroids involve no data-order-dependent accumulation and the
+    whole pipeline is reproducible in ANSI SQL. Every similarity is rounded
+    to 6 places before ranking (q57's reassociation guard), which lets the
+    driver hash-verify an ANN path end-to-end rather than rows-only. Scale
+    shape is q58's: centroid table is tiny and broadcast twice (probe
+    ranking, then candidate join); the corpus is touched once, filtered to
+    probed cells before any scoring."""
+    e = _vectors(spark, sf_dir)
+    wc = W.partitionBy("label").orderBy(F.col("vec_id").asc())
+    cents = (
+        e.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("v").alias("centroid"))
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c_sim = F.round(
+        dot_expr(F.col("qv"), F.col("centroid"))
+        / (
+            F.sqrt(dot_expr(F.col("qv"), F.col("qv")))
+            * F.sqrt(dot_expr(F.col("centroid"), F.col("centroid")))
+        ),
+        6,
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("label").asc())
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "label", c_sim.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "qv", "label")
+    )
+    cos = F.round(
+        dot_expr(F.col("qv"), F.col("v"))
+        / (
+            F.sqrt(dot_expr(F.col("qv"), F.col("qv")))
+            * F.sqrt(dot_expr(F.col("v"), F.col("v")))
+        ),
+        6,
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(e, "label")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 # ------------------------------------------------------------------ LSH
 
 
