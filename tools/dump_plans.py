@@ -19,8 +19,8 @@ SHOWCASE = {
     "WholeStageCodegen span; shuffle carries 6 groups.",
     "q02_scan_project": "PushedFilters on l_quantity; ReadSchema pruned to 5 of 11 columns.",
     "q04_orderby_limit": "TakeOrderedAndProject — per-partition heap, no global sort exchange.",
-    "q11_star_join": "nation/region as BroadcastHashJoin; single shuffle for customer⋈orders.",
-    "q12_fact_fact_join": "orders filter below the join; AQE-selected join strategy.",
+    "q11_star_join": "EAGER AGG: orders pre-aggregated to o_custkey grain before any join (map-side combine → |customer|-sized exchange); all three dims broadcast onto the aggregate — the fact table never shuffles.",
+    "q12_fact_fact_join": "EAGER AGG: lineitem collapsed to orderkey grain first (~4x row cut, map-side combined); the aggregate exits its groupBy already hash-partitioned on the join key, so only filtered orders shuffles; orders filter below its scan.",
     "q19_asof_join": "inequality join + max_by hash aggregate (map-side partial), no window sort.",
     "q20_window_topk": "WindowGroupLimit pushes rn<=3 below the shuffle.",
     "q44_category_distribution": "one corpus projection chain collapsed by CollapseProject; "
@@ -65,8 +65,7 @@ SHOWCASE = {
     "q155_bigram_lift": "bigrams from an in-row array transform (no positional "
     "self-join); vocab counts broadcast back; 1-row n/m scalars attach as "
     "BroadcastNestedLoopJoin — fully lazy, no mid-plan collect.",
-    "q157_unpivot_measures": "unpivot expands rows inside the scan stage "
-    "(zero exchanges for the reshape); only the 4-group agg shuffles.",
+    "q157_unpivot_measures": "aggregate-through-unpivot: four columnwise sums in one scan pass (no Expand of fact rows); unpivot melts the single aggregate row.",
     "q158_upsert_snapshot": "base ∪ changes is exchange-free concatenation; ONE "
     "hashpartitioning(o_orderkey) feeds the latest-wins row_number window.",
     "q159_ccnet_buckets": "doc-grain rows only reach the per-language ntile window; "
@@ -77,6 +76,9 @@ SHOWCASE = {
     "stage counts attach as broadcast 1-row scalars.",
     "q162_cohort_retention": "first-seen table broadcast onto events; DATE-only "
     "arithmetic; distinct + count ride one exchange on (cohort, offset).",
+    "q163_ivf_ann_oracle": "IVF probe with a deterministic medoid quantizer: tiny "
+    "centroid table broadcast twice (cell ranking, then candidate join); the corpus "
+    "is pruned to probed cells BEFORE any exact scoring.",
 }
 
 

@@ -28,6 +28,7 @@ MAPPING = """## SURVEY §2 row mapping
 | §2.11 LLM-pipeline extensions | q50/q51 (exact/hash dedup), q52/q53 (Jaccard), q54 (MinHash LSH), q150 (portable md5-MinHash, oracle-verified end-to-end), q55 (SimHash), q152 (portable md5-SimHash, oracle-verified end-to-end), q151 (content-keyed consistent sampling), q56 (embedding near-dup), q83 (near-dup clustering), q57/q91 (cosine top-k), q58 (IVF), q163 (IVF with medoid-seeded centroids, oracle-verified end-to-end), q59 (LSH ANN), q60 (lang-ID), q61 (quality), q62 (token count), q63 (fingerprint), q67 (TF-IDF), q68 (stopwords), q69 (sentiment), q82 (heavy hitters), q86 (decontamination), q87 (repetition), q88 (PII redaction), q89 (stratified sampling), q90 (sequence packing), q122 (containment), q131 (blocked near-dup, full table), q139 (temperature data mixing), q141 (duplicate spans, Lee et al.), q142 (Gopher quality rules), q143 (PQ ANN), q144 (unigram-LM perplexity filter), q145 (SemDeDup), q146 (BPE encode), q148 (full curation-funnel capstone), q64/q65 (multimodal binary), q140 (frame-offset sampling), q155 (bigram collocation lift / PMI), q159 (CCNet head/middle/tail perplexity terciles) |
 | §2 round-3 Spark-4 surface (operators/advanced.py) | q153 (native session_window per-session rows), q154 (Python UDTF), q156 (VariantType parse_json/variant_get), q157 (DataFrame.unpivot melt), q158 (set-based SCD1 upsert merge — the reference ORM bulk-write pattern at scale) |
 | §2 round-3 event analytics (operators/advanced.py) | q160 (exact-integer z-score outliers — cross-multiplied DECIMAL(38,0) test, no float threshold), q161 (ordered view→click→purchase funnel), q162 (cohort retention triangle) |
+| §3.1 orchestration control flow (orchestration.py) | run_dag (per-task retries=N, XCom result handoff, upstream_failed propagation, cycle detection — ETL/dags/pipeline.py:19-93 semantics), process_html_dag (transform group → archival via XCom), tests/test_orchestration.py |
 """
 
 

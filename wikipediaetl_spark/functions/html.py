@@ -15,6 +15,17 @@ Python UDFs: ``extract_categories`` (ETL/tasks/categorizer.py:89-101),
    hot path per SURVEY.md §2.10 policy (UDFs only where parsing is genuinely
    non-relational).
 
+Malformed-HTML divergence class (declared, VERDICT r3 missing-#4): the
+stdlib ``html.parser`` differs from the reference's BS4 default parser on
+*pathological* input — unclosed tags adopt different implicit-close points,
+misnested inline tags (``<b><i></b></i>``) attach text to different parents,
+bare ``&`` entity fragments and null bytes are recovered differently, and
+``<script>`` containing a literal ``</`` may terminate earlier. For the
+fixture-shaped and reference-targeted page structures both parsers agree
+(pinned by tests); a corpus of tag-soup pages wanting bug-for-bug BS4
+behavior should swap the UDF body for bs4 — the Arrow plumbing, schema, and
+null contract here do not change.
+
 ``synth_html`` builds a deterministic Wikipedia-shaped page from the
 ``documents`` fixture columns so both paths (and the SQL oracle) can be
 exercised on driver data; the same construction exists as a SQL fragment

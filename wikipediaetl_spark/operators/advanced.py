@@ -336,21 +336,38 @@ def q156_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q157_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape with the native ``DataFrame.unpivot`` (melt)
     operator, then a per-measure profile — the feature-audit step before
-    normalizing heterogeneous measure columns. Unpivot is a row-local
-    expansion (no shuffle); only the 4-row aggregate shuffles. The oracle
-    spells the same reshape as UNION ALL. Totals are exact integer CENTS
-    (2-decimal fixture money): micro-units overflowed BIGINT at the
-    400×/240M-row scale fixture (see ``_cents``)."""
+    normalizing heterogeneous measure columns.
+
+    Plan: AGGREGATE-THROUGH-UNPIVOT — because every output is a columnwise
+    aggregate, the four measure columns are summed in ONE pass over the
+    fact table (partial aggregation, no row expansion) and ``unpivot``
+    melts the single aggregate row to the long shape. Unpivot-then-
+    aggregate would Expand 240M rows to 960M at the 400× fixture before
+    collapsing them again; this rewrite is algebraically identical and cut
+    that plan's 2.7× ratio. Row-level unpivot over full tables is
+    separately demonstrated (q35). The oracle spells the naive reshape as
+    UNION ALL — same result. Totals are exact integer CENTS (2-decimal
+    fixture money): micro-units overflowed BIGINT at the 400×/240M-row
+    scale fixture (see ``_cents``)."""
     li = load_table(spark, sf_dir, "lineitem")
-    long = li.unpivot(
-        ["l_orderkey", "l_linenumber"],
-        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        "measure",
-        "val",
-    )
-    return long.groupBy("measure").agg(
+    wide = li.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_cents(F.col("val"))).alias("total_cents"),
+        F.sum(_cents(F.col("l_quantity"))).alias("l_quantity"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("l_extendedprice"),
+        F.sum(_cents(F.col("l_discount"))).alias("l_discount"),
+        F.sum(_cents(F.col("l_tax"))).alias("l_tax"),
+    )
+    return (
+        wide.unpivot(
+            ["n"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "total_cents",
+        )
+        # a global aggregate emits one row even over an empty table; the
+        # UNION-ALL oracle (and the pre-rewrite plan) emit zero groups there
+        .filter(F.col("n") > 0)
+        .select("measure", "n", "total_cents")
     )
 
 

@@ -1112,10 +1112,13 @@ def q38_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set explicitly; the scale-safe default (False) shuffles the anti-join
     # fixture graph is a binary orderkey tree: degree ≤ 2, diameter ~log N —
     # exactly the bounded-degree/high-diameter regime where k-hop lookahead
-    # divides the round count (the dominant cost) for ~k× candidate rows;
-    # measured sweet spot k=3 (17 rounds → 6, 4.6 s → 2.9 s at sf0.1)
+    # divides the round count (the dominant cost). On a tree each node has
+    # EXACTLY one ancestor at distance i, so |edges^i| stays ~N rows for
+    # every i and the candidate volume doesn't grow with k — only the
+    # k-1 upfront hop-table builds do. Measured sweep at sf0.1:
+    # k=3 4.4 s, k=5 3.2 s, k=6 3.3 s, k=8 4.1 s (build cost wins) → k=5
     reach = bfs_fixpoint(
-        spark, seeds, edges, max_rounds=31, broadcast_seen=True, lookahead=3
+        spark, seeds, edges, max_rounds=31, broadcast_seen=True, lookahead=5
     )
     return reach.select(F.col("node").alias("o_orderkey"), F.col("depth").cast("int"))
 

@@ -277,19 +277,18 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         for _ in range(max_rounds):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("label").alias("nbr_label"))
+            # one join + one aggregate per round: a node's own label rides
+            # the union instead of a second (left) join — min over
+            # {own label} ∪ {neighbor labels} is the same propagation step
+            # with one fewer shuffle stage per round
+            neighbor_labels = edges.join(labels, edges.dst == labels.node).select(
+                F.col("src").alias("node"), "label"
             )
             new_labels = (
-                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                    ).alias("label"),
-                )
+                labels.select("node", "label")
+                .unionByName(neighbor_labels)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=True)
             )
             changed = (

@@ -7,9 +7,10 @@ driver function over one shared corpus scan (operators/etl.process_corpus):
 Spark's scheduler already parallelizes the two branches' jobs, and the
 archival step is the set-based split from sources/formats.archive_processed.
 
-Airflow-specific machinery (XCom, retries, cron) intentionally has no
-equivalent: retries are Spark task retries; scheduling belongs to whatever
-invokes ``run_pipeline``.
+Airflow control-flow machinery (per-task retries, XCom handoff,
+upstream-failure propagation) lives in ``orchestration.py`` (``run_dag`` /
+``process_html_dag``); cron scheduling still belongs to whatever invokes
+the run (the reference's own schedule is None, ETL/dags/pipeline.py:28).
 """
 
 from __future__ import annotations
