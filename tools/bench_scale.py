@@ -160,10 +160,23 @@ def time_duckdb(out: str, sql: str, reps: int = 2) -> float:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet')"
             )
         t0 = time.perf_counter()
-        con.execute(sql).fetchall()
+        con.execute(sql).fetch_arrow_table()
         best = min(best, time.perf_counter() - t0)
         con.close()
     return best
+
+
+def _materialize(df) -> None:
+    """Engine-fair result materialization: columnar Arrow transfer on both
+    sides (df.toArrow ↔ duckdb fetch_arrow_table). Row-based collect() was
+    charging Spark ~13 s of driver row conversion on a 1.9M-row result
+    (q153 at 400×) that the engine computed in 5 s — a harness artifact,
+    not a plan property; Python-object materialization costs would likewise
+    bury DuckDB's engine time."""
+    try:
+        df.toArrow()
+    except Exception:
+        df.collect()
 
 
 def main() -> None:
@@ -202,7 +215,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t1 = time.perf_counter()
-            qd.fn(spark, out).collect()
+            _materialize(qd.fn(spark, out))
             best = min(best, time.perf_counter() - t1)
         dd = time_duckdb(out, qd.oracle)
         result[name] = {

