@@ -71,6 +71,7 @@ QUERIES = [
     "q101_dedup_within_watermark",
     "q147_stream_static_enrich",
     "q149_stateful_running_stats",
+    "q164_stateful_stats_native",
 ]
 
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "embeddings")

@@ -387,3 +387,49 @@ def q149_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+@query(
+    "q164_stateful_stats_native",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q164_stateful_stats_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q149's exact semantics on the ENGINE's state path: per-user running
+    (count, exact cents sum, max) as a built-in streaming aggregation in
+    update mode — JVM state store, no Python worker in the loop. This is
+    the deliberate pairing for the custom-operator axis: q149 proves
+    arbitrary user state logic plugs in (applyInPandasWithState), this
+    query shows the same stats ride whole-stage-codegen'd keyed state when
+    the logic IS expressible as aggregates — at the 400× fixture the
+    Python state path pays ~100µs per group per batch (600k groups →
+    minutes) while this plan runs at scan speed. Same oracle as q149; the
+    update-mode sink's last emission per key is the batch answer."""
+    from pyspark.sql import Window as W
+
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "total_cents"
+        ),
+        F.max("value").alias("max_value"),
+    )
+    updates = _run_to_completion(agg, "update")
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_cents").cast("double") / 100.0).alias("total_value"),
+            "max_value",
+        )
+    )
