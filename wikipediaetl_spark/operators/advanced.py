@@ -454,34 +454,74 @@ def q158_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(v) AS BIGINT) AS s,
              sum(CAST(v AS HUGEINT) * v) AS q
       FROM c GROUP BY event_type
+    ),
+    thresh AS (
+      SELECT event_type, n, s,
+             9 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * q
+                 - CAST(s AS HUGEINT) * s) AS m,
+             CAST(floor(sqrt(CAST(9 * CAST(n AS HUGEINT)
+                 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+                 AS DOUBLE) / n / n)) AS BIGINT) AS d_est
+      FROM stats
+    ),
+    d AS (
+      SELECT event_type, n, s, m,
+             d_est + (CASE WHEN CAST(n AS HUGEINT) * (d_est+1) * (d_est+1) <= m
+                           THEN 1 ELSE 0 END) AS d1
+      FROM thresh
+    ),
+    d2 AS (
+      SELECT event_type, n, s, m,
+             d1 + (CASE WHEN CAST(n AS HUGEINT) * (d1+1) * (d1+1) <= m
+                        THEN 1 ELSE 0 END) AS du
+      FROM d
+    ),
+    d3 AS (
+      SELECT event_type, n, s, m,
+             du - (CASE WHEN du > 0 AND CAST(n AS HUGEINT) * du * du > m
+                        THEN 1 ELSE 0 END) AS dd
+      FROM d2
+    ),
+    dfin AS (
+      SELECT event_type, n, s,
+             dd - (CASE WHEN dd > 0 AND CAST(n AS HUGEINT) * dd * dd > m
+                        THEN 1 ELSE 0 END) AS d0
+      FROM d3
     )
     SELECT c.event_type,
-           max(stats.n) AS n,
+           max(dfin.n) AS n,
            CAST(count(*) FILTER (
-             CAST(stats.n AS HUGEINT)
-               * CAST(stats.n * c.v - stats.s AS HUGEINT)
-               * CAST(stats.n * c.v - stats.s AS HUGEINT)
-             > 9 * CAST(stats.n AS HUGEINT)
-               * (CAST(stats.n AS HUGEINT) * stats.q
-                  - CAST(stats.s AS HUGEINT) * stats.s)
+             abs(dfin.n * c.v - dfin.s) > dfin.d0
            ) AS BIGINT) AS n_outliers
-    FROM c JOIN stats USING (event_type)
+    FROM c JOIN dfin USING (event_type)
     GROUP BY c.event_type
     """,
 )
 def q160_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group outlier flagging at |z| > 3 with EXACT integer algebra —
     no float mean/std anywhere: values become cents (BIGINT), and the
-    z-test (x-μ)² > 9σ² is cross-multiplied to
-    n·(n·x−S)² > 9·n·(nQ−S²). EVERY multiplication runs in wide exact
-    integer space — DECIMAL(38,0) on Spark, HUGEINT (int128) in the
-    oracle — including the Q = Σv² accumulation itself, so nothing
-    touches int64 after the per-row cents cast: with ~4e7 rows/group at
-    the 400× fixture, S ≈ 4e12 means S² ≈ 1.6e25 and Σv² ≈ 4e17, both
-    past or near int64 but far under the 1e38/1.7e38 exact range. The
-    flag is bit-portable across engines AND independent of summation
-    order. Plan: one partial-agg shuffle for (n,S,Q), stats broadcast
-    back onto the stream, flags counted map-side."""
+    z-test (x-μ)² > 9σ² cross-multiplies to n·(n·x−S)² > 9·n·(nQ−S²).
+
+    The wide arithmetic runs ONCE PER GROUP, not per row: with
+    M = 9·(nQ−S²) held exactly (DECIMAL(38,0) on Spark, HUGEINT in the
+    oracle; Q = Σv² itself accumulates wide so nothing touches int64
+    after the cents cast), the test is equivalent to |n·x−S| > d₀ where
+    d₀ = max{d ≥ 0 : n·d² ≤ M} — an INTEGER threshold. d₀ is seeded from
+    a double sqrt and then made exact by two up- and two down-adjust
+    steps against the wide inequality, so engines' float sqrt rounding
+    differences are corrected away (the seed is within ±1 of d₀; the
+    adjusters converge both sides to the same integer). The 40M-row pass
+    is then a single BIGINT |n·v−S| > d₀ compare — no per-row decimal at
+    all. Measured at the 400× fixture the WALL is unchanged (~5 s): both
+    variants are bounded by the two 40M-row scans (stats pass + flag
+    pass), not by per-row arithmetic — the rewrite is kept because the
+    threshold form is what survives when the value column is wider than
+    cents (no per-row wide-multiply headroom to manage) and it removes
+    the per-row ANSI overflow surface entirely on the flag side.
+    dev = n·v−S stays in int64 for per-group counts up to
+    ~9e13 at 1e5-cent values; ANSI mode turns any breach into an error,
+    never a wrong answer. Plan: one partial-agg shuffle for (n,S,Q),
+    5-row threshold table broadcast back, flags counted map-side."""
     e = load_table(spark, sf_dir, "events")
     c = e.select(
         "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v")
@@ -491,27 +531,29 @@ def q160_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("long").alias("s"),
         F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q"),
     )
-    # the z-test's rhs 9·n·(nQ−S²) and the factors n,S are GROUP constants:
-    # fold them in the 5-row stats table once. Per row only dev = n·v − S
-    # (computed in BIGINT — |dev| < n·max(v), which under ANSI mode raises
-    # on overflow rather than corrupting; exact for per-group counts up to
-    # ~9e13 at 1e5-cent values) and the n·dev² comparison in DECIMAL(38,0)
-    # remain: 2 wide multiplies per row instead of 5 (measured −11% at the
-    # 400× fixture on top of the rhs hoist).
     n_d = F.col("n").cast("decimal(38,0)")
     s_d = F.col("s").cast("decimal(38,0)")
-    stats = stats.select(
-        "event_type",
-        "n",
-        "s",
-        (F.lit(9) * n_d * (n_d * F.col("q") - s_d * s_d)).alias("rhs"),
-    )
-    j = c.join(F.broadcast(stats), "event_type")
-    dev_d = (F.col("n") * F.col("v") - F.col("s")).cast("decimal(38,0)")
-    lhs = F.col("n").cast("decimal(38,0)") * dev_d * dev_d
+    m = (F.lit(9) * n_d * (n_d * F.col("q") - s_d * s_d)).alias("m")
+    stats = stats.select("event_type", "n", "s", m)
+    d_est = F.floor(
+        F.sqrt(F.col("m").cast("double") / F.col("n") / F.col("n"))
+    ).cast("long")
+
+    def _fits(d):  # n·d² ≤ M in exact decimal space
+        dd = d.cast("decimal(38,0)")
+        return F.col("n").cast("decimal(38,0)") * dd * dd <= F.col("m")
+
+    d1 = d_est + F.when(_fits(d_est + 1), F.lit(1)).otherwise(F.lit(0))
+    du = d1 + F.when(_fits(d1 + 1), F.lit(1)).otherwise(F.lit(0))
+    dd_ = du - F.when((du > 0) & ~_fits(du), F.lit(1)).otherwise(F.lit(0))
+    d0 = dd_ - F.when((dd_ > 0) & ~_fits(dd_), F.lit(1)).otherwise(F.lit(0))
+    thresh = stats.select("event_type", "n", "s", d0.alias("d0"))
+    j = c.join(F.broadcast(thresh), "event_type")
     return j.groupBy("event_type").agg(
         F.max("n").alias("n"),
-        F.sum((lhs > F.col("rhs")).cast("long")).cast("long").alias("n_outliers"),
+        F.sum(
+            (F.abs(F.col("n") * F.col("v") - F.col("s")) > F.col("d0")).cast("long")
+        ).cast("long").alias("n_outliers"),
     )
 
 
