@@ -662,13 +662,146 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85) -> DataFr
 def q103_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank(5 iterations) over the order-parent graph (same edge set as
     q38's BFS). Rows-only (float accumulation); tests assert rank-mass
-    conservation and determinism."""
+    conservation and determinism. The hash-verifiable twin with integer
+    rank state is q165_pagerank_exact."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
     edges = o.select(
         F.expr("o_orderkey div 2").alias("src"), F.col("o_orderkey").alias("dst")
     ).filter(F.col("dst") != F.col("src"))
     pr = pagerank(edges, n_iter=5)
     return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _pagerank_exact_oracle(n_iter: int) -> str:
+    """Unrolled n_iter-iteration INTEGER PageRank in ANSI SQL (one CTE
+    chain per iteration) — the oracle twin of ``pagerank_exact``. Rank
+    state is BIGINT parts-per-billion; every per-iteration op is integer
+    (DIV, ×, Σ), so the result is bit-identical regardless of engine or
+    evaluation order."""
+    base = 1_000_000_000
+    sql = f"""
+    WITH edges AS (
+      SELECT o_orderkey // 2 AS src, o_orderkey AS dst FROM orders
+      WHERE o_orderkey < 2000 AND o_orderkey // 2 <> o_orderkey
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    r0 AS (
+      SELECT node, CAST(CAST({base} AS BIGINT) // nn.n AS BIGINT) AS r FROM nodes, nn
+    )"""
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst AS node, CAST(sum({prev}.r // d.deg) AS BIGINT) AS inc
+      FROM edges e
+      JOIN {prev} ON e.src = {prev}.node
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    d{i} AS (
+      SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm
+      FROM {prev} WHERE node NOT IN (SELECT src FROM deg)
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST((15 * CAST({base} AS BIGINT)) // (100 * nn.n)
+                  + (85 * (coalesce(c.inc, 0) + d{i}.dm // nn.n)) // 100
+               AS BIGINT) AS r
+      FROM nodes n
+      LEFT JOIN c{i} c ON n.node = c.node
+      CROSS JOIN d{i}
+      CROSS JOIN nn
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT node, r AS rank_ppb FROM {prev}
+    """
+    return sql
+
+
+def pagerank_exact(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """Integer-state PageRank: rank held as BIGINT parts-per-billion,
+    every iteration pure integer arithmetic (r DIV deg contributions,
+    integer damping (15·base) DIV (100·N) + (85·(inc + dangling DIV N))
+    DIV 100). Truncation replaces float rounding, so the fixpoint of the
+    ALGORITHM (not of ideal PageRank) is reproducible bit-for-bit on any
+    engine and any partitioning — which is what lets an iterative graph
+    operator join the hash-checked set at all. Structure matches
+    ``pagerank``: per-round join + integer aggregate + broadcast dangling
+    scalar, lineage cut by localCheckpoint."""
+    spark = edges.sparkSession
+    base = 1_000_000_000
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = nodes.count()
+        if n_nodes == 0:
+            return nodes.withColumn("rank_ppb", F.lit(0).cast("long"))
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        graph = edges.join(out_deg, "src").localCheckpoint(eager=True)
+        ranks = nodes.withColumn(
+            "r", F.lit(base // n_nodes).cast("long")
+        ).localCheckpoint(eager=True)
+        for _ in range(n_iter):
+            contribs = (
+                graph.join(ranks, graph.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("r div deg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("inc"))
+            )
+            dangling = ranks.join(
+                out_deg, ranks.node == out_deg.src, "left_anti"
+            ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .join(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit((15 * base) // (100 * n_nodes)).cast("long")
+                        + F.expr(
+                            f"(85 * (coalesce(inc, 0) + dm div {n_nodes})) div 100"
+                        ).cast("long")
+                    ).alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select("node", F.col("r").alias("rank_ppb"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@query("q165_pagerank_exact", oracle=_pagerank_exact_oracle(5))
+def q165_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank(5 iterations) with INTEGER rank state, hash-verified
+    against an unrolled 5-iteration SQL oracle — the iterative-algorithm
+    class (q38/q83/q103) entering the exact-checked set: quantizing the
+    state to BIGINT parts-per-billion makes every iteration's result
+    order-independent, so the driver-grade value hash applies to a graph
+    fixpoint computation. Same order-parent edge set as q103; at scale
+    the per-round plan is q103's (edges hash-partitioned once, integer
+    aggregate, broadcast dangling scalar)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    edges = o.select(
+        F.expr("o_orderkey div 2").alias("src"), F.col("o_orderkey").alias("dst")
+    ).filter(F.col("dst") != F.col("src"))
+    return pagerank_exact(edges, n_iter=5)
 
 
 @query(
