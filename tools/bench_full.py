@@ -50,8 +50,11 @@ def main() -> None:
     for name, qd in sorted(qs.items()):
         if qd.oracle is None:
             continue
-        s = best_of(lambda: qd.fn(spark, sf_dir).collect())
-        d = best_of(lambda: con.execute(qd.oracle).fetchall())
+        # Arrow on both sides (engine-fair result materialization — see
+        # tools/bench_scale._materialize): collect()/fetchall() charge each
+        # engine its Python row-object tax instead of its compute
+        s = best_of(lambda: qd.fn(spark, sf_dir).toArrow())
+        d = best_of(lambda: con.execute(qd.oracle).fetch_arrow_table())
         tot_s += s
         tot_d += d
         print(f"| {name} | {s:.3f} | {d:.3f} | {s / max(d, 1e-9):.1f}x |")
