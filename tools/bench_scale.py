@@ -205,6 +205,10 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
             "spark.ui.showConsoleProgress": "false",
+            # replicated-factor state (stream-stream join, 40M-row keyed
+            # stores) plus the memory sink need real heap; the 8g default
+            # OOMs at 400x with input-sized state parallelism
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         },
     )
     # warm codegen/JVM on the small fixture

@@ -16,6 +16,7 @@ equivalence check.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,23 +51,39 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _state_partitions(sf_dir: str) -> int:
+    """State-store parallelism sized to the INPUT, not a constant: each
+    micro-batch schedules one state task per shuffle partition PER stateful
+    operator, so small fixtures want few partitions (8 halves the
+    stream-stream join's wall at sf0.1 vs 32 — pure per-batch overhead)
+    while replicated scale fixtures want the cores (measured at the 400×
+    events table: q101 21.8 s at 8 partitions → 11.5 s at 32). ~12 MB of
+    source parquet per state partition, clamped to [8, defaultParallelism]
+    — the same sizing rule a cluster deployment applies to
+    spark.sql.shuffle.partitions against expected state volume."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        size = 0
+    return max(8, min(os.cpu_count() or 8, size // (12 * 1024 * 1024) or 8))
+
+
+def _run_to_completion(
+    stream_df: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
     """Drive a streaming query over the bounded fixture to completion and
     return the materialized result.
 
-    State-store parallelism is pinned to 8 for the query's lifetime (the
-    partition count is baked in at stream start): each micro-batch schedules
-    one state task per shuffle partition PER stateful operator, so at
-    fixture volume 32 partitions are pure per-batch overhead (~2x wall on
-    the stream-stream join). On a real cluster the caller sizes
-    spark.sql.shuffle.partitions to the state volume instead. The session
-    value is restored after the bounded run completes — results are
+    State-store parallelism is pinned for the query's lifetime (the
+    partition count is baked in at stream start) — see
+    ``_state_partitions`` for the sizing rule. The session value is
+    restored after the bounded run completes — results are
     partitioning-independent either way."""
     spark = stream_df.sparkSession
     name = "sink_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -120,7 +137,7 @@ def q70_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_completion(agg, "complete")
+    return _run_to_completion(agg, "complete", _state_partitions(sf_dir))
 
 
 @query(
@@ -135,7 +152,7 @@ def q71_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark to bound it."""
     ev = _events_stream(spark, sf_dir)
     deduped = ev.select("user_id").dropDuplicates(["user_id"])
-    return _run_to_completion(deduped, "append")
+    return _run_to_completion(deduped, "append", _state_partitions(sf_dir))
 
 
 @query(
@@ -164,7 +181,7 @@ def q72_stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("route")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return _run_to_completion(fanned, "complete")
+    return _run_to_completion(fanned, "complete", _state_partitions(sf_dir))
 
 
 def retry_queue_step(
@@ -218,7 +235,7 @@ def q74_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "1 hour").alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_ev"))
     )
-    per_session = _run_to_completion(sess, "complete")
+    per_session = _run_to_completion(sess, "complete", _state_partitions(sf_dir))
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum("n_ev").alias("n_events"),
@@ -290,7 +307,7 @@ def q100_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "click_id", "user_id")
-    return _run_to_completion(joined, "append")
+    return _run_to_completion(joined, "append", _state_partitions(sf_dir))
 
 
 @query(
@@ -310,7 +327,7 @@ def q101_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _run_to_completion(deduped, "append")
+    return _run_to_completion(deduped, "append", _state_partitions(sf_dir))
 
 
 @query(
@@ -344,7 +361,7 @@ def q147_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
-    return _run_to_completion(agg, "complete")
+    return _run_to_completion(agg, "complete", _state_partitions(sf_dir))
 
 
 @query(
@@ -375,7 +392,7 @@ def q149_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikipediaetl_spark.streaming.stateful import running_user_stats_exact
 
     ev = _events_stream(spark, sf_dir)
-    updates = _run_to_completion(running_user_stats_exact(ev), "update")
+    updates = _run_to_completion(running_user_stats_exact(ev), "update", _state_partitions(sf_dir))
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         updates.withColumn("rn", F.row_number().over(w))
@@ -421,7 +438,7 @@ def q164_stateful_stats_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("value").alias("max_value"),
     )
-    updates = _run_to_completion(agg, "update")
+    updates = _run_to_completion(agg, "update", _state_partitions(sf_dir))
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         updates.withColumn("rn", F.row_number().over(w))
