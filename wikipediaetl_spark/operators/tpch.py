@@ -931,19 +931,21 @@ def q138_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the derived stand-ins (module docstring).
 
     Scale plan: both correlated subqueries collapse into ONE per-order
-    profile aggregate (per (orderkey, suppkey): any-late flag; then per
-    orderkey: supplier count + late-supplier count) joined back on
-    l_orderkey — two aggregations and one join on the already-shuffled
-    orderkey instead of two correlated re-scans of lineitem. EXISTS holds
-    iff the order has >1 supplier; NOT EXISTS holds iff the only late
-    supplier is l1's own."""
+    profile aggregate (per (orderkey, suppkey): any-late flag + LATE-LINE
+    COUNT; then per orderkey: supplier count + late-supplier count) — the
+    late-line count folded into the first aggregate means the waiting
+    lines are COUNTED, never re-scanned: lineitem is read exactly once
+    and every later stage works on the (order, supplier) grain (~4×
+    smaller). EXISTS holds iff the order has >1 supplier; NOT EXISTS
+    holds iff the only late supplier is the row's own."""
     li = _with_transport(_t(spark, sf_dir, "lineitem")).select(
         "l_orderkey",
         "l_suppkey",
         (F.col("l_receiptdate") > F.col("l_commitdate")).alias("late"),
     )
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.col("late").cast("int")).alias("supp_late")
+        F.max(F.col("late").cast("int")).alias("supp_late"),
+        F.sum(F.col("late").cast("long")).alias("n_late_lines"),
     )
     profile = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supps"),
@@ -955,7 +957,7 @@ def q138_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     l1 = (
-        li.filter(F.col("late"))
+        per_supp.filter(F.col("supp_late") == 1)
         .join(f_orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(profile, "l_orderkey")
         .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
@@ -964,5 +966,5 @@ def q138_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l1.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
     )
