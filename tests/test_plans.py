@@ -176,3 +176,25 @@ def test_unpivot_is_row_local(spark, sf_dir):
 
     text = explain_str(q157_unpivot_measures(spark, sf_dir))
     assert text.count("Exchange") <= 2  # partial→final agg only
+
+
+def test_no_tokenization_inside_lambdas():
+    """Source lint: referencing split(text) inside a transform()/filter()
+    lambda re-tokenizes the document once per array element — O(tokens²)
+    per row; it cost the shingle family ~4 s at sf0.1 before round 4's
+    hoist. Token arrays must be materialized as a column first."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "wikipediaetl_spark"
+    # flag split() in a lambda BODY (after '->'), not as a transform input —
+    # `list_transform(string_split(text,...), w -> ...)` tokenizes once and
+    # is fine; `i -> slice(split(text ...))` tokenizes per element
+    pat = re.compile(r"->[^\n]*\bsplit\(text|slice\(split\(")
+    offenders = []
+    for path in root.rglob("*.py"):
+        src = path.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            if pat.search(line):
+                offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
