@@ -20,7 +20,7 @@ SHOWCASE = {
     "q02_scan_project": "PushedFilters on l_quantity; ReadSchema pruned to 5 of 11 columns.",
     "q04_orderby_limit": "TakeOrderedAndProject — per-partition heap, no global sort exchange.",
     "q11_star_join": "EAGER AGG: orders pre-aggregated to o_custkey grain before any join (map-side combine → |customer|-sized exchange); all three dims broadcast onto the aggregate — the fact table never shuffles.",
-    "q12_fact_fact_join": "EAGER AGG: lineitem collapsed to orderkey grain first (~4x row cut, map-side combined); the aggregate exits its groupBy already hash-partitioned on the join key, so only filtered orders shuffles; orders filter below its scan.",
+    "q12_fact_fact_join": "SHUFFLE_HASH on the filtered orders build side (no 240M-row sort at scale); the revenue term projected to one double before the shuffle; orders filter below its scan. Eager agg measured and rejected: a 60M-key grain spills.",
     "q19_asof_join": "inequality join + max_by hash aggregate (map-side partial), no window sort.",
     "q20_window_topk": "WindowGroupLimit pushes rn<=3 below the shuffle.",
     "q44_category_distribution": "one corpus projection chain collapsed by CollapseProject; "
@@ -45,10 +45,10 @@ SHOWCASE = {
     "the composite-key partsupp join; supplier⋈nation broadcast; exact decimal profit sum.",
     "q135_shipping_modes": "all derived-column predicates element-wise at the scan; one "
     "fact-fact shuffle; 2-group conditional agg is map-side partial.",
-    "q138_waiting_suppliers": "exists/not-exists collapsed to one per-order profile "
-    "aggregate reused via join — no correlated re-scans of lineitem.",
-    "q141_duplicate_spans": "k-grams built in-row; one DF aggregate; occurrences join "
-    "their df by shingle key — linear, never pairwise.",
+    "q141_duplicate_spans": "k-grams from a pre-materialized token array (in-row, no "
+    "per-position re-split); cross-doc dup flag = min!=max doc over one window on the "
+    "shingle; coverage via the interval-union identity — no position explode, linear, "
+    "never pairwise.",
     "q142_gopher_rules": "all five rule features are in-row array expressions — one "
     "WholeStageCodegen span over the scan, zero exchanges.",
     "q144_unigram_perplexity": "LM vocab (top-50k + OOV floor) broadcast onto the token "
@@ -76,6 +76,15 @@ SHOWCASE = {
     "stage counts attach as broadcast 1-row scalars.",
     "q162_cohort_retention": "first-seen table broadcast onto events; DATE-only "
     "arithmetic; distinct + count ride one exchange on (cohort, offset).",
+    "q164_stateful_stats_native": "q149's semantics on the JVM state path: streaming "
+    "agg in update mode, state keyed per user — no Python worker in the loop (26x "
+    "faster than applyInPandasWithState at 400x).",
+    "q165_pagerank_exact": "integer-state PageRank: per-round join + BIGINT aggregate "
+    "+ broadcast dangling scalar, lineage cut per round; bit-exact under any "
+    "partitioning, hash-verified against an unrolled SQL oracle.",
+    "q138_waiting_suppliers": "ONE lineitem scan: late-line counts fold into the "
+    "(order,supplier) aggregate; every later stage works on that ~4x smaller grain; "
+    "supplier broadcasts.",
     "q163_ivf_ann_oracle": "IVF probe with a deterministic medoid quantizer: tiny "
     "centroid table broadcast twice (cell ranking, then candidate join); the corpus "
     "is pruned to probed cells BEFORE any exact scoring.",
