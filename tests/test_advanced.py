@@ -312,3 +312,33 @@ def test_q162_cohort_triangle(spark, sf_dir):
     for cohort, offs in by_cohort.items():
         assert 0 in offs
         assert offs[0] == max(offs.values())
+
+
+def test_zscore_integer_threshold_adjusters_converge():
+    """q160's d0 = max{d ≥ 0 : n·d² ≤ M} is seeded from a float sqrt and
+    corrected by two up- and two down-adjust steps. Pin that the adjusters
+    reach the exact d0 from ANY seed within ±2 — i.e. engine sqrt rounding
+    differences cannot change the integer threshold (pure-python property,
+    mirrors the column expressions in q160 and its oracle)."""
+    import math
+    import random
+
+    def adjust(d_est, n, m):
+        fits = lambda d: n * d * d <= m
+        d1 = d_est + (1 if fits(d_est + 1) else 0)
+        du = d1 + (1 if fits(d1 + 1) else 0)
+        dd = du - (1 if du > 0 and not fits(du) else 0)
+        return dd - (1 if dd > 0 and not fits(dd) else 0)
+
+    rng = random.Random(7)
+    for _ in range(500):
+        n = rng.randint(1, 10**8)
+        m = rng.randint(0, 10**27)
+        d0 = math.isqrt(m // n)  # exact integer threshold
+        # isqrt(m//n) can differ from max{d : n·d² ≤ m} by flooring m//n
+        while n * (d0 + 1) * (d0 + 1) <= m:
+            d0 += 1
+        while d0 > 0 and n * d0 * d0 > m:
+            d0 -= 1
+        for seed in range(max(0, d0 - 2), d0 + 3):
+            assert adjust(seed, n, m) == d0, (n, m, seed, d0)

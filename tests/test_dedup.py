@@ -282,3 +282,21 @@ def test_simhash_portable_matches_python_reference(spark):
         assert out.get((0, 2)) == ham
     else:
         assert (0, 2) not in out
+
+
+def test_duplicate_span_interval_union_identity():
+    """q141's coverage rewrite rests on |∪ᵢ [sᵢ, sᵢ+k)| = k + Σ min(k, gapᵢ)
+    for sorted distinct starts — pin the identity against the naive position
+    set over randomized cases (seeded; hypothesis-style property)."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(300):
+        k = rng.randint(1, 8)
+        n = rng.randint(1, 25)
+        starts = sorted(rng.sample(range(1, 120), n))
+        naive = len({p for s in starts for p in range(s, s + k)})
+        folded = k + sum(
+            min(k, b - a) for a, b in zip(starts, starts[1:])
+        )
+        assert naive == folded, (k, starts)
