@@ -33,3 +33,15 @@ def test_split_valid_invalid_partitions_all_rows(spark):
     assert sorted(r.id for r in err_rows) == [2, 3]
     assert all(r.error_reason == "empty_body" for r in err_rows)
     assert valid.count() + errors.count() == df.count()  # nothing silently lost
+
+
+def test_manifest_observation_matches_readback(spark, sf_dir, tmp_path):
+    """The Observation-based manifest (counts collected during the write
+    pass) must equal a read-back count of every landed table — the property
+    the old second-scan implementation had by construction."""
+    from wikipediaetl_spark.pipeline import run_pipeline
+
+    out = str(tmp_path / "obs_out")
+    manifest = run_pipeline(spark, sf_dir, out)
+    for name, n in manifest.items():
+        assert spark.read.parquet(f"{out}/{name}").count() == n

@@ -33,6 +33,8 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, in
     list through XCom, pipeline.py:88-89 — the manifest is its accounting
     equivalent).
     """
+    from pyspark.sql import Observation
+
     tables = process_corpus(spark, sf_dir)
     corpus_handle = tables.pop("_corpus")
     try:
@@ -45,8 +47,16 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, in
         }
         for key, out_name in out_names.items():
             df = tables[key]
-            df.write.mode("overwrite").parquet(f"{out_dir}/{out_name}")
-            manifest[out_name] = spark.read.parquet(f"{out_dir}/{out_name}").count()
+            # manifest counts ride the WRITE pass via an Observation —
+            # the old read-back count re-scanned every output table, a
+            # second full pass per sink that a 100 TB landing zone cannot
+            # afford (and Airflow's XCom accounting gets for free from
+            # the task's own output)
+            obs = Observation(f"rows_{out_name}")
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/{out_name}")
+            manifest[out_name] = int(obs.get["n"])
         return manifest
     finally:
         corpus_handle.unpersist()
