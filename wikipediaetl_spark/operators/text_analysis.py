@@ -495,13 +495,13 @@ def perdoc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction is an order-independent integer sum."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    total_df = toks.agg(F.count(F.lit(1)).alias("total"))
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("tok"))
-        .limit(50_000)
-    )
+    # full (untruncated) per-token counts serve BOTH the vocabulary and the
+    # corpus total: total = Σcnt folds over the same groupBy exchange the
+    # vocab branch shuffles (ReuseExchange), where a separate toks.count()
+    # was a third full corpus scan+explode pass
+    full_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total_df = full_counts.agg(F.sum("cnt").alias("total"))
+    vocab = full_counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(50_000)
     micro = lambda p: F.floor(F.log(p) * 1_000_000 + F.lit(0.5)).cast("long")
     lp = vocab.crossJoin(F.broadcast(total_df)).select(
         "tok", micro(F.col("cnt") * 1.0 / F.col("total")).alias("lp")
