@@ -59,6 +59,22 @@ def main() -> None:
         f"HUGEINT/DECIMAL(38,0) columns at type-inference time."
     )
     print()
+    print(
+        "Every rows-only query has an exact-checked sibling exercising the "
+        "same operator class: q08 HLL ↔ q07 exact distinct; q102 "
+        "approx_percentile ↔ q39 exact percentiles; q103 float PageRank ↔ "
+        "q165 integer-state PageRank (hash-verified); q54 xxhash MinHash ↔ "
+        "q150 portable md5-MinHash; q55 SimHash ↔ q152 portable SimHash; "
+        "q58 float-centroid IVF ↔ q163 medoid-seeded IVF; q59/q143 "
+        "LSH/PQ ANN + q91 BLAS top-k ↔ q57 exact cosine top-k (recall "
+        "measured in tests); q145 SemDeDup ↔ q131 blocked near-dup; "
+        "q118/q146 BPE train/encode ↔ invariant + golden tests "
+        "(tie-break determinism, round-trip); q65 media features ↔ q64 "
+        "byte-level metadata. Rows-only never means unverified — it means "
+        "the exact values are engine-specific (sketches, xxhash, float "
+        "accumulation) and the checkable twin carries the hash burden."
+    )
+    print()
     print("| query | check | summary (first docstring line) |")
     print("|---|---|---|")
     for name, qd in sorted(qs.items()):
