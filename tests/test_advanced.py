@@ -250,6 +250,51 @@ def test_rollup_interrupted_swap_recovers_from_staging(spark, sf_dir):
     _drop_table(spark, "t_rollup_crash")
 
 
+def test_rollup_unstamped_merge_carries_watermark(spark, sf_dir):
+    """An unstamped call (batch_id=None) on a stamped table must carry the
+    stored last_batch_id forward (ADVICE r4: dropping it would discard the
+    replay watermark and a later resumed stream would double-count)."""
+    from wikipediaetl_spark.operators.layout import _drop_table, merge_batch_into_rollup
+    from wikipediaetl_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    _drop_table(spark, "t_rollup_carry")
+    merge_batch_into_rollup(spark, o, table="t_rollup_carry", batch_id=7)
+    # an ad-hoc (unstamped) maintenance merge between streaming batches
+    merge_batch_into_rollup(spark, o.limit(10), table="t_rollup_carry", batch_id=None)
+    cur = spark.table("t_rollup_carry")
+    assert "last_batch_id" in cur.columns
+    assert cur.select("last_batch_id").first()[0] == 7
+    # the carried watermark still suppresses a replay of batch 7
+    before = cur.agg(F.sum("n_orders")).first()[0]
+    merge_batch_into_rollup(spark, o, table="t_rollup_carry", batch_id=7)
+    assert spark.table("t_rollup_carry").agg(F.sum("n_orders")).first()[0] == before
+    _drop_table(spark, "t_rollup_carry")
+
+
+def test_rollup_partial_staging_not_adopted(spark, sf_dir):
+    """A staging table WITHOUT the commit marker (a first-ever merge that
+    crashed mid-saveAsTable) must be dropped, not renamed into place
+    (ADVICE r4): its rows are an incomplete write, and the upcoming merge
+    rebuilds correctly from the batch because no main table ever existed."""
+    from wikipediaetl_spark.operators.layout import _drop_table, merge_batch_into_rollup
+    from wikipediaetl_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    _drop_table(spark, "t_rollup_partial")
+    _drop_table(spark, "t_rollup_partial_staging")
+    # fabricate a partial staging write: wrong contents, NO commit marker
+    o.limit(3).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue_d"),
+    ).write.saveAsTable("t_rollup_partial_staging")
+    merge_batch_into_rollup(spark, o, table="t_rollup_partial", batch_id=0)
+    # the partial rows were discarded; the merge holds exactly the batch
+    n = spark.table("t_rollup_partial").agg(F.sum("n_orders")).first()[0]
+    assert n == o.count()
+    _drop_table(spark, "t_rollup_partial")
+
+
 def test_lineitem_rollup_merges_to_stock_q12(spark, sf_dir):
     """The bucketed lineitem→orderkey rollup must reproduce stock q12
     bit-for-bit (decimal terms cast before partial summation)."""

@@ -243,13 +243,21 @@ def main() -> None:
     # so the sweep can be run in chunks.
     suffix = "" if factor == 100 else f"_{factor}x"
     path = os.path.join(repo, f"BENCH_SCALE{suffix}.json")
-    if only and os.path.exists(path):
-        with open(path) as f:
-            prev = json.load(f)
-        if prev.get("factor") == factor and prev.get("base") == BASE:
-            prev["queries"].update(payload["queries"])
-            prev["rows"] = payload["rows"]
-            payload = prev
+    if only:
+        merged = False
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            if prev.get("factor") == factor and prev.get("base") == BASE:
+                prev["queries"].update(payload["queries"])
+                prev["rows"] = payload["rows"]
+                payload = prev
+                merged = True
+        if not merged:
+            # ADVICE r4: without a compatible prior artifact, a subset run
+            # must NOT claim the canonical path — that would replace the
+            # full-sweep artifact of record with a partial payload.
+            path = path.removesuffix(".json") + "_partial.json"
     with open(path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
 

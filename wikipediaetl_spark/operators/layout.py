@@ -36,6 +36,23 @@ from pyspark.sql import DataFrame, SparkSession
 from wikipediaetl_spark.sources import load_table
 
 
+# Table property marking a staging table as a COMPLETED merge (safe to
+# rename into place). Set after saveAsTable finishes, before the main table
+# is dropped — see merge_batch_into_rollup's crash-recovery contract.
+_COMMIT_PROP = "wikipediaetl.rollup.committed"
+
+
+def _staging_committed(spark: SparkSession, staging: str) -> bool:
+    """True iff ``staging`` carries the commit marker, i.e. its contents are
+    a complete merge (not a partial first-ever write that crashed
+    mid-saveAsTable)."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {staging}").collect()
+    except Exception:
+        return False
+    return any(r["key"] == _COMMIT_PROP and r["value"] == "true" for r in rows)
+
+
 def _drop_table(spark: SparkSession, table: str) -> None:
     """Drop a managed table AND its warehouse location. A location orphaned
     by a previous session (catalog entry gone, directory still on disk)
@@ -144,30 +161,47 @@ def merge_batch_into_rollup(
     the current table, re-merged per key, and swapped in via
     staging-write + drop + rename. The drop→rename pair is NOT a single
     atomic step, so two hazards are handled explicitly rather than assumed
-    away: (1) a crash between drop and rename leaves only the staging
-    table — on the next call the completed staging merge is recovered by
-    renaming it into place before anything else; (2) a foreachBatch replay
-    after a completed merge would double-count — so when ``batch_id`` is
-    given it is stamped into every rollup row (constant ``last_batch_id``
-    column, atomic with the data it describes) and a replayed id ≤ the
-    stored one is a no-op. Cost per batch is O(batch + |grain|),
-    independent of the fact table's full history — the property that makes
-    a 100 TB rollup maintainable. The streaming entry point is
-    ``rollup_sink`` (a foreachBatch wrapper)."""
+    away: (1) a crash anywhere in the swap window leaves only the staging
+    table — a COMMIT MARKER (table property set after the staging write
+    completes, BEFORE the main table is dropped) distinguishes a completed
+    merge awaiting rename (recovered by finishing the rename) from a
+    partial staging write of a first-ever merge that crashed
+    mid-``saveAsTable`` (dropped, so the merge restarts from the batch —
+    the main table never existed, so nothing is lost); (2) a foreachBatch
+    replay after a completed merge would double-count — so when
+    ``batch_id`` is given it is stamped into every rollup row (constant
+    ``last_batch_id`` column, atomic with the data it describes) and a
+    replayed id ≤ the stored one is a no-op. An unstamped call
+    (``batch_id=None``) on a stamped table CARRIES the stored
+    ``last_batch_id`` forward rather than rebuilding without it — dropping
+    it would silently discard the replay watermark and a later resumed
+    stream would double-count its redelivered batch. Cost per batch is
+    O(batch + |grain|), independent of the fact table's full history — the
+    property that makes a 100 TB rollup maintainable. The streaming entry
+    point is ``rollup_sink`` (a foreachBatch wrapper)."""
     from pyspark.sql import functions as F
 
     staging = f"{table}_staging"
-    # Recover an interrupted swap: if the main table is gone but staging
-    # exists, staging IS the completed previous merge — finish the rename.
+    # Recover an interrupted swap: the staging table without the main table
+    # is EITHER a completed previous merge caught between drop and rename
+    # (commit marker present → finish the rename) OR a first-ever merge
+    # that crashed mid-saveAsTable (no marker → the partial table must NOT
+    # be adopted; drop it and merge from scratch — main never existed).
     if not spark.catalog.tableExists(table) and spark.catalog.tableExists(staging):
-        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        if _staging_committed(spark, staging):
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        else:
+            _drop_table(spark, staging)
     grain_cols = ["o_custkey", "n_orders", "revenue_d"]
-    if batch_id is not None and spark.catalog.tableExists(table):
+    stored_batch_id: int | None = None
+    if spark.catalog.tableExists(table):
         cur = spark.table(table)
         if "last_batch_id" in cur.columns:
             row = cur.select("last_batch_id").first()
-            if row is not None and row[0] is not None and batch_id <= row[0]:
-                return  # replayed batch already folded into the rollup
+            if row is not None and row[0] is not None:
+                stored_batch_id = int(row[0])
+    if batch_id is not None and stored_batch_id is not None and batch_id <= stored_batch_id:
+        return  # replayed batch already folded into the rollup
     partial = batch.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue_d"),
@@ -185,10 +219,18 @@ def merge_batch_into_rollup(
         )
     else:
         merged = partial
-    if batch_id is not None:
-        merged = merged.withColumn("last_batch_id", F.lit(batch_id).cast("long"))
+    # Stamp the new watermark; an unstamped call carries the stored one.
+    stamp = batch_id if batch_id is not None else stored_batch_id
+    if stamp is not None:
+        merged = merged.withColumn("last_batch_id", F.lit(stamp).cast("long"))
     _drop_table(spark, staging)
     merged.write.mode("overwrite").saveAsTable(staging)
+    # Commit point: marker set ⟹ staging holds a COMPLETE merge. Only after
+    # this may the main table be dropped, so "main absent + staging without
+    # marker" can only mean a partial first-ever write (handled above).
+    spark.sql(
+        f"ALTER TABLE {staging} SET TBLPROPERTIES ('{_COMMIT_PROP}'='true')"
+    )
     _drop_table(spark, table)
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
 

@@ -58,14 +58,18 @@ def _state_partitions(sf_dir: str) -> int:
     stream-stream join's wall at sf0.1 vs 32 — pure per-batch overhead)
     while replicated scale fixtures want the cores (measured at the 400×
     events table: q101 21.8 s at 8 partitions → 11.5 s at 32). ~12 MB of
-    source parquet per state partition, clamped to [8, defaultParallelism]
-    — the same sizing rule a cluster deployment applies to
-    spark.sql.shuffle.partitions against expected state volume."""
+    source parquet per state partition, floored at min(8, cores) and capped
+    at the core count — the same sizing rule a cluster deployment applies
+    to spark.sql.shuffle.partitions against expected state volume. The
+    floor is clamped to the core count (ADVICE r4): on a <8-core host an
+    unconditional floor of 8 would reintroduce the per-batch state-task
+    overhead this function exists to avoid."""
     try:
         size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
     except OSError:
         size = 0
-    return max(8, min(os.cpu_count() or 8, size // (12 * 1024 * 1024) or 8))
+    cores = os.cpu_count() or 8
+    return min(cores, max(min(8, cores), size // (12 * 1024 * 1024) or 1))
 
 
 def _run_to_completion(
