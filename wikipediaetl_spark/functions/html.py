@@ -15,16 +15,38 @@ Python UDFs: ``extract_categories`` (ETL/tasks/categorizer.py:89-101),
    hot path per SURVEY.md §2.10 policy (UDFs only where parsing is genuinely
    non-relational).
 
-Malformed-HTML divergence class (declared, VERDICT r3 missing-#4): the
-stdlib ``html.parser`` differs from the reference's BS4 default parser on
-*pathological* input — unclosed tags adopt different implicit-close points,
-misnested inline tags (``<b><i></b></i>``) attach text to different parents,
-bare ``&`` entity fragments and null bytes are recovered differently, and
-``<script>`` containing a literal ``</`` may terminate earlier. For the
-fixture-shaped and reference-targeted page structures both parsers agree
-(pinned by tests); a corpus of tag-soup pages wanting bug-for-bug BS4
-behavior should swap the UDF body for bs4 — the Arrow plumbing, schema, and
-null contract here do not change.
+Malformed-HTML divergence class (VERDICT r3 missing-#4, hardened + pinned
+r5). The reference parses with ``BeautifulSoup(html, "html.parser")`` —
+i.e. bs4's TREE BUILDER over the SAME stdlib tokenizer used here — so
+tokenization (entities, CDATA script handling, bare ``<``) agrees by
+construction; what can differ is tree-shape recovery. Status per case,
+each pinned by tests/test_functions.py::TestPathologicalHtml:
+
+HARDENED (now BS4-equivalent, previously divergent):
+- attributes/order on the catlinks div or its anchors (real Wikipedia:
+  ``<div id=.. class=..>``, ``<a href=.. title=..>``) — both paths now
+  match by id/tag regardless of other attributes, like ``soup.find``;
+- nested ``<div>``s inside catlinks — the UDF tracks div depth, so inner
+  closes no longer end the category scope early (bs4 subtree semantics);
+- only the FIRST ``<ul>`` inside catlinks yields categories
+  (categorizer.py:97-98 ``find("ul")``), not every anchor in the div;
+- anchor text split by inline markup (``<a>Cat<b>1</b></a>``) is joined
+  per anchor like ``a.get_text(strip=True)``, not one entry per fragment;
+- entity references in category names decode in the UDF path
+  (``convert_charrefs`` = bs4 behavior).
+
+DECLARED DIVERGENT (expression path only — regexes cannot balance tags;
+the UDF path is the BS4-faithful fallback for such corpora):
+- the expr path's catlinks scope ends at the first ``</div>``, so
+  categories inside a NESTED div are truncated where bs4 keeps them;
+- the expr path returns raw entity text (``&amp;`` stays ``&amp;``) and
+  collects anchors from the whole div, not just the first ``<ul>``;
+- unclosed ``<a>`` runs (``<li><a>X<li><a>Y``): bs4's treebuilder nests
+  each later element inside the unclosed anchor, so ``get_text`` on the
+  OUTER anchor returns the concatenation of everything after it while
+  inner anchors repeat their own text; both engine paths here instead
+  close an anchor at the next ``<a>``/``</ul>`` and report each category
+  once — deliberately non-bug-for-bug (the bs4 shape double-counts).
 
 ``synth_html`` builds a deterministic Wikipedia-shaped page from the
 ``documents`` fixture columns so both paths (and the SQL oracle) can be
@@ -120,8 +142,11 @@ def synth_html(
 
 # ------------------------------------------------------- expression path
 
-_CATLINKS_RE = r'<div id="mw-normal-catlinks">.*?</div>'
-_ANCHOR_RE = r"<a>([^<]*)</a>"
+# Attribute-tolerant (r5): real Wikipedia writes
+# `<div id="mw-normal-catlinks" class="mw-normal-catlinks">` and anchors
+# carry href/title — match by id/tag like soup.find, not by exact byte shape.
+_CATLINKS_RE = r'<div\b[^>]*\bid="mw-normal-catlinks"[^>]*>.*?</div>'
+_ANCHOR_RE = r"<a\b[^>]*>([^<]*)</a>"
 _LASTMOD_RE = r"last edited on (\d{1,2} [A-Za-z]+ \d{4})"
 
 
@@ -130,7 +155,12 @@ def extract_categories_expr(html: Column) -> Column:
     div is absent. Parity: categorizer.py:89-101 (BS4 find + collect <a>
     texts, [] fallback at :95-96)."""
     div = F.regexp_extract(html, f"(?s)({_CATLINKS_RE})", 1)
-    return F.regexp_extract_all(div, F.lit(_ANCHOR_RE), 1)
+    # trim mirrors a.get_text(strip=True) (categorizer.py:98); the lambda
+    # MUST be unary — transform feeds (element, index) to a binary callable
+    # and F.trim's second parameter is the trim-character set
+    return F.transform(
+        F.regexp_extract_all(div, F.lit(_ANCHOR_RE), 1), lambda c: F.trim(c)
+    )
 
 
 def extract_last_edited_expr(html: Column) -> Column:
@@ -155,7 +185,9 @@ def extract_text_expr(html: Column) -> Column:
 
 # SQL twins of the expression path (DuckDB dialect; 's' = dotall, 'g' = all).
 EXTRACT_CATEGORIES_SQL = (
-    f"regexp_extract_all(regexp_extract(html, '(?s)({_CATLINKS_RE})', 1), '{_ANCHOR_RE}', 1)"
+    "list_transform("
+    f"regexp_extract_all(regexp_extract(html, '(?s)({_CATLINKS_RE})', 1), '{_ANCHOR_RE}', 1), "
+    "c -> trim(c))"
 )
 EXTRACT_LAST_EDITED_SQL = (
     f"CAST(strptime(nullif(regexp_extract(html, '{_LASTMOD_RE}', 1), ''), '%-d %B %Y') AS DATE)"
@@ -195,7 +227,23 @@ def extract_links_expr(html: Column, base_url: Column) -> Column:
 
 
 class _WikiHTMLParser(HTMLParser):
-    """Structural parse collecting the three extractions in one pass."""
+    """Structural parse collecting the three extractions in one pass.
+
+    BS4-parity notes (categorizer.py:89-101 runs
+    ``BeautifulSoup(html, "html.parser")`` — the same stdlib tokenizer
+    driving this class, so divergence can only come from tree recovery):
+    - the catlinks scope tracks ``<div>`` DEPTH, so a nested div inside
+      ``#mw-normal-catlinks`` no longer ends the scope at its inner close
+      (bs4 subtree semantics);
+    - categories come from the FIRST ``<ul>`` in that scope only —
+      ``cat_links_div.find("ul")`` — not from every anchor in the div;
+    - each anchor's text fragments are buffered and joined like
+      ``a.get_text(strip=True)``, so ``<a>Cat<b>1</b></a>`` is one
+      category "Cat1", not two fragments;
+    - an anchor left unclosed is flushed at the next ``<a>`` start or the
+      ul's end — see the module docstring for why this deliberately does
+      not reproduce bs4's double-counting nest shape.
+    """
 
     _SKIP = {"script", "style", "meta", "head", "title", "noscript"}
 
@@ -205,36 +253,55 @@ class _WikiHTMLParser(HTMLParser):
         self.categories: list[str] = []
         self.lastmod: str | None = None
         self._skip_depth = 0
-        self._in_catlinks = False
-        self._cat_anchor = False
+        self._catlinks_depth = 0  # div-nesting depth inside the catlinks div
+        self._cat_ul = 0  # 0: ul not seen, 1: inside first ul, 2: done
+        self._cat_buf: list[str] | None = None  # current anchor's fragments
         self._in_lastmod = False
+
+    def _flush_anchor(self) -> None:
+        if self._cat_buf is not None:
+            # get_text(strip=True): strip each fragment, join with ''
+            self.categories.append("".join(s.strip() for s in self._cat_buf))
+            self._cat_buf = None
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         a = dict(attrs)
         if tag in self._SKIP:
             self._skip_depth += 1
-        if tag == "div" and a.get("id") == "mw-normal-catlinks":
-            self._in_catlinks = True
-        if self._in_catlinks and tag == "a":
-            self._cat_anchor = True
+        if tag == "div":
+            if self._catlinks_depth > 0:
+                self._catlinks_depth += 1
+            elif a.get("id") == "mw-normal-catlinks":
+                self._catlinks_depth = 1
+        if self._catlinks_depth > 0 and tag == "ul" and self._cat_ul == 0:
+            self._cat_ul = 1
+        if self._cat_ul == 1 and tag == "a":
+            self._flush_anchor()
+            self._cat_buf = []
         if tag == "li" and a.get("id") == "footer-info-lastmod":
             self._in_lastmod = True
 
     def handle_endtag(self, tag: str) -> None:
         if tag in self._SKIP and self._skip_depth > 0:
             self._skip_depth -= 1
-        if tag == "div" and self._in_catlinks:
-            self._in_catlinks = False
+        if tag == "div" and self._catlinks_depth > 0:
+            self._catlinks_depth -= 1
+            if self._catlinks_depth == 0 and self._cat_ul == 1:
+                self._flush_anchor()
+                self._cat_ul = 2
+        if tag == "ul" and self._cat_ul == 1:
+            self._flush_anchor()
+            self._cat_ul = 2
         if tag == "a":
-            self._cat_anchor = False
+            self._flush_anchor()
         if tag == "li" and self._in_lastmod:
             self._in_lastmod = False
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth == 0 and data.strip():
             self.texts.append(data.strip())
-        if self._cat_anchor and data.strip():
-            self.categories.append(data.strip())
+        if self._cat_buf is not None:
+            self._cat_buf.append(data)
         if self._in_lastmod:
             self.lastmod = (self.lastmod or "") + data
 
@@ -244,6 +311,7 @@ def _parse_page(html: str | None) -> tuple[list[str], str | None, str]:
         return [], None, ""
     p = _WikiHTMLParser()
     p.feed(html)
+    p._flush_anchor()  # an anchor left open at EOF still yields its text
     lastmod_date = None
     if p.lastmod:
         import re
