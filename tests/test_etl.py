@@ -53,12 +53,69 @@ def test_media_decode_stub_contract():
     else:
         with pytest.raises(NotImplementedError):
             decode_media(b"abc", "image", fake=False)
-    # audio has no real path in any environment (needs ffmpeg-class libs)
-    with pytest.raises(NotImplementedError):
-        decode_media(b"abc", "audio", fake=False)
+    # video resolves PyAV call-time; absent → the declared stub
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_media(b"abc", "video", fake=False)
+    # audio always has a real backend (stdlib wave); hostile bytes → TOTAL
+    assert list(decode_media(b"abc", "audio", fake=False)) == [0.0] * 8
     feats = decode_media(b"abc", "image", fake=True)
     assert len(feats) == 8
     assert feats[0] == 3  # n_bytes
+
+
+def _wav_bytes(samples, sampwidth=2, framerate=8000):
+    """PCM WAV payload from int samples (stdlib wave writer)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(framerate)
+        fmt = {1: "B", 2: "<h", 4: "<i"}[sampwidth]
+        wf.writeframes(b"".join(struct.pack(fmt, s) for s in samples))
+    return buf.getvalue()
+
+
+def test_audio_decode_real_wav_path():
+    """The audio path is genuinely real in this container: synthesized PCM
+    WAV bytes decode through the stdlib-wave backend to the 8-stat feature
+    contract over the SAMPLE values (not the container bytes)."""
+    import numpy as np
+    import pytest
+
+    samples = [0, 100, -100, 200, -200, 300]
+    feats = decode_media(_wav_bytes(samples), "audio", fake=False)
+    arr = np.array(samples, dtype=np.float64)
+    assert feats[0] == len(samples)
+    assert feats[1] == pytest.approx(arr.mean())
+    assert feats[3] == arr.min() and feats[4] == arr.max()
+    assert feats[6] == arr[0] and feats[7] == arr[-1]
+    # 8-bit samples decode too (unsigned dtype)
+    feats8 = decode_media(_wav_bytes([0, 128, 255], sampwidth=1), "audio", fake=False)
+    assert feats8[0] == 3 and feats8[3] == 0.0 and feats8[4] == 255.0
+
+
+def test_audio_decode_through_map_in_pandas(spark):
+    """Real audio decode executor-side through the mapInPandas plumbing:
+    WAV payloads in a binary column, fake=False, distributed decode."""
+    from wikipediaetl_spark.operators.multimodal import extract_features
+
+    rows = [
+        (1, "audio", bytearray(_wav_bytes([10, 20, 30]))),
+        (2, "audio", bytearray(_wav_bytes([5, -5]))),
+        (3, "audio", bytearray(b"not a wav")),  # hostile → zero row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    out = {r.doc_id: r.features for r in extract_features(df, fake=False).collect()}
+    assert out[1][0] == 3 and out[1][3] == 10.0 and out[1][4] == 30.0
+    assert out[2][0] == 2 and out[2][1] == 0.0  # mean of (5,-5)
+    assert out[3] == [0.0] * 8
 
 
 def test_media_decode_undecodable_payload_yields_zero_row(monkeypatch):
