@@ -209,35 +209,44 @@ def q154_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q155_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top bigram collocations by lift = P(xy)/(P(x)P(y)) (= exp(PMI)).
-    Bigrams come from a per-doc array ``transform`` (zero positional
-    self-join — the oracle's join is just the SQL spelling); unigram counts
-    join back marked broadcast (vocab ≪ corpus; at web scale drop the hint
-    and let AQE pick). The lift double is a fixed multiply/divide chain —
+
+    ONE corpus pass (VERDICT r4 #8): the explode emits each position as a
+    ``(x=w[i], y=w[i+1]|NULL)`` pair struct and everything aggregates from
+    the (x, y) PAIR GRAIN — bigram counts are the non-null-y rows, unigram
+    counts are Σc grouped by x (every token occurrence appears exactly once
+    as x, doc-final tokens with y=NULL), the token total is Σc and the
+    bigram total Σc over non-null y. The corpus is scanned, lowercased,
+    split, and exploded ONCE; ReuseExchange shares the pair aggregate's
+    exchange across all four consumers, each of which re-aggregates only
+    ~|distinct pairs| rows. (The previous shape ran the explode twice —
+    once for unigrams, once for bigrams.) The oracle's positional self-join
+    is just the SQL spelling of the same pairing. Unigram counts join back
+    marked broadcast (vocab ≪ corpus; at web scale drop the hint and let
+    AQE pick). The lift double is a fixed multiply/divide chain —
     IEEE-exact, so ``floor(x*1e6)`` is bit-identical on both engines (no
     libm log in the output)."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), " ").alias("w")
+        F.split(F.lower("text"), " ").alias("w")
     )
-    pos = docs.select(F.explode("w").alias("tok"))
-    uni = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    big = (
-        docs.filter(F.size("w") >= 2)
-        .select(
+    pairs = (
+        docs.select(
             F.explode(
-                F.expr("transform(sequence(1, size(w)-1), i -> struct(w[i-1] AS x, w[i] AS y))")
-            ).alias("b")
+                F.expr(
+                    "transform(sequence(0, size(w)-1), i -> "
+                    "struct(w[i] AS x, IF(i < size(w)-1, w[i+1], NULL) AS y))"
+                )
+            ).alias("p")
         )
-        .select("b.x", "b.y")
+        .select("p.x", "p.y")
         .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    uni = pairs.groupBy(F.col("x").alias("tok")).agg(F.sum("c").alias("c"))
+    big = pairs.filter(F.col("y").isNotNull()).select("x", "y", F.col("c").alias("c_xy"))
     # Fully lazy scalars: 1-row aggregates attached as broadcast cross joins
-    # (no mid-plan driver collect — VERDICT r2 #5 posture). The token total
-    # folds over the UNIGRAM COUNTS (Σc = |tokens|) instead of re-scanning
-    # and re-exploding the corpus: uni's exchange is already in the plan
-    # for the two broadcast joins, so ReuseExchange makes this scalar a
-    # ~|vocab|-row aggregate — one fewer full corpus pass.
-    n_total = uni.agg(F.sum("c").alias("n"))
+    # (no mid-plan driver collect — VERDICT r2 #5 posture); both fold over
+    # the pair counts, never the corpus.
+    n_total = pairs.agg(F.sum("c").alias("n"))
     m_total = big.agg(F.sum("c_xy").alias("m"))
     ux = F.broadcast(uni.select(F.col("tok").alias("x"), F.col("c").alias("cx")))
     uy = F.broadcast(uni.select(F.col("tok").alias("y"), F.col("c").alias("cy")))
@@ -530,14 +539,23 @@ def q160_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(
         "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v")
     )
+    # Q = Σv² accumulates in INT64, not per-row decimal: a 40M-row
+    # BigDecimal multiply chain was the measured wall of the stats pass
+    # (decimal ops run outside the fast codegen arithmetic path). v² ≤
+    # ~3.1e9 at cents scale, so int64 holds Q while n·max(v²) < 9.2e18 —
+    # ~2.9e9 rows PER GROUP at this fixture's value range, ~360× the 400×
+    # fixture; past that, shard the stat first (q111's documented pattern)
+    # — ANSI mode turns any breach into an error, never a wrong answer.
+    # The WIDE decimal algebra below then runs on the 5-row aggregate only.
     stats = c.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v").cast("long").alias("s"),
-        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
     )
     n_d = F.col("n").cast("decimal(38,0)")
     s_d = F.col("s").cast("decimal(38,0)")
-    m = (F.lit(9) * n_d * (n_d * F.col("q") - s_d * s_d)).alias("m")
+    q_d = F.col("q").cast("decimal(38,0)")
+    m = (F.lit(9) * n_d * (n_d * q_d - s_d * s_d)).alias("m")
     stats = stats.select("event_type", "n", "s", m)
     d_est = F.floor(
         F.sqrt(F.col("m").cast("double") / F.col("n") / F.col("n"))
