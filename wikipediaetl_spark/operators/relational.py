@@ -399,33 +399,56 @@ def q12_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHUFFLE_HASH hint: at the 400× fixture the sort-merge default spends
     its time sorting 240M lineitem rows, while a shuffled hash join builds
     on the (⅓-selectivity) orders side and streams lineitem unsorted —
-    measured 17.9 s → 12.9 s. Two rejected alternatives, measured: eager
-    pre-aggregation of lineitem to orderkey grain (48 s — a 60M-key
-    partial aggregate spills its hash maps and combines almost nothing,
-    the opposite of q11's low-cardinality grain), and broadcast (the
-    filtered side is ~20M rows, far past sane broadcast size). At 100 TB
-    the same trade holds whenever the probe side is much larger than the
-    build side and memory fits the build partition; AQE's skew splitting
-    still applies to the hash variant.
+    measured 17.9 s → 12.9 s. Rejected alternatives, all measured at 400×:
+    eager pre-aggregation of lineitem to orderkey grain (r4: 48 s; re-tried
+    r5 with exchange reuse: 28-47 s — the 60M-key partial map combines
+    little and thrashes), and broadcast of the filtered orders side (17 s —
+    the driver builds a 30M-row HashedRelation single-threaded).
+
+    r5 (VERDICT r4 #1): the revenue fold runs in INT64, not per-row
+    decimal. Each term quantizes ONCE, scan-side, to exact 1e-4 units —
+    extendedprice/discount carry ≤2+2 decimal digits, so the true product
+    lies on the 1e-4 grid and the double's error (~1e-11 relative) is far
+    inside the 5e-7 half-up rounding boundary, making
+    floor(v·1e4 + 0.5)·100 ≡ the oracle's CAST(v AS DECIMAL(18,6)) micros
+    term-by-term (asserted bit-exact vs the decimal plan at 400×,
+    tools/exp_q12.py check_longsum). The join stage then folds longs in
+    whole-stage codegen — profiled 245 s → 115 s of task time at 400×
+    (the decimal accumulator was HALF the join stage) — and the shuffle
+    carries an integer column that compresses 14% tighter than the double.
+    Scale correctness: partials group by (priority, input partition id),
+    bounding each long partial by partition size (maxPartitionBytes), not
+    by table size — a plain per-priority long sum would overflow ~1e10
+    rows/group, the salted partials never do; the per-partition partials
+    merge as DECIMAL(38,0) on ≤5×|partitions| rows, division by 1e4 is
+    exact in decimal, and the final double equals the decimal plan's.
+    ANSI mode (session default) turns any residual breach into an error,
+    never a silent null. At 100 TB the same trade holds whenever the probe
+    side is much larger than the build side and memory fits the build
+    partition; AQE's skew splitting still applies to the hash variant.
     """
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    # project the revenue term BEFORE the join: the 240M-row shuffle then
-    # carries (orderkey, v) — one double instead of two — and the decimal
-    # quantization still happens per term at aggregate time (exact). The
-    # term can't be pre-SUMMED below the join (the 60M-key grain spills,
-    # measured 48 s), but it can be pre-COMPUTED (12.6 s → 11.4 s).
+    # project + quantize the revenue term BEFORE the join: the 240M-row
+    # shuffle carries (orderkey, long units) — pre-SUMMING below the join
+    # stays rejected (measured above), pre-COMPUTING is free
     liv = li.select(
         "l_orderkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
-    )
-    return (
-        liv.join(o.hint("shuffle_hash"), liv.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            dsum(F.col("v"), 6).alias("revenue"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
         )
+        .cast("long")
+        .alias("vu"),
+    )
+    j = liv.join(o.hint("shuffle_hash"), liv.l_orderkey == o.o_orderkey)
+    inner = j.groupBy("o_orderpriority", F.spark_partition_id().alias("pid")).agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("vu").alias("pvu")
+    )
+    return inner.groupBy("o_orderpriority").agg(
+        F.sum("pn").cast("long").alias("n_lines"),
+        (F.sum(F.col("pvu").cast("decimal(38,0)")) / 10000)
+        .cast("double")
+        .alias("revenue"),
     )
 
 
