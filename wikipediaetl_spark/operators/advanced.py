@@ -215,19 +215,33 @@ def q155_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (x, y) PAIR GRAIN — bigram counts are the non-null-y rows, unigram
     counts are Σc grouped by x (every token occurrence appears exactly once
     as x, doc-final tokens with y=NULL), the token total is Σc and the
-    bigram total Σc over non-null y. The corpus is scanned, lowercased,
-    split, and exploded ONCE; ReuseExchange shares the pair aggregate's
-    exchange across all four consumers, each of which re-aggregates only
-    ~|distinct pairs| rows. (The previous shape ran the explode twice —
-    once for unigrams, once for bigrams.) The oracle's positional self-join
-    is just the SQL spelling of the same pairing. Unigram counts join back
+    bigram total Σc over non-null y. (The previous shape ran the explode
+    twice — once for unigrams, once for bigrams.)
+
+    The pair-count table is materialized ONCE via a lazy
+    ``localCheckpoint`` — measured necessity, not a flourish: with four
+    consumers deriving from the same aggregate, ReuseExchange does NOT
+    fire (the ``y IS NOT NULL`` filter pushes below the aggregate for the
+    bigram consumers, so the exchange subtrees canonicalize differently)
+    and the profiled plan executed the full corpus explode FOUR times.
+    The checkpoint pins the aggregate to one physical RDD every consumer
+    shares; its size is |distinct pairs| — replication-invariant on the
+    fixture, vocab-bounded in general — the same row volume the reused
+    exchange would have carried, paid once. ``spread_if_starved`` widens
+    the single explode from the compressed fixture file's 4 planned scan
+    tasks to the full core count.
+
+    The oracle's positional self-join is just the SQL spelling of the
+    same pairing. Unigram counts join back
     marked broadcast (vocab ≪ corpus; at web scale drop the hint and let
     AQE pick). The lift double is a fixed multiply/divide chain —
     IEEE-exact, so ``floor(x*1e6)`` is bit-identical on both engines (no
     libm log in the output)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.split(F.lower("text"), " ").alias("w")
-    )
+    from wikipediaetl_spark.sources import spread_if_starved
+
+    docs = spread_if_starved(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(F.split(F.lower("text"), " ").alias("w"))
     pairs = (
         docs.select(
             F.explode(
@@ -240,6 +254,7 @@ def q155_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.x", "p.y")
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     uni = pairs.groupBy(F.col("x").alias("tok")).agg(F.sum("c").alias("c"))
     big = pairs.filter(F.col("y").isNotNull()).select("x", "y", F.col("c").alias("c_xy"))

@@ -492,7 +492,17 @@ def perdoc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-trained unigram LM (top-50k vocab, OOV floor 1/total).
     Returns (doc_id, n_tokens BIGINT, sum_lp_micro BIGINT). Per-token
     log-probs are quantized once vocab-side to micro-nats, so the per-doc
-    reduction is an order-independent integer sum."""
+    reduction is an order-independent integer sum.
+
+    Measured negative result (r5, recorded so it isn't retried): widening
+    the starved 4-task scan of the 400× fixture to 32 tasks
+    (``spread_if_starved``) left the wall UNCHANGED while total task time
+    grew ~8× — the tokenize/explode passes are memory-bandwidth-bound, not
+    parallelism-starved, so the extra exchange was pure cost. The two
+    corpus passes (vocab count, then score) are inherent to train-then-
+    score; a (doc_id, tok) term-frequency grain that would share one
+    explode measured 2-3× WORSE (tools/exp_q159.py) because the pair-grain
+    shuffle dwarfs the explode saving."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     # full (untruncated) per-token counts serve BOTH the vocabulary and the

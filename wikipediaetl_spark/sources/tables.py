@@ -64,6 +64,38 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def spread_if_starved(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-repartition ``df`` to the session's core count IFF its scan is
+    parallelism-starved — the adapter between compressed-input size and
+    compute cost for explode-heavy text operators.
+
+    Why: Spark sizes file splits by INPUT BYTES (``maxPartitionBytes`` with
+    an ``openCostInBytes`` floor), which is the right model when compute is
+    proportional to bytes read. A replicated/columnar text corpus can
+    compress 100:1, so a 16 MB ``documents.parquet`` holding 2M rows scans
+    as 4 tasks — and every downstream tokenize/explode stage then runs
+    4-wide on a 32-core executor pool (profiled: q159's scoring stage spent
+    32.5 s of task time in 4 tasks). One cheap hash shuffle on the unique
+    key rebalances to full width; hash (not round-robin) partitioning
+    avoids the deterministic-retry sort round-robin would add on the wide
+    text column.
+
+    At production scale this is a NO-OP by construction: the check compares
+    the scan's planned partition count against ``defaultParallelism``, and
+    a 100 TB corpus splits into thousands of partitions, so no shuffle is
+    inserted. Only a starved scan (fewer planned partitions than cores)
+    pays the rebalance."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        planned = df.rdd.getNumPartitions()  # planning only, no job
+    except Exception:
+        return df
+    if planned >= target:
+        return df
+    return df.repartition(target, key)
+
+
 def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
     """Register every fixture table as a temp view for ``spark.sql`` queries."""
     for name in TABLE_NAMES:
