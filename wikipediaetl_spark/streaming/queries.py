@@ -72,6 +72,20 @@ def _state_partitions(sf_dir: str) -> int:
     return min(cores, max(min(8, cores), size // (12 * 1024 * 1024) or 1))
 
 
+def _small_state_partitions() -> int:
+    """State parallelism for LOW-cardinality keyed state (a handful of
+    segments/routes/windows): the heavy work — scan, broadcast join,
+    partial aggregation — runs at SOURCE parallelism before the state
+    exchange regardless of this setting, and the exchange itself carries
+    ~|keys|×|map tasks| partial rows, so input-sized state parallelism
+    only multiplies per-batch state-task scheduling and commit overhead.
+    Measured at the 400× fixture (q147, 5-key state): 32 state partitions
+    1.62 s → 8 partitions 1.11 s, identical results. Input-volume sizing
+    (``_state_partitions``) remains correct for PER-USER state, where
+    state rows scale with the input."""
+    return min(8, os.cpu_count() or 8)
+
+
 def _run_to_completion(
     stream_df: DataFrame, output_mode: str, state_partitions: int = 8
 ) -> DataFrame:
@@ -141,7 +155,7 @@ def q70_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_completion(agg, "complete", _state_partitions(sf_dir))
+    return _run_to_completion(agg, "complete", _small_state_partitions())
 
 
 @query(
@@ -185,7 +199,7 @@ def q72_stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("route")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return _run_to_completion(fanned, "complete", _state_partitions(sf_dir))
+    return _run_to_completion(fanned, "complete", _small_state_partitions())
 
 
 def retry_queue_step(
@@ -365,7 +379,8 @@ def q147_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
-    return _run_to_completion(agg, "complete", _state_partitions(sf_dir))
+    # 5-key state: cardinality-sized, not input-sized (see _small_state_partitions)
+    return _run_to_completion(agg, "complete", _small_state_partitions())
 
 
 @query(
