@@ -81,3 +81,24 @@ def test_results_invariant_to_partitioning(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for name, (a, b) in results.items():
         assert a == b, f"partitioning-dependent result in {name}"
+
+
+def test_spread_if_starved(spark, sf_dir, tmp_path):
+    """The starved-scan adapter (r5): a compressed single-file scan that
+    plans fewer partitions than cores is hash-rebalanced to the core
+    count; a relation already at-or-above core parallelism is returned
+    UNCHANGED (the 100 TB no-op guarantee — no shuffle inserted)."""
+    from wikipediaetl_spark.sources import load_table, spread_if_starved
+
+    target = spark.sparkContext.defaultParallelism
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planned = d.rdd.getNumPartitions()
+    out = spread_if_starved(d)
+    if planned < target:
+        assert out.rdd.getNumPartitions() == target
+        assert "Exchange" in out._jdf.queryExecution().executedPlan().toString()
+    # a wide relation passes through untouched — same plan object
+    wide = spark.range(0, 1000).repartition(target + 4, "id")
+    assert spread_if_starved(wide, key="id") is wide
+    # content is preserved either way
+    assert out.count() == d.count()
