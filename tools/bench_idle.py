@@ -34,8 +34,9 @@ def main() -> int:
     )
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     payload = json.loads(line)
+    reps = os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")
     payload["methodology"] = (
-        "best-of-3 round-robin per query (bench.py defaults), sf0.1, "
+        f"best-of-{reps} round-robin per query (bench.py), sf0.1, "
         "local[32]; load averages recorded to evidence the idle claim"
     )
     payload["load_1m_before"] = round(load_before, 2)
