@@ -20,7 +20,7 @@ SHOWCASE = {
     "q02_scan_project": "PushedFilters on l_quantity; ReadSchema pruned to 5 of 11 columns.",
     "q04_orderby_limit": "TakeOrderedAndProject — per-partition heap, no global sort exchange.",
     "q11_star_join": "EAGER AGG: orders pre-aggregated to o_custkey grain before any join (map-side combine → |customer|-sized exchange); all three dims broadcast onto the aggregate — the fact table never shuffles.",
-    "q12_fact_fact_join": "SHUFFLE_HASH on the filtered orders build side (no 240M-row sort at scale); the revenue term projected to one double before the shuffle; orders filter below its scan. Eager agg measured and rejected: a 60M-key grain spills.",
+    "q12_fact_fact_join": "SHUFFLE_HASH on the filtered orders build side (no 240M-row sort at scale); the revenue term quantized to exact 1e-4-unit LONGS before the shuffle (r5: the per-row decimal accumulator was half the join stage's task time); partition-salted long partials merge as decimal at the 5-row final. Eager agg measured and rejected: a 60M-key grain spills.",
     "q19_asof_join": "inequality join + max_by hash aggregate (map-side partial), no window sort.",
     "q20_window_topk": "WindowGroupLimit pushes rn<=3 below the shuffle.",
     "q44_category_distribution": "one corpus projection chain collapsed by CollapseProject; "
@@ -62,16 +62,20 @@ SHOWCASE = {
     "bit_count verify on candidates only.",
     "q153_session_windows": "native session_window: ONE keyed shuffle on user_id with "
     "in-partition session merge — no window sort of the events table.",
-    "q155_bigram_lift": "bigrams from an in-row array transform (no positional "
-    "self-join); vocab counts broadcast back; 1-row n/m scalars attach as "
-    "BroadcastNestedLoopJoin — fully lazy, no mid-plan collect.",
+    "q155_bigram_lift": "ONE corpus explode to (token, next|NULL) pair grain, "
+    "materialized once via lazy localCheckpoint (ReuseExchange cannot fire: the "
+    "null-filter pushes below the aggregate for bigram consumers); starved scan "
+    "rebalanced to core width; vocab counts broadcast back; 1-row n/m scalars "
+    "attach as BroadcastNestedLoopJoin — fully lazy, no mid-plan collect.",
     "q157_unpivot_measures": "aggregate-through-unpivot: four columnwise sums in one scan pass (no Expand of fact rows); unpivot melts the single aggregate row.",
     "q158_upsert_snapshot": "base ∪ changes is exchange-free concatenation; ONE "
     "hashpartitioning(o_orderkey) feeds the latest-wins row_number window.",
     "q159_ccnet_buckets": "doc-grain rows only reach the per-language ntile window; "
     "the token-level work collapses in q144's broadcast-LM partial aggregate.",
-    "q160_outlier_zscore": "one partial-agg shuffle for (n,S,Q); 5-row stats broadcast "
-    "back; the exact-integer z-test evaluates map-side — no float threshold boundary.",
+    "q160_outlier_zscore": "one partial-agg shuffle for (n,S,Q) with Q folded in INT64 "
+    "(r5: per-row wide-decimal multiplies were the stats-pass wall); 5-row stats "
+    "broadcast back; the exact-integer z-test evaluates map-side — no float "
+    "threshold boundary.",
     "q161_funnel": "three keyed aggregations with monotonically shrinking build sides; "
     "stage counts attach as broadcast 1-row scalars.",
     "q162_cohort_retention": "first-seen table broadcast onto events; DATE-only "
