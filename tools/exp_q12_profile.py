@@ -30,12 +30,8 @@ def main() -> None:
     )
     qs = all_queries()
     qs["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
-    if os.environ.get("Q12_PLAN") == "longsum":
-        from tools.exp_q12 import q12_longsum
-
-        fn = lambda: q12_longsum(spark, out)
-    else:
-        fn = lambda: qs["q12_fact_fact_join"].fn(spark, out)
+    qname = os.environ.get("PROFILE_QUERY", "q12_fact_fact_join")
+    fn = lambda: qs[qname].fn(spark, out)
     t0 = time.perf_counter()
     fn().toArrow()
     wall = time.perf_counter() - t0
