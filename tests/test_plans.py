@@ -157,16 +157,19 @@ def test_bigram_lift_broadcasts_vocab(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in text  # the lazy 1-row scalar attaches
 
 
-def test_upsert_merge_single_shuffle(spark, sf_dir):
-    """q158: base ∪ changes must shuffle ONCE on the merge key (the window),
-    not once per branch — the union is exchange-free row concatenation."""
+def test_upsert_merge_anti_join_no_sort(spark, sf_dir):
+    """q158 (r5): latest-wins merge is an ANTI-JOIN, not a window — the
+    plan must contain no window sort of base ∪ changes; the base is
+    hash-anti-joined against change keys and the union is exchange-free
+    row concatenation."""
     from wikipediaetl_spark.operators.advanced import q158_upsert_snapshot
 
     text = explain_str(q158_upsert_snapshot(spark, sf_dir))
-    assert "RunningWindowFunction" in text or "Window" in text
-    # exchanges: one hashpartitioning(o_orderkey) for the window + one for
-    # the final small groupBy — the three union branches add none
-    assert text.count("hashpartitioning(o_orderkey") == 1
+    assert "Window" not in text  # no per-key sort of the merged table
+    assert "LeftAnti" in text or "left_anti" in text.lower()
+    # the only orderkey exchanges feed the hash anti-join (base + keys);
+    # the final 5-group aggregate adds its own tiny exchange
+    assert text.count("hashpartitioning(o_orderkey") <= 2
 
 
 def test_unpivot_is_row_local(spark, sf_dir):
