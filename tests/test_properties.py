@@ -111,3 +111,31 @@ def test_salted_join_equals_plain_on_skewed_data(spark):
         .collect()
     }
     assert plain == salted
+
+
+@given(
+    cents=st.integers(min_value=0, max_value=11_000_000),  # price ≤ 110,000.00
+    disc_pct=st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=500, deadline=None)
+def test_q12_long_quantization_matches_decimal_cast(cents, disc_pct):
+    """The q12 r5 rewrite's load-bearing identity: for 2+2-decimal money
+    inputs, floor(e·(1−d)·1e4 + 0.5)·100 equals the micros of
+    CAST(e·(1−d) AS DECIMAL(18,6)) — i.e. rounding the DOUBLE product at
+    4 decimals and at 6 decimals agree, because the true product lies on
+    the 1e-4 grid and the double's error (~1e-11 relative) never reaches
+    the 5e-7 rounding boundary. Spark's decimal cast is modeled faithfully:
+    BigDecimal.valueOf(double) takes the shortest repr (Python
+    ``Decimal(repr(v))``) then setScale(6, HALF_UP)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    price = cents / 100.0  # the fixture's double-typed 2-decimal price
+    disc = disc_pct / 100.0
+    v = price * (1.0 - disc)
+    micros_long = math.floor(v * 10000 + 0.5) * 100
+    micros_dec = int(
+        Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        * 1_000_000
+    )
+    assert micros_long == micros_dec
