@@ -131,6 +131,27 @@ def test_q158_merge_latest_wins(spark, sf_dir):
     assert out["N"].total_cents == n_ins * 100
 
 
+def test_q158_insert_update_collision_keeps_one_row(spark, tmp_path):
+    """At a scale factor where base keys reach the 1e8 insert shift, a
+    shifted insert key can collide with an update key. The merge must keep
+    exactly ONE row per key, update-wins (ADVICE r5). Key 970 is %97==0, so
+    its insert lands on 100000970 — present in the base and %10==0, hence
+    also updated."""
+    base = spark.createDataFrame(
+        [(3, "F", 5.0), (970, "O", 10.0), (100000970, "O", 20.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    base.write.parquet(str(tmp_path / "orders.parquet"))
+    out = {r.o_orderstatus: r for r in q158_upsert_snapshot(spark, str(tmp_path)).collect()}
+    # updates on 970 and 100000970 (both %10==0); the insert from 970
+    # collides with the update on 100000970 and is dropped (update wins)
+    assert "N" not in out
+    assert out["X"].n == 2
+    assert out["X"].total_cents == 1100 + 2100  # (10+1, 20+1) dollars in cents
+    assert out["F"].n == 1 and out["F"].total_cents == 500
+    assert sum(r.n for r in out.values()) == 3  # one row per key, no dupes
+
+
 def test_q159_tercile_invariants(spark, sf_dir):
     from wikipediaetl_spark.operators.text_analysis import q159_ccnet_buckets
 

@@ -91,14 +91,17 @@ def test_audio_decode_real_wav_path():
 
     samples = [0, 100, -100, 200, -200, 300]
     feats = decode_media(_wav_bytes(samples), "audio", fake=False)
-    arr = np.array(samples, dtype=np.float64)
+    # the wave path normalizes to soundfile's float contract: PCM ints
+    # scale by 2^(8*width-1), so features are backend-independent (ADVICE r5)
+    arr = np.array(samples, dtype=np.float64) / 32768.0
     assert feats[0] == len(samples)
     assert feats[1] == pytest.approx(arr.mean())
-    assert feats[3] == arr.min() and feats[4] == arr.max()
-    assert feats[6] == arr[0] and feats[7] == arr[-1]
-    # 8-bit samples decode too (unsigned dtype)
+    assert feats[3] == pytest.approx(arr.min()) and feats[4] == pytest.approx(arr.max())
+    assert feats[6] == pytest.approx(arr[0]) and feats[7] == pytest.approx(arr[-1])
+    # 8-bit samples decode too (unsigned dtype, re-centered around 128)
     feats8 = decode_media(_wav_bytes([0, 128, 255], sampwidth=1), "audio", fake=False)
-    assert feats8[0] == 3 and feats8[3] == 0.0 and feats8[4] == 255.0
+    assert feats8[0] == 3
+    assert feats8[3] == pytest.approx(-1.0) and feats8[4] == pytest.approx(127 / 128)
 
 
 def test_audio_decode_through_map_in_pandas(spark):
@@ -113,7 +116,8 @@ def test_audio_decode_through_map_in_pandas(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
     out = {r.doc_id: r.features for r in extract_features(df, fake=False).collect()}
-    assert out[1][0] == 3 and out[1][3] == 10.0 and out[1][4] == 30.0
+    assert out[1][0] == 3
+    assert abs(out[1][3] - 10.0 / 32768) < 1e-12 and abs(out[1][4] - 30.0 / 32768) < 1e-12
     assert out[2][0] == 2 and out[2][1] == 0.0  # mean of (5,-5)
     assert out[3] == [0.0] * 8
 

@@ -200,6 +200,20 @@ class TestPathologicalHtml:
         assert self._udf_cats(page) == ["A"]
         assert self._expr_cats(spark, page) == ["A", "Hidden"]
 
+    def test_nested_ul_keeps_scope_in_udf(self, spark):
+        """A nested <ul> INSIDE the first ul: bs4's ul.find_all("a") is
+        recursive over the whole first-ul subtree, so an anchor after the
+        inner </ul> but before the outer one is still a category. The UDF
+        tracks ul depth (hardened r6, ADVICE r5); the expr path scans the
+        whole div so it also keeps the anchor here."""
+        page = (
+            '<div id="mw-normal-catlinks"><ul><li><a>A</a>'
+            "<ul><li><a>Inner</a></li></ul></li>"
+            "<li><a>After</a></li></ul></div>"
+        )
+        assert self._udf_cats(page) == ["A", "Inner", "After"]
+        assert self._expr_cats(spark, page) == ["A", "Inner", "After"]
+
     def test_inline_markup_in_anchor(self, spark):
         """a.get_text(strip=True) on <a>Cat<b>1</b></a> is "Cat1" — one
         category. UDF matches; the expr regex cannot cross inline tags and

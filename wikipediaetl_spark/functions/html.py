@@ -255,6 +255,7 @@ class _WikiHTMLParser(HTMLParser):
         self._skip_depth = 0
         self._catlinks_depth = 0  # div-nesting depth inside the catlinks div
         self._cat_ul = 0  # 0: ul not seen, 1: inside first ul, 2: done
+        self._cat_ul_depth = 0  # ul-nesting depth inside that first ul
         self._cat_buf: list[str] | None = None  # current anchor's fragments
         self._in_lastmod = False
 
@@ -275,6 +276,11 @@ class _WikiHTMLParser(HTMLParser):
                 self._catlinks_depth = 1
         if self._catlinks_depth > 0 and tag == "ul" and self._cat_ul == 0:
             self._cat_ul = 1
+            self._cat_ul_depth = 1
+        elif self._cat_ul == 1 and tag == "ul":
+            # bs4's ul.find_all("a") is recursive: a nested inner </ul> must
+            # not end the scope, only the opening ul's own end tag does
+            self._cat_ul_depth += 1
         if self._cat_ul == 1 and tag == "a":
             self._flush_anchor()
             self._cat_buf = []
@@ -290,8 +296,10 @@ class _WikiHTMLParser(HTMLParser):
                 self._flush_anchor()
                 self._cat_ul = 2
         if tag == "ul" and self._cat_ul == 1:
-            self._flush_anchor()
-            self._cat_ul = 2
+            self._cat_ul_depth -= 1
+            if self._cat_ul_depth == 0:
+                self._flush_anchor()
+                self._cat_ul = 2
         if tag == "a":
             self._flush_anchor()
         if tag == "li" and self._in_lastmod:

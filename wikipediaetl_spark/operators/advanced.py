@@ -409,7 +409,7 @@ def q157_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH changes AS (
       SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 1 AS o_totalprice,
-             1 AS src
+             2 AS src
       FROM orders WHERE o_orderkey % 10 = 0
       UNION ALL
       SELECT o_orderkey + 100000000, 'N', 1.0, 1
@@ -447,7 +447,13 @@ def q158_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     result-identical (the oracle keeps the window spelling — same
     semantics because each key carries at most one change row). The change
     set is derived deterministically from orders (updates: key%10,
-    inserts: key%97 shifted out of the base key range)."""
+    inserts: key%97 shifted out of the base key range). The shift is a
+    fixture constant, so at a scale factor where base keys reach 1e8 a
+    shifted insert key COULD collide with an update key; rather than trust
+    the fixture bound, the merge enforces one-row-per-key by anti-joining
+    colliding inserts out (update wins — the oracle encodes the same
+    priority via src 2 > 1), so the latest-wins invariant holds at any
+    scale (ADVICE r5)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -461,6 +467,10 @@ def q158_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("N").alias("o_orderstatus"),
         F.lit(1.0).alias("o_totalprice"),
     )
+    # one row per change key at ANY scale: an insert whose shifted key
+    # collides with an update key loses to the update (a no-op at fixture
+    # SFs where max(o_orderkey) < shift; AQE broadcasts the smaller side)
+    inserts = inserts.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
     changes = updates.unionByName(inserts)
     base_kept = o.join(
         changes.select("o_orderkey").hint("shuffle_hash"), "o_orderkey", "left_anti"

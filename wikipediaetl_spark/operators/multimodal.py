@@ -104,7 +104,13 @@ def _decode_audio_samples(payload: bytes) -> np.ndarray | None:
             if dtype is None:
                 return None
             frames = wf.readframes(wf.getnframes())
-        return np.frombuffer(frames, dtype=dtype).astype(np.float64)
+        samples = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+        # normalize to soundfile's float contract ([-1, 1]) so the feature
+        # vector is backend-independent: PCM ints scale by 2^(8*width-1),
+        # and 8-bit WAV is unsigned so it re-centers around 128 first
+        if width == 1:
+            samples -= 128.0
+        return samples / float(2 ** (8 * width - 1))
     except Exception:
         return None
 

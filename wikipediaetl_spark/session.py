@@ -32,6 +32,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # int64 accumulation plans (q12 relational.py, q160 advanced.py)
+        # rely on overflow-raises-error rather than silent wraparound; pin
+        # ANSI explicitly so the guarantee holds on Spark 3.x deployments
+        # where the default is false, not just on the Spark 4 default
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
