@@ -96,3 +96,162 @@ def test_wholetext_corpus_categorizer_run(spark, sf_dir, tmp_path):
     joined = parsed.join(expected, "doc_id")
     mismatches = joined.filter(F.col("cats_udf") != F.col("cats_expr")).count()
     assert mismatches == 0
+
+
+class TestPartitionedUpsert:
+    """Storage-level MERGE (VERDICT r5 #6): a hash-partitioned parquet
+    warehouse layout mutated in place by partition-overwrite upsert — the
+    reference's ORM set-based upsert (categorizer.py:143-195) against real
+    storage, with q158's latest-wins oracle semantics."""
+
+    def _base(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+
+    def _snapshot(self, df):
+        cents = F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("total_cents")
+        return {
+            r.o_orderstatus: (r.n, r.total_cents)
+            for r in df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"), cents)
+            .collect()
+        }
+
+    def test_roundtrip_matches_q158_semantics(self, spark, sf_dir, tmp_path):
+        """base → merge(changes) → re-read must equal the q158 query-level
+        merge (same derived change set, same latest-wins resolution)."""
+        from wikipediaetl_spark.operators.advanced import q158_upsert_snapshot
+        from wikipediaetl_spark.operators.layout import (
+            create_partitioned_table,
+            read_partitioned,
+            upsert_partitioned,
+        )
+
+        path = str(tmp_path / "orders_wh")
+        o = self._base(spark, sf_dir)
+        create_partitioned_table(o, path, "o_orderkey", n_partitions=8)
+        updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1).alias("o_totalprice"),
+        )
+        inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+        changes = updates.unionByName(
+            inserts.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+        )
+        upsert_partitioned(spark, path, changes, "o_orderkey")
+        got = self._snapshot(read_partitioned(spark, path))
+        want = {
+            r.o_orderstatus: (r.n, r.total_cents)
+            for r in q158_upsert_snapshot(spark, sf_dir).collect()
+        }
+        assert got == want
+        # keys stay unique after the merge
+        wh = read_partitioned(spark, path)
+        assert wh.count() == wh.select("o_orderkey").distinct().count()
+
+    def test_untouched_partitions_not_rewritten(self, spark, tmp_path):
+        """The rewrite is partition-pruned: directories whose partition the
+        batch does not touch keep their original files byte-for-byte."""
+        import pathlib
+
+        from wikipediaetl_spark.operators.layout import (
+            create_partitioned_table,
+            upsert_partitioned,
+        )
+
+        path = tmp_path / "wh"
+        base = spark.createDataFrame(
+            [(i, "O", float(i)) for i in range(200)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        create_partitioned_table(base, str(path), "o_orderkey", n_partitions=16)
+        before = {
+            p: sorted(f.name for f in p.glob("*.parquet"))
+            for p in path.glob("_pkey=*")
+        }
+        one = spark.createDataFrame(
+            [(7, "X", 99.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        upsert_partitioned(spark, str(path), one, "o_orderkey")
+        after = {
+            p: sorted(f.name for f in p.glob("*.parquet"))
+            for p in path.glob("_pkey=*")
+        }
+        changed = [p for p in before if before[p] != after.get(p)]
+        assert len(changed) == 1  # exactly the partition key 7 hashes into
+        untouched = [p for p in before if p not in changed]
+        assert untouched and all(after[p] == before[p] for p in untouched)
+
+    def test_deletes_and_emptied_partition(self, spark, tmp_path):
+        from wikipediaetl_spark.operators.layout import (
+            create_partitioned_table,
+            read_partitioned,
+            upsert_partitioned,
+        )
+
+        path = str(tmp_path / "wh")
+        base = spark.createDataFrame(
+            [(i, "O", float(i)) for i in range(50)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        create_partitioned_table(base, path, "o_orderkey", n_partitions=4)
+        empty_changes = spark.createDataFrame(
+            [], "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+        # delete EVERY key in one partition's bucket → directory must go away
+        pk = spark.read.parquet(path)
+        victim_keys = [
+            r.o_orderkey
+            for r in pk.filter(F.col("_pkey") == 0).select("o_orderkey").collect()
+        ]
+        n_victims = len(victim_keys)
+        assert n_victims > 0
+        victim = spark.createDataFrame([(k,) for k in victim_keys], "o_orderkey long")
+        upsert_partitioned(
+            spark, path, empty_changes, "o_orderkey", delete_keys=victim
+        )
+        back = read_partitioned(spark, path)
+        assert back.count() == 50 - n_victims
+        assert back.join(victim, "o_orderkey", "left_semi").count() == 0
+
+    def test_idempotent_replay_and_dup_batch_rejected(self, spark, tmp_path):
+        import pytest
+
+        from wikipediaetl_spark.operators.layout import (
+            create_partitioned_table,
+            read_partitioned,
+            upsert_partitioned,
+        )
+
+        path = str(tmp_path / "wh")
+        base = spark.createDataFrame(
+            [(1, "O", 1.0), (2, "O", 2.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        create_partitioned_table(base, path, "o_orderkey", n_partitions=4)
+        batch = spark.createDataFrame(
+            [(2, "X", 20.0), (3, "N", 30.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        upsert_partitioned(spark, path, batch, "o_orderkey")
+        upsert_partitioned(spark, path, batch, "o_orderkey")  # replay: same result
+        rows = {
+            r.o_orderkey: (r.o_orderstatus, r.o_totalprice)
+            for r in read_partitioned(spark, path).collect()
+        }
+        assert rows == {1: ("O", 1.0), 2: ("X", 20.0), 3: ("N", 30.0)}
+        dup = spark.createDataFrame(
+            [(5, "A", 1.0), (5, "B", 2.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        with pytest.raises(ValueError, match="latest-wins"):
+            upsert_partitioned(spark, path, dup, "o_orderkey")

@@ -32,6 +32,7 @@ from __future__ import annotations
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from wikipediaetl_spark.sources import load_table
 
@@ -247,6 +248,127 @@ def rollup_sink(spark: SparkSession, table: str = "m_orders_by_custkey"):
         merge_batch_into_rollup(spark, batch, table=table, batch_id=batch_id)
 
     return _sink
+
+
+def create_partitioned_table(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_partitions: int = 64,
+) -> None:
+    """Write ``df`` as a hash-partitioned parquet warehouse table — the
+    physical layout ``upsert_partitioned`` merges into.
+
+    Rows land in ``_pkey = pmod(hash(key), n_partitions)`` directories, so
+    any change batch touches a bounded, PRUNABLE set of directories. This is
+    the storage layer the reference's ORM upsert mutates
+    (ETL/tasks/categorizer.py:143-195 set-based insert/update against
+    MySQL), re-expressed as immutable-file read-modify-write: at 100 TB a
+    table-format (Delta/Iceberg) does the same thing with a manifest; plain
+    partitioned parquet + dynamic partition overwrite is the
+    dependency-free equivalent with directory-level granularity.
+    ``n_partitions`` trades merge write amplification (rewrite = touched
+    partitions) against file count / pruning fanout — at 100 TB pick
+    thousands, here 64."""
+    (
+        df.withColumn("_pkey", F.pmod(F.hash(F.col(key)), F.lit(n_partitions)))
+        .write.mode("overwrite")
+        .partitionBy("_pkey")
+        .parquet(path)
+    )
+    # The modulus is a LAYOUT INVARIANT every future merge must reuse —
+    # recovering it from directory names is unsound (a sparse table may
+    # leave high buckets empty), so pin it in a spec file next to the data
+    # (the single-key analogue of a table-format's metadata file).
+    import json
+
+    with open(f"{path.removeprefix('file:')}/_layout_spec.json", "w") as f:
+        json.dump({"key": key, "n_partitions": n_partitions}, f)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    delete_keys: DataFrame | None = None,
+) -> None:
+    """Storage-level MERGE: fold ``changes`` (latest-wins per ``key``) and
+    optional deletes into a ``create_partitioned_table`` layout, rewriting
+    ONLY the partitions the change batch touches.
+
+    Algorithm (exactly how Delta/Iceberg execute MERGE INTO, at directory
+    rather than file granularity):
+      1. tag each change/delete row with its ``_pkey``;
+      2. the touched-partition id set is collected — BOUNDED by
+         ``n_partitions`` (≤ a few thousand ints), never by data size;
+      3. ONLY those partitions are read back (directory pruning — the scan
+         never touches the unchanged 99% of a 100 TB table);
+      4. base rows whose key appears in the batch are dropped via anti-join
+         (AQE broadcasts the small batch side), survivors ∪ changes;
+      5. the rewrite uses DYNAMIC partition overwrite, so untouched
+         partitions' files are never rewritten (conf is set per-write and
+         restored).
+    Idempotent by construction: replaying the same batch yields the same
+    partition contents. Latest-wins within a single batch must be resolved
+    by the CALLER (changes must be unique per key — asserted cheaply on the
+    batch, which is small); q158_upsert_snapshot is the query-level twin of
+    these semantics and the round-trip test drives both against the same
+    oracle."""
+    base_any = spark.read.parquet(path)
+    cols = [c for c in base_any.columns if c != "_pkey"]
+    changes = changes.select(*cols)
+    dup = changes.groupBy(key).count().filter(F.col("count") > 1).first()
+    if dup is not None:
+        raise ValueError(
+            f"changes batch has {dup['count']} rows for {key}={dup[key]!r}; "
+            "latest-wins within a batch must be resolved by the caller"
+        )
+    batch = changes.select(F.col(key).alias("_k"))
+    if delete_keys is not None:
+        batch = batch.unionByName(delete_keys.select(F.col(key).alias("_k")))
+    import json
+
+    with open(f"{path.removeprefix('file:')}/_layout_spec.json") as f:
+        spec = json.load(f)
+    if spec["key"] != key:
+        raise ValueError(f"layout at {path} is partitioned on {spec['key']!r}, not {key!r}")
+    n_partitions = int(spec["n_partitions"])
+    keyed = batch.withColumn("_pkey", F.pmod(F.hash(F.col("_k")), F.lit(n_partitions)))
+    touched = [r._pkey for r in keyed.select("_pkey").distinct().collect()]  # bounded
+    if not touched:
+        return
+    base = spark.read.parquet(path).filter(F.col("_pkey").isin(touched))
+    survivors = base.join(keyed.select(F.col("_k").alias(key)).distinct(), key, "left_anti")
+    merged = survivors.select(*cols).unionByName(changes)
+    if delete_keys is not None:
+        merged = merged.join(
+            delete_keys.select(F.col(key)).distinct(), key, "left_anti"
+        )
+    out = merged.withColumn("_pkey", F.pmod(F.hash(F.col(key)), F.lit(n_partitions)))
+    # A partition touched ONLY by deletes can end up with zero rows; dynamic
+    # overwrite skips partitions absent from the output, so its old files
+    # would survive. Find emptied partitions (bounded set difference) and
+    # drop their directories after the write — the granularity a
+    # table-format handles via manifest tombstones.
+    emptied: list[int] = []
+    if delete_keys is not None:
+        remaining = {r._pkey for r in out.select("_pkey").distinct().collect()}
+        emptied = [p for p in touched if p not in remaining]
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("_pkey").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for p in emptied:
+        shutil.rmtree(f"{path.removeprefix('file:')}/_pkey={p}", ignore_errors=True)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a ``create_partitioned_table`` layout without the layout column."""
+    df = spark.read.parquet(path)
+    return df.drop("_pkey")
 
 
 def materialize_lineitem_rollup(
