@@ -102,3 +102,50 @@ def test_exact_stateful_multibatch_equals_batch(spark, sf_dir, tmp_path):
         assert r.n_events == batch[uid].n
         assert r.total_cents == batch[uid].cents  # exact, not approximate
         assert r.max_value == batch[uid].mx
+
+
+def test_sharded_stateful_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """The micro-sharded form (q149's implementation at scale) across REAL
+    micro-batch boundaries: returning users must fold into existing shard
+    entries, new users insert sorted, and the final state per user equals
+    the single-batch answer exactly — identical contract to the per-key
+    form, ~|shards| constant costs instead of ~|users|."""
+    from wikipediaetl_spark.streaming.stateful import running_user_stats_exact_sharded
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    src = str(tmp_path / "multi")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    # 7 shards (prime, ≪ users): every shard sees inserts AND updates
+    out = _run_to_completion(
+        running_user_stats_exact_sharded(stream, n_shards=7), "update"
+    )
+    final = {
+        r.user_id: r
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_cents").alias("total_cents"),
+            F.max("max_value").alias("max_value"),
+        )
+        .collect()
+    }
+    batch = {
+        r.user_id: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert len(final) == len(batch)
+    for uid, r in final.items():
+        assert r.n_events == batch[uid].n
+        assert r.total_cents == batch[uid].cents
+        assert r.max_value == batch[uid].mx

@@ -405,13 +405,26 @@ def q149_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     all (and replay/retry-stable in production).
 
     The bounded run emits one update per key per micro-batch; the final
-    per-key state (max n_events) is the batch-equivalent answer."""
+    per-key state (max n_events) is the batch-equivalent answer.
+
+    r6: state is MICRO-SHARDED (stateful.py module note) — per-user GroupState
+    paid a constant (Python dispatch + one-row Arrow frame + store commit)
+    per user per batch, which at the 400× fixture's 800k users WAS the
+    operator (39 s vs the q164 JVM twin's 2.6 s). pmod(user_id, 4096) shard
+    keys hold their users' triples as sorted arrays, folded with vectorized
+    numpy; emitted update rows are identical. Measured at 400×: 39.0 s →
+    5.5 s warm (~9.5× vs DuckDB, from 48×; conf-only levers stopped at
+    28 s — arrow.maxRecordsPerBatch sweep in tools/exp_q149.py). The
+    per-user-key form is kept as ``running_user_stats_exact`` for workloads
+    needing per-key timeouts/eviction."""
     from pyspark.sql import Window as W
 
-    from wikipediaetl_spark.streaming.stateful import running_user_stats_exact
+    from wikipediaetl_spark.streaming.stateful import running_user_stats_exact_sharded
 
     ev = _events_stream(spark, sf_dir)
-    updates = _run_to_completion(running_user_stats_exact(ev), "update", _state_partitions(sf_dir))
+    updates = _run_to_completion(
+        running_user_stats_exact_sharded(ev), "update", _state_partitions(sf_dir)
+    )
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         updates.withColumn("rn", F.row_number().over(w))
