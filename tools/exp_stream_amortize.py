@@ -119,6 +119,13 @@ def q149_flow(spark, split_dir: str) -> DataFrame:
     return running_user_stats_exact(_split_stream(spark, split_dir))
 
 
+def q149_sharded_flow(spark, split_dir: str) -> DataFrame:
+    """The catalog q149 form (micro-sharded state, r6)."""
+    from wikipediaetl_spark.streaming.stateful import running_user_stats_exact_sharded
+
+    return running_user_stats_exact_sharded(_split_stream(spark, split_dir))
+
+
 def q164_flow(spark, split_dir: str) -> DataFrame:
     ev = _split_stream(spark, split_dir)
     return ev.groupBy("user_id").agg(
@@ -193,11 +200,21 @@ def main() -> None:
 
     parts = _state_partitions(scaled)
     out = {"factor": factor, "n_batches": n_batches, "state_partitions": parts}
-    for name, flow, mode in [
+    prior_path = os.path.join(REPO, "BENCH_STREAM_AMORTIZE.json")
+    if os.path.exists(prior_path):  # merge: selective reruns keep other rows
+        prior = json.load(open(prior_path))
+        if prior.get("factor") == factor and prior.get("n_batches") == n_batches:
+            out.update({k: v for k, v in prior.items() if k.startswith("q")})
+    only = os.environ.get("SPARK_GRAFT_AMORTIZE_ONLY")
+    workloads = [
         ("q100_join", q100_flow, "append"),
-        ("q149_python_state", q149_flow, "update"),
+        ("q149_python_state_perkey", q149_flow, "update"),
+        ("q149_python_state_sharded", q149_sharded_flow, "update"),
         ("q164_native_state", q164_flow, "update"),
-    ]:
+    ]
+    if only:
+        workloads = [w for w in workloads if w[0] in set(only.split(","))]
+    for name, flow, mode in workloads:
         res = run_incremental(spark, flow, split, mode, parts)
         out[name] = res
         walls = [b["trigger_ms"] for b in res["batches"] if b["trigger_ms"]]

@@ -567,24 +567,41 @@ def q160_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-row ANSI overflow surface entirely on the flag side.
     dev = n·v−S stays in int64 for per-group counts up to
     ~9e13 at 1e5-cent values; ANSI mode turns any breach into an error,
-    never a wrong answer. Plan: one partial-agg shuffle for (n,S,Q),
-    5-row threshold table broadcast back, flags counted map-side."""
+    never a wrong answer. Plan (r6): one scan → value-grain aggregate
+    (~50k rows, checkpointed once) → stats, threshold, and flag count all
+    grain-side; the 5-row threshold table broadcasts onto the grain."""
     e = load_table(spark, sf_dir, "events")
     c = e.select(
         "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v")
     )
-    # Q = Σv² accumulates in INT64, not per-row decimal: a 40M-row
-    # BigDecimal multiply chain was the measured wall of the stats pass
-    # (decimal ops run outside the fast codegen arithmetic path). v² ≤
-    # ~3.1e9 at cents scale, so int64 holds Q while n·max(v²) < 9.2e18 —
-    # ~2.9e9 rows PER GROUP at this fixture's value range, ~360× the 400×
-    # fixture; past that, shard the stat first (q111's documented pattern)
-    # — ANSI mode turns any breach into an error, never a wrong answer.
-    # The WIDE decimal algebra below then runs on the 5-row aggregate only.
-    stats = c.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("v").cast("long").alias("s"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+    # r6 (VERDICT r5 #7): ONE scan, not two. The stats pass and the flag
+    # pass both depend on the data only through the (event_type, v) VALUE
+    # GRAIN — and quantized money has a small domain (~10k distinct cents
+    # per group at any replication of this fixture), so the grain is a
+    # ~50k-row table while events is 40M rows at 400×. Aggregate to the
+    # grain once (map-side combine collapses each partition to ≤|domain|
+    # entries before the exchange), lazily localCheckpoint it (DataFrame
+    # sharing is NOT physical plan sharing — the q155 lesson: two consumers
+    # of one aggregate re-run the scan), then BOTH the (n,S,Q) stats and
+    # the flag count are grain-side algebra: Σcnt, Σv·cnt, Σv²·cnt, and
+    # Σcnt·[|n·v−S|>d₀]. Measured at 400×: 3.95 s → 1.4-1.7 s warm
+    # (≈4-5× vs DuckDB's 0.34 s, from 12.7× — VERDICT r5 #7's ≤10× met).
+    # DEGENERATION CONDITION, pinned: this wins iff |distinct v| ≪ |rows|;
+    # a wide/continuous domain collapses the grain toward row grain and the
+    # two-pass form (this function's r5 shape) is the fallback there.
+    # Overflow bounds (ANSI turns any breach into an error): per-term
+    # v²·cnt ≤ 3.1e9·8e6 ≈ 2.5e16 and Q = Σ ≤ n·max(v²) — int64 holds
+    # through ~2.9e9 rows per group (~360× this fixture's 400×); n·v in the
+    # flag test ≤ 8e6·5.6e4 ≈ 4.5e11.
+    grain = (
+        c.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    stats = grain.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v") * F.col("cnt")).cast("long").alias("q"),
     )
     n_d = F.col("n").cast("decimal(38,0)")
     s_d = F.col("s").cast("decimal(38,0)")
@@ -604,11 +621,14 @@ def q160_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd_ = du - F.when((du > 0) & ~_fits(du), F.lit(1)).otherwise(F.lit(0))
     d0 = dd_ - F.when((dd_ > 0) & ~_fits(dd_), F.lit(1)).otherwise(F.lit(0))
     thresh = stats.select("event_type", "n", "s", d0.alias("d0"))
-    j = c.join(F.broadcast(thresh), "event_type")
+    j = grain.join(F.broadcast(thresh), "event_type")
     return j.groupBy("event_type").agg(
         F.max("n").alias("n"),
         F.sum(
-            (F.abs(F.col("n") * F.col("v") - F.col("s")) > F.col("d0")).cast("long")
+            F.when(
+                F.abs(F.col("n") * F.col("v") - F.col("s")) > F.col("d0"),
+                F.col("cnt"),
+            ).otherwise(F.lit(0))
         ).cast("long").alias("n_outliers"),
     )
 
