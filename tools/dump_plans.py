@@ -72,17 +72,18 @@ SHOWCASE = {
     "hashpartitioning(o_orderkey) feeds the latest-wins row_number window.",
     "q159_ccnet_buckets": "doc-grain rows only reach the per-language ntile window; "
     "the token-level work collapses in q144's broadcast-LM partial aggregate.",
-    "q160_outlier_zscore": "one partial-agg shuffle for (n,S,Q) with Q folded in INT64 "
-    "(r5: per-row wide-decimal multiplies were the stats-pass wall); 5-row stats "
-    "broadcast back; the exact-integer z-test evaluates map-side — no float "
-    "threshold boundary.",
+    "q160_outlier_zscore": "ONE scan to the (event_type, cents) value grain "
+    "(~10k distinct cents per group; r6), checkpointed once; stats (INT64 n,S,Q), "
+    "the exact-integer threshold, and the flag count all evaluate grain-side — "
+    "no second pass, no float threshold boundary.",
     "q161_funnel": "three keyed aggregations with monotonically shrinking build sides; "
     "stage counts attach as broadcast 1-row scalars.",
     "q162_cohort_retention": "first-seen table broadcast onto events; DATE-only "
     "arithmetic; distinct + count ride one exchange on (cohort, offset).",
     "q164_stateful_stats_native": "q149's semantics on the JVM state path: streaming "
-    "agg in update mode, state keyed per user — no Python worker in the loop (26x "
-    "faster than applyInPandasWithState at 400x).",
+    "agg in update mode, state keyed per user — no Python worker in the loop "
+    "(r6: within ~2x of q149's micro-sharded Python state at 400x, vs 12x over "
+    "the per-key form it replaced).",
     "q165_pagerank_exact": "integer-state PageRank: per-round join + BIGINT aggregate "
     "+ broadcast dangling scalar, lineage cut per round; bit-exact under any "
     "partitioning, hash-verified against an unrolled SQL oracle.",

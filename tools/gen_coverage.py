@@ -29,6 +29,7 @@ MAPPING = """## SURVEY §2 row mapping
 | §2 round-3 Spark-4 surface (operators/advanced.py) | q153 (native session_window per-session rows), q154 (Python UDTF), q156 (VariantType parse_json/variant_get), q157 (DataFrame.unpivot melt), q158 (set-based SCD1 upsert merge — the reference ORM bulk-write pattern at scale) |
 | §2 round-3 event analytics (operators/advanced.py) | q160 (exact-integer z-score outliers — cross-multiplied DECIMAL(38,0) test, no float threshold), q161 (ordered view→click→purchase funnel), q162 (cohort retention triangle) |
 | §3.1 orchestration control flow (orchestration.py) | run_dag (per-task retries=N, XCom result handoff, upstream_failed propagation, cycle detection — ETL/dags/pipeline.py:19-93 semantics), process_html_dag (transform group → archival via XCom), tests/test_orchestration.py |
+| storage-level upsert (operators/layout.py, r6) | q166 (create_partitioned_table → upsert_partitioned → re-read, hash-checked against the q158 MERGE oracle; dynamic partition overwrite rewrites only touched directories, deletes + emptied-partition reclaim tested in tests/test_maintenance.py) |
 """
 
 

@@ -81,6 +81,7 @@ def all_queries() -> dict[str, QueryDef]:
         advanced,
         dedup,
         etl,
+        layout,
         multimodal,
         pipeline_ops,
         relational,

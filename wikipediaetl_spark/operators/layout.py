@@ -34,6 +34,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wikipediaetl_spark.catalog import query
 from wikipediaetl_spark.sources import load_table
 
 
@@ -398,3 +399,81 @@ def materialize_lineitem_rollup(
     agg.write.mode("overwrite").bucketBy(n_buckets, "l_orderkey").sortBy(
         "l_orderkey"
     ).saveAsTable(table)
+
+
+@query(
+    "q166_storage_merge_roundtrip",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 1 AS o_totalprice,
+             2 AS src
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', 1.0, 1
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    all_rows AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src FROM orders
+      UNION ALL SELECT * FROM changes
+    ),
+    merged AS (
+      SELECT * FROM all_rows
+      QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) = 1
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def q166_storage_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORAGE half of the upsert story (VERDICT r5 #6), driver-checked:
+    q158 resolves MERGE semantics as a query; this query executes the same
+    merge against a real partitioned-parquet warehouse layout —
+    ``create_partitioned_table`` → ``upsert_partitioned`` (dynamic
+    partition overwrite, only touched directories rewritten) → re-read —
+    and returns the re-read snapshot, which must hash-match the SAME oracle
+    as q158. This is the reference's ORM read-modify-write
+    (ETL/tasks/categorizer.py:143-195) against files instead of MySQL.
+    The warehouse lives in a per-call temp dir; the 5-row snapshot is
+    eagerly localCheckpoint'ed so the returned DataFrame outlives the
+    cleanup."""
+    import shutil as _shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    changes = updates.unionByName(
+        inserts.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+    )
+    tmp = tempfile.mkdtemp(prefix="wh_merge_q166_")
+    try:
+        path = f"{tmp}/orders_wh"
+        create_partitioned_table(o, path, "o_orderkey", n_partitions=16)
+        upsert_partitioned(spark, path, changes, "o_orderkey")
+        snap = (
+            read_partitioned(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                ).alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return snap
