@@ -280,11 +280,17 @@ def create_partitioned_table(
     # The modulus is a LAYOUT INVARIANT every future merge must reuse —
     # recovering it from directory names is unsound (a sparse table may
     # leave high buckets empty), so pin it in a spec file next to the data
-    # (the single-key analogue of a table-format's metadata file).
+    # (the single-key analogue of a table-format's metadata file). The
+    # schema rides along too: a zero-row table writes no parquet files at
+    # all, so schema inference on read-back needs this fallback (the
+    # empty-table-onboarding contract every operator honors).
     import json
 
     with open(f"{path.removeprefix('file:')}/_layout_spec.json", "w") as f:
-        json.dump({"key": key, "n_partitions": n_partitions}, f)
+        json.dump(
+            {"key": key, "n_partitions": n_partitions, "schema": df.schema.json()},
+            f,
+        )
 
 
 def upsert_partitioned(
@@ -316,7 +322,7 @@ def upsert_partitioned(
     batch, which is small); q158_upsert_snapshot is the query-level twin of
     these semantics and the round-trip test drives both against the same
     oracle."""
-    base_any = spark.read.parquet(path)
+    base_any = _read_layout(spark, path)
     cols = [c for c in base_any.columns if c != "_pkey"]
     changes = changes.select(*cols)
     dup = changes.groupBy(key).count().filter(F.col("count") > 1).first()
@@ -328,10 +334,7 @@ def upsert_partitioned(
     batch = changes.select(F.col(key).alias("_k"))
     if delete_keys is not None:
         batch = batch.unionByName(delete_keys.select(F.col(key).alias("_k")))
-    import json
-
-    with open(f"{path.removeprefix('file:')}/_layout_spec.json") as f:
-        spec = json.load(f)
+    spec = _read_spec(path)
     if spec["key"] != key:
         raise ValueError(f"layout at {path} is partitioned on {spec['key']!r}, not {key!r}")
     n_partitions = int(spec["n_partitions"])
@@ -339,7 +342,7 @@ def upsert_partitioned(
     touched = [r._pkey for r in keyed.select("_pkey").distinct().collect()]  # bounded
     if not touched:
         return
-    base = spark.read.parquet(path).filter(F.col("_pkey").isin(touched))
+    base = base_any.filter(F.col("_pkey").isin(touched))
     survivors = base.join(keyed.select(F.col("_k").alias(key)).distinct(), key, "left_anti")
     merged = survivors.select(*cols).unionByName(changes)
     if delete_keys is not None:
@@ -366,10 +369,34 @@ def upsert_partitioned(
         shutil.rmtree(f"{path.removeprefix('file:')}/_pkey={p}", ignore_errors=True)
 
 
+def _read_spec(path: str) -> dict:
+    import json
+
+    with open(f"{path.removeprefix('file:')}/_layout_spec.json") as f:
+        return json.load(f)
+
+
+def _read_layout(spark: SparkSession, path: str) -> DataFrame:
+    """Read the layout INCLUDING the ``_pkey`` column. A zero-row layout has
+    no parquet files to infer from (empty-table onboarding), so fall back to
+    an empty frame on the spec's pinned schema."""
+    import json
+
+    from pyspark.sql import types as T
+
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        schema = T.StructType.fromJson(json.loads(_read_spec(path)["schema"]))
+        return (
+            spark.createDataFrame([], schema)
+            .withColumn("_pkey", F.lit(0).cast("int"))
+        )
+
+
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a ``create_partitioned_table`` layout without the layout column."""
-    df = spark.read.parquet(path)
-    return df.drop("_pkey")
+    return _read_layout(spark, path).drop("_pkey")
 
 
 def materialize_lineitem_rollup(
