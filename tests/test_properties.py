@@ -139,3 +139,125 @@ def test_q12_long_quantization_matches_decimal_cast(cents, disc_pct):
         * 1_000_000
     )
     assert micros_long == micros_dec
+
+
+class TestStorageMergeProperties:
+    """upsert_partitioned (layout.py, r6) against an in-memory reference
+    model: any sequence of upsert/delete batches must leave the warehouse
+    equal to a dict fold of the same batches — unique keys, latest write
+    wins, deletes remove."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        batches=st.lists(
+            st.tuples(
+                # upserts: key -> price tag for this batch
+                st.dictionaries(st.integers(0, 30), st.integers(0, 999), max_size=8),
+                # deletes
+                st.sets(st.integers(0, 30), max_size=4),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        n_parts=st.sampled_from([1, 4, 7]),
+    )
+    def test_upsert_sequence_matches_dict_fold(self, spark, batches, n_parts):
+        import tempfile
+        import shutil as _sh
+
+        from wikipediaetl_spark.operators.layout import (
+            create_partitioned_table,
+            read_partitioned,
+            upsert_partitioned,
+        )
+
+        schema = "o_orderkey long, o_totalprice double"
+        first_ups, first_dels = batches[0]
+        model: dict[int, float] = {k: float(v) for k, v in first_ups.items()}
+        for k in first_dels:
+            model.pop(k, None)
+        tmp = tempfile.mkdtemp(prefix="prop_upsert_")
+        try:
+            base = spark.createDataFrame(
+                [(k, float(v)) for k, v in first_ups.items()], schema
+            )
+            create_partitioned_table(base, tmp, "o_orderkey", n_partitions=n_parts)
+            if first_dels:
+                upsert_partitioned(
+                    spark,
+                    tmp,
+                    spark.createDataFrame([], schema),
+                    "o_orderkey",
+                    delete_keys=spark.createDataFrame(
+                        [(k,) for k in first_dels], "o_orderkey long"
+                    ),
+                )
+            for ups, dels in batches[1:]:
+                changes = spark.createDataFrame(
+                    [(k, float(v)) for k, v in ups.items()], schema
+                )
+                dk = (
+                    spark.createDataFrame([(k,) for k in dels], "o_orderkey long")
+                    if dels
+                    else None
+                )
+                upsert_partitioned(spark, tmp, changes, "o_orderkey", delete_keys=dk)
+                model.update({k: float(v) for k, v in ups.items()})
+                for k in dels:
+                    model.pop(k, None)
+            got = {
+                r.o_orderkey: r.o_totalprice
+                for r in read_partitioned(spark, tmp).collect()
+            }
+            assert got == model
+        finally:
+            _sh.rmtree(tmp, ignore_errors=True)
+
+
+def test_q160_grain_rewrite_matches_exact_integer_reference(spark, tmp_path):
+    """The r6 value-grain q160 against an arbitrary-precision Python
+    reference on adversarial data: values ON the half-cent rounding
+    boundary, giant outliers (forcing wide M), constant groups (σ=0), and
+    a singleton group. The reference computes d₀ = max{d ≥ 0 : n·d² ≤ M}
+    with exact ints (math.isqrt), so any float drift in the engine's
+    seed-and-adjust threshold would surface here."""
+    import math
+    import random
+
+    from wikipediaetl_spark.operators.advanced import q160_outlier_zscore
+
+    rng = random.Random(7)
+    rows = []
+    for g, spec in (("a", "uniform"), ("b", "boundary"), ("c", "const"), ("d", "single")):
+        if spec == "uniform":
+            vals = [round(rng.uniform(0, 500), 2) for _ in range(4000)]
+            vals += [9_999_999.99] * 3  # giant outliers widen M past int64
+        elif spec == "boundary":
+            vals = [i + 0.005 for i in range(2000)]  # exactly on the grid edge
+        elif spec == "const":
+            vals = [123.45] * 1500
+        else:
+            vals = [42.0]
+        rows += [(len(rows) + i, g, float(v)) for i, v in enumerate(vals)]
+    spark.createDataFrame(rows, "event_id long, event_type string, value double").write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    def ref(vals):
+        cents = [math.floor(v * 100 + 0.5) for v in vals]
+        n, s = len(cents), sum(cents)
+        q = sum(c * c for c in cents)
+        m = 9 * n * (n * q - s * s)
+        d0 = math.isqrt(m // n) if m >= 0 else 0
+        flags = sum(1 for c in cents if abs(n * c - s) > d0)
+        return n, flags
+
+    by_group: dict[str, list[float]] = {}
+    for _, g, v in rows:
+        by_group.setdefault(g, []).append(v)
+    want = {g: ref(vs) for g, vs in by_group.items()}
+    got = {
+        r.event_type: (r.n, r.n_outliers)
+        for r in q160_outlier_zscore(spark, str(tmp_path)).collect()
+    }
+    assert got == want
