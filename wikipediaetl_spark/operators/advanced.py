@@ -508,7 +508,7 @@ def q158_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - CAST(s AS HUGEINT) * s) AS m,
              CAST(floor(sqrt(CAST(9 * CAST(n AS HUGEINT)
                  * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
-                 AS DOUBLE) / n / n)) AS BIGINT) AS d_est
+                 AS DOUBLE) / n)) AS BIGINT) AS d_est
       FROM stats
     ),
     d AS (
@@ -609,7 +609,7 @@ def q160_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (F.lit(9) * n_d * (n_d * q_d - s_d * s_d)).alias("m")
     stats = stats.select("event_type", "n", "s", m)
     d_est = F.floor(
-        F.sqrt(F.col("m").cast("double") / F.col("n") / F.col("n"))
+        F.sqrt(F.col("m").cast("double") / F.col("n"))
     ).cast("long")
 
     def _fits(d):  # n·d² ≤ M in exact decimal space
