@@ -255,3 +255,67 @@ class TestPartitionedUpsert:
         )
         with pytest.raises(ValueError, match="latest-wins"):
             upsert_partitioned(spark, path, dup, "o_orderkey")
+
+    def test_corrupt_base_raises_not_treated_as_empty(self, spark, tmp_path):
+        """ADVICE r6 (medium): an unreadable base must ABORT the merge, not
+        silently degrade to 'empty table' — that path rewrote every touched
+        partition with only the change rows (base-data loss)."""
+        import pytest
+
+        from wikipediaetl_spark.operators.layout import (
+            create_partitioned_table,
+            read_partitioned,
+            upsert_partitioned,
+        )
+
+        path = str(tmp_path / "wh")
+        base = spark.createDataFrame(
+            [(1, "O", 1.0), (2, "O", 2.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        create_partitioned_table(base, path, "o_orderkey", n_partitions=4)
+        # corrupt one data file in place: parquet files are present but
+        # unreadable, which must NOT look like empty-table onboarding
+        import os
+
+        victim = None
+        for dirpath, _d, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                    victim = os.path.join(dirpath, fn)
+                    break
+            if victim:
+                break
+        assert victim is not None
+        with open(victim, "wb") as f:
+            f.write(b"not a parquet file")
+        batch = spark.createDataFrame(
+            [(2, "X", 20.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        with pytest.raises(Exception):
+            upsert_partitioned(spark, path, batch, "o_orderkey")
+
+    def test_zero_row_onboarding_still_supported(self, spark, tmp_path):
+        """The narrowed fallback must keep the empty-table contract: a layout
+        created from a zero-row frame (spec marker, no parquet data files)
+        reads back empty and accepts a first merge batch."""
+        from wikipediaetl_spark.operators.layout import (
+            create_partitioned_table,
+            read_partitioned,
+            upsert_partitioned,
+        )
+
+        path = str(tmp_path / "wh")
+        empty = spark.createDataFrame(
+            [], "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+        create_partitioned_table(empty, path, "o_orderkey", n_partitions=4)
+        assert read_partitioned(spark, path).count() == 0
+        batch = spark.createDataFrame(
+            [(7, "N", 70.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        upsert_partitioned(spark, path, batch, "o_orderkey")
+        rows = read_partitioned(spark, path).collect()
+        assert len(rows) == 1 and rows[0].o_orderkey == 7

@@ -29,6 +29,7 @@ Spark specifics encoded by these helpers:
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -359,6 +360,19 @@ def upsert_partitioned(
     if delete_keys is not None:
         remaining = {r._pkey for r in out.select("_pkey").distinct().collect()}
         emptied = [p for p in touched if p not in remaining]
+    # ADVICE r6: `out` reads the same parquet path the write below
+    # overwrites. Eagerly materialize the merged result FIRST so the
+    # overwrite never races its own input — with lazy evaluation the
+    # read-while-overwrite pattern only works because dynamic mode stages
+    # files and deletes matched partitions at commit, which is fragile
+    # across Spark versions/committers. localCheckpoint pins the merged
+    # rows to block storage before any old file is touched.
+    out = out.localCheckpoint(eager=True)
+    # COMMIT WINDOW (documented, not atomic): dynamic partition overwrite
+    # commits per-partition directory swaps; a crash DURING job commit can
+    # leave the touched set part-old/part-new. A table format's manifest
+    # swap closes this window; at directory granularity the recovery story
+    # is "replay the batch" — the merge is idempotent by construction.
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -376,10 +390,35 @@ def _read_spec(path: str) -> dict:
         return json.load(f)
 
 
+def _layout_is_verifiably_empty(path: str) -> bool:
+    """True iff the layout directory provably holds ZERO data: a
+    ``_layout_spec.json`` marker is present and no parquet data file exists
+    anywhere under the path. Any other state (missing spec, parquet files
+    present but unreadable, FS error during the walk) returns False so the
+    caller propagates the original read failure instead of masking it."""
+    root = path.removeprefix("file:")
+    try:
+        if not os.path.isfile(os.path.join(root, "_layout_spec.json")):
+            return False
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                    return False
+        return True
+    except OSError:
+        return False
+
+
 def _read_layout(spark: SparkSession, path: str) -> DataFrame:
     """Read the layout INCLUDING the ``_pkey`` column. A zero-row layout has
     no parquet files to infer from (empty-table onboarding), so fall back to
-    an empty frame on the spec's pinned schema."""
+    an empty frame on the spec's pinned schema — but ONLY when the directory
+    verifiably contains the spec marker and zero parquet data files
+    (ADVICE r6: a bare except here turned corrupt/partially-written/
+    permission-failed reads into "empty table", and inside
+    ``upsert_partitioned`` an empty survivor set silently rewrites every
+    touched partition with only the change rows — data loss). Every other
+    read failure propagates."""
     import json
 
     from pyspark.sql import types as T
@@ -387,6 +426,8 @@ def _read_layout(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.parquet(path)
     except Exception:
+        if not _layout_is_verifiably_empty(path):
+            raise
         schema = T.StructType.fromJson(json.loads(_read_spec(path)["schema"]))
         return (
             spark.createDataFrame([], schema)
@@ -463,11 +504,16 @@ def q166_storage_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and returns the re-read snapshot, which must hash-match the SAME oracle
     as q158. This is the reference's ORM read-modify-write
     (ETL/tasks/categorizer.py:143-195) against files instead of MySQL.
-    The warehouse lives in a per-call temp dir; the 5-row snapshot is
-    eagerly localCheckpoint'ed so the returned DataFrame outlives the
-    cleanup."""
+    The warehouse lives in a per-call scratch dir under
+    ``$SPARK_GRAFT_SCRATCH_DIR`` when set — on a real cluster point that at
+    a SHARED filesystem (HDFS/S3/NFS) so executors can reach it; the
+    ``tempfile.mkdtemp`` fallback is driver-local and therefore
+    LOCAL-MODE-ONLY (ADVICE r6). The 5-row snapshot is eagerly
+    localCheckpoint'ed so the returned DataFrame outlives the cleanup."""
     import shutil as _shutil
     import tempfile
+
+    scratch_root = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or None
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -485,7 +531,7 @@ def q166_storage_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = updates.unionByName(
         inserts.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
     )
-    tmp = tempfile.mkdtemp(prefix="wh_merge_q166_")
+    tmp = tempfile.mkdtemp(prefix="wh_merge_q166_", dir=scratch_root)
     try:
         path = f"{tmp}/orders_wh"
         create_partitioned_table(o, path, "o_orderkey", n_partitions=16)
