@@ -53,12 +53,9 @@ def test_media_decode_stub_contract():
     else:
         with pytest.raises(NotImplementedError):
             decode_media(b"abc", "image", fake=False)
-    # video resolves PyAV call-time; absent → the declared stub
-    try:
-        import av  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError):
-            decode_media(b"abc", "video", fake=False)
+    # video always has a real backend (PyAV or stdlib y4m parser, r6);
+    # hostile bytes → TOTAL zero row, mirroring the audio contract
+    assert list(decode_media(b"abc", "video", fake=False)) == [0.0] * 8
     # audio always has a real backend (stdlib wave); hostile bytes → TOTAL
     assert list(decode_media(b"abc", "audio", fake=False)) == [0.0] * 8
     feats = decode_media(b"abc", "image", fake=True)
@@ -172,14 +169,6 @@ def test_resize_contract(spark, sf_dir):
     assert all(len(r.pixels) == 256 and r.width == r.height == 16 for r in out)
 
 
-try:
-    import av  # type: ignore  # noqa: F401
-
-    _HAS_AV = True
-except ImportError:
-    _HAS_AV = False
-
-
 def _y4m_bytes(w=8, h=8, n_frames=3):
     """Deterministic uncompressed YUV4MPEG2 container — a real video
     payload ffmpeg-class decoders (PyAV) open natively, buildable without
@@ -202,27 +191,10 @@ def test_y4m_fixture_is_committed_and_deterministic():
     assert fixture.read_bytes() == _y4m_bytes()
 
 
-import pytest as _pytest
-
-
-@_pytest.mark.skipif(
-    _HAS_AV, reason="PyAV present: the real decode path runs instead of the stub"
-)
-def test_frame_sample_stub_refuses_real_path():
-    import pytest
-
-    from wikipediaetl_spark.operators.multimodal import frame_sample
-
-    with pytest.raises(NotImplementedError):
-        frame_sample(b"xyz", 4, fake=False)
-
-
-@_pytest.mark.skipif(
-    not _HAS_AV,
-    reason="PyAV not installed in this container — real video decode runs only where `av` imports (VERDICT r5 #8)",
-)
 def test_video_decode_real_y4m_path():
-    """Real PyAV decode of the committed y4m fixture: three 8x8 frames with
+    """Real decode of the committed y4m fixture — PyAV where importable,
+    the stdlib YUV4MPEG2 parser otherwise (r6: a real backend always
+    exists, so this runs in EVERY environment): three 8x8 frames with
     constant luma 16/66/116 → 192 grayscale pixels whose stats are pinned
     (grayscale of a neutral-chroma YUV frame tracks the luma value)."""
     feats = decode_media(_y4m_bytes(), "video", fake=False)
@@ -231,10 +203,23 @@ def test_video_decode_real_y4m_path():
     assert abs(feats[1] - (feats[3] + feats[4]) / 2) < 3  # symmetric ramp
 
 
-@_pytest.mark.skipif(
-    not _HAS_AV,
-    reason="PyAV not installed in this container — real frame sampling runs only where `av` imports (VERDICT r5 #8)",
-)
+def test_video_stdlib_y4m_parser_exact():
+    """The stdlib parser is pinned EXACTLY (independent of PyAV): luma
+    planes 16/66/116 with neutral chroma, truncation/garbage → None."""
+    from wikipediaetl_spark.operators.multimodal import _parse_y4m_lumas
+
+    payload = _y4m_bytes()
+    lumas = _parse_y4m_lumas(payload)
+    assert lumas is not None and len(lumas) == 3
+    assert [int(f[0, 0]) for f in lumas] == [16, 66, 116]
+    assert all(f.shape == (8, 8) for f in lumas)
+    assert _parse_y4m_lumas(payload, max_frames=2) is not None
+    assert len(_parse_y4m_lumas(payload, max_frames=2)) == 2
+    assert _parse_y4m_lumas(b"not a video") is None
+    assert _parse_y4m_lumas(payload[:-10]) is None  # truncated final frame
+    assert _parse_y4m_lumas(b"YUV4MPEG2 W8 H8 Cweird\nFRAME\n" + b"x" * 96) is None
+
+
 def test_frame_sample_real_y4m_path():
     from wikipediaetl_spark.operators.multimodal import frame_sample
 
