@@ -898,46 +898,86 @@ def q107_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q108_exact_correlation",
     oracle="""
-    WITH comp AS (
+    WITH c AS (
       SELECT l_returnflag,
-             count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
       FROM lineitem
-      GROUP BY l_returnflag
+    ),
+    comp AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM c GROUP BY l_returnflag
+    ),
+    mom AS (
+      SELECT l_returnflag, n,
+             n * sxy - sx * sy AS cov_t,
+             n * sxx - sx * sx AS dx,
+             n * syy - sy * sy AS dy
+      FROM comp
     )
-    SELECT l_returnflag, n,
-           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-             AS corr_qty_price
-    FROM comp
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN dx = 0 OR dy = 0 THEN NULL
+                ELSE CAST(cov_t AS DOUBLE)
+                     / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
+           END AS corr_qty_price
+    FROM mom
     """,
 )
 def q108_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation from exact decimal component sums.
+    """Pearson correlation from EXACT integer moment components.
 
-    Built-in corr() accumulates doubles (order-dependent, engine-divergent);
-    computing Σx, Σy, Σx², Σy², Σxy as exact decimals and applying the
-    closed form in double gives a bit-reproducible correlation — the same
-    mergeable-components trick production engines use for distributed
-    moments."""
+    Built-in corr() accumulates doubles (order-dependent, engine-divergent).
+    Here values quantize to cents (exact for the 2-decimal fixture columns —
+    Pearson is scale/shift-invariant, so cents correlate identically to
+    dollars), the five moment components accumulate as wide integers
+    (DECIMAL(38,0) / HUGEINT), and the centered terms cov = n·Σxy − ΣxΣy,
+    dx = n·Σx² − (Σx)², dy = n·Σy² − (Σy)² are EXACT — no cancellation
+    noise, any partitioning, bit-identical on both engines. Only the final
+    3-op double closed form cov/(√dx·√dy) is float.
+
+    Degenerate groups (r7, found by the adversarial-reference battery): a
+    constant column makes dx exactly 0 — the previous double-space form
+    DIVIDE_BY_ZERO-crashed the whole job under the session's pinned ANSI
+    mode the moment any group was constant (Pearson is undefined there).
+    The exact integer dx/dy make "undefined" a precise test: dx=0 or dy=0
+    → NULL, never a crash, never sqrt-of-cancellation-noise garbage.
+    Overflow: n·Σx² ≤ n²·max(x)² ~ 1e38 holds ~1e9 rows/group at 1e7-cent
+    values in DECIMAL(38,0); ANSI turns any breach into an error, never a
+    wrong answer."""
     li = _t(spark, sf_dir, "lineitem")
-    x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    comp = li.groupBy("l_returnflag").agg(
+    cx = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    cy = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    c = li.select("l_returnflag", cx.alias("x"), cy.alias("y"))
+    d = lambda col: F.col(col).cast("decimal(38,0)")
+    comp = c.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x.cast("decimal(18,2)")).cast("double").alias("sx"),
-        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
-        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
-        F.sum((y * y).cast("decimal(28,4)")).cast("double").alias("syy"),
-        F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(d("x") * F.col("x")).alias("sxx"),
+        F.sum(d("y") * F.col("y")).alias("syy"),
+        F.sum(d("x") * F.col("y")).alias("sxy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    corr = (n * F.col("sxy") - sx * sy) / (
-        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    n_d = d("n")
+    mom = comp.select(
+        "l_returnflag",
+        "n",
+        (n_d * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_t"),
+        (n_d * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+        (n_d * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
     )
-    return comp.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+    corr = F.when(
+        (F.col("dx") == 0) | (F.col("dy") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.col("cov_t").cast("double")
+        / (F.sqrt(F.col("dx").cast("double")) * F.sqrt(F.col("dy").cast("double")))
+    )
+    return mom.select("l_returnflag", "n", corr.alias("corr_qty_price"))
 
 
 @query(
