@@ -319,3 +319,44 @@ class TestPartitionedUpsert:
         upsert_partitioned(spark, path, batch, "o_orderkey")
         rows = read_partitioned(spark, path).collect()
         assert len(rows) == 1 and rows[0].o_orderkey == 7
+
+
+def test_lineitem_rollup_incremental_equals_rebuild(spark, sf_dir):
+    """r7 (VERDICT r6 #5): folding the fact history in as three arbitrary
+    batches through merge_batch_into_lineitem_rollup must leave the rollup
+    BIT-IDENTICAL to a one-shot rebuild — the associativity invariant that
+    makes the stored aggregate a trustworthy serving layer."""
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        merge_batch_into_lineitem_rollup,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    table = "t_li_rollup_test"
+    _drop_table(spark, table)
+    li = load_table(spark, sf_dir, "lineitem")
+    for part in range(3):
+        merge_batch_into_lineitem_rollup(
+            spark, li.filter(F.pmod("l_orderkey", F.lit(3)) == part), table, n_buckets=4
+        )
+    got = {
+        r.l_orderkey: (r.n_lines, str(r.revenue_d))
+        for r in spark.table(table).collect()
+    }
+    want = {
+        r.l_orderkey: (r.n_lines, str(r.revenue_d))
+        for r in li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("decimal(28,6)")
+            .alias("revenue_d"),
+        )
+        .collect()
+    }
+    assert got == want
+    _drop_table(spark, table)
