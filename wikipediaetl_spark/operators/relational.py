@@ -1490,15 +1490,25 @@ def q116_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order priority checking): correlated EXISTS with a
     non-equi condition, expressed as a left-semi join on (orderkey,
     shipdate > orderdate) — the semi-join dedups multi-lineitem matches for
-    free."""
+    free.
+
+    r7 (100× plan-variant fix, 12.4× → 6.1×): lineitem is column-pruned to
+    the two join columns and hinted SHUFFLE_HASH (sorting the 60M-row probe
+    was the sort-merge wall: 3.8 s → 3.1 s), and the session's runtime
+    BLOOM FILTER (session.py) prunes lineitem against the 3-month filtered
+    orders build BEFORE the shuffle — only ~1/8 of probe rows can match a
+    windowed order, and the bloom drops the rest scan-side: 3.1 s → 1.5-2.1
+    s at 100×. At 100 TB the bloom fires on Spark's own defaults (the scan
+    exceeds the 10GB gate); the lowered fixture thresholds only restore
+    that behavior at bench scale."""
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
         o.join(
-            li,
+            li.hint("shuffle_hash"),
             (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
             "left_semi",
         )
