@@ -201,3 +201,32 @@ def test_no_tokenization_inside_lambdas():
             if pat.search(line):
                 offenders.append(f"{path.name}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
+
+
+def test_readme_and_coverage_counts_match_catalog():
+    """One source of truth for the catalog counters (VERDICT r6 #7): the
+    query/oracle/rows-only counts stated in README.md and COVERAGE.md must
+    equal the live catalog's. gen_coverage.py derives COVERAGE's line; this
+    test keeps README honest too."""
+    import pathlib
+
+    from wikipediaetl_spark.catalog import all_queries
+
+    qs = all_queries()
+    n = len(qs)
+    n_oracle = sum(1 for q in qs.values() if q.oracle)
+    n_rows_only = n - n_oracle
+    root = pathlib.Path(__file__).resolve().parents[1]
+    coverage = (root / "COVERAGE.md").read_text()
+    assert (
+        f"{n} catalog queries: {n_oracle} oracle-checked, "
+        f"{n_rows_only} rows-only." in coverage
+    ), "COVERAGE.md counts stale — rerun tools/gen_coverage.py > COVERAGE.md"
+    readme = " ".join((root / "README.md").read_text().split())
+    assert f"{n} catalog queries" in readme, "README.md total stale"
+    assert f"{n_oracle} of them carry an ANSI-SQL twin" in readme, (
+        "README.md oracle count stale"
+    )
+    assert f"{n_oracle} pass / {n_rows_only} rows-only / 0 fail" in readme, (
+        "README.md sweep line stale"
+    )

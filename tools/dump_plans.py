@@ -93,6 +93,16 @@ SHOWCASE = {
     "q163_ivf_ann_oracle": "IVF probe with a deterministic medoid quantizer: tiny "
     "centroid table broadcast twice (cell ranking, then candidate join); the corpus "
     "is pruned to probed cells BEFORE any exact scoring.",
+    # r7 plan-variant fixes (TPC-H at 100×, BENCH_NOTES)
+    "q125_customer_distribution": "EAGER AGG (r7): orders counted per custkey "
+    "scan-side (map-side combine) BEFORE the customer left join — the textbook "
+    "form shuffled a fact-sized join result; 6.07 s → ~0.9 s at 100×.",
+    "q116_priority_checking": "column-pruned probe + SHUFFLE_HASH semi-join + "
+    "runtime bloom filter pruning lineitem against the 3-month filtered-orders "
+    "build before the shuffle (r7; fires on Spark defaults at >10GB scans).",
+    "q167_rollup_serving": "the q12 shape answered FROM a maintained bucketed "
+    "rollup after an incremental merge batch — exchange-light probe over "
+    "~|orders| grain rows; hash-matches the raw-lineitem oracle (r7).",
 }
 
 
