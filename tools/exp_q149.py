@@ -30,8 +30,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # `python tools/exp_q149.py shards [factor] [reps]` sweeps n_shards
+    # (SPARK_GRAFT_Q149_SHARDS) instead of the Arrow-batch confs — the
+    # measured points behind the sizing rule documented on
+    # running_user_stats_exact_sharded (VERDICT r6 #8).
+    mode = "conf"
+    args = sys.argv[1:]
+    if args and args[0] == "shards":
+        mode = "shards"
+        args = args[1:]
+    factor = int(args[0]) if args else 400
+    reps = int(args[1]) if len(args) > 1 else 2
     scaled = os.path.join(REPO, ".benchdata", f"scaled{factor}x")
     assert os.path.exists(os.path.join(scaled, "events.parquet"))
 
@@ -46,6 +55,17 @@ def main() -> None:
     from wikipediaetl_spark.catalog import all_queries
 
     q149 = all_queries()["q149_stateful_running_stats"].fn
+    if mode == "shards":
+        for shards in ("512", "4096", "32768"):
+            os.environ["SPARK_GRAFT_Q149_SHARDS"] = shards
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                q149(spark, scaled).toArrow()
+                best = min(best, time.perf_counter() - t0)
+            print(f"shards={shards:>6s} {best:7.2f} s")
+        os.environ.pop("SPARK_GRAFT_Q149_SHARDS", None)
+        return
     variants = [
         ("base", None),
         ("arrow100k", "100000"),

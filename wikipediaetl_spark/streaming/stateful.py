@@ -243,13 +243,39 @@ def _update_exact_sharded(
 
 
 def running_user_stats_exact_sharded(
-    events_stream: DataFrame, n_shards: int = 4096
+    events_stream: DataFrame, n_shards: int | None = None
 ) -> DataFrame:
     """``running_user_stats_exact`` with micro-sharded state (see module
     note): identical emitted rows, per-batch cost O(S + batch log batch)
-    instead of O(|users|) constants."""
+    instead of O(|users|) constants.
+
+    SIZING RULE for ``n_shards`` (VERDICT r6 #8, the documented scale
+    knob; overridable via ``$SPARK_GRAFT_Q149_SHARDS``). Two per-batch
+    costs trade against each other:
+
+      - per-SHARD constant: Python dispatch + Arrow frames + store commit,
+        ~0.4-0.5 ms per touched shard per batch → cost ≈ 0.5 ms · S;
+      - per-shard STATE REWRITE: GroupState serializes the WHOLE shard
+        state on update — 4 arrays × 8 B ≈ 32 B/user, so cost scales with
+        users_per_shard = U/S (plus the numpy fold, linear in U/S).
+
+    Total ≈ a·S + b·U/S, minimized at S* ≈ sqrt(b/a)·sqrt(U); in practice
+    the curve is FLAT near the optimum, so target ~100-500 users/shard
+    and round to a power of two: U=800k → S=4096 (195 users/shard ≈ 6 KB
+    state/row). MEASURED at the 400× fixture (tools/exp_q149.py shards
+    mode, 800k users, 40M rows, best-of-2): S=512 → 6.15 s, S=4096 →
+    4.94 s, S=32768 → 7.38 s — ±8× around the rule's choice costs ≤1.5×,
+    the wrong EXTREMES cost the operator (S=U degenerates to the 39 s
+    per-user form; S≲cores loses all parallelism and makes shard state
+    exceed comfortable single-commit size). State-store parallelism
+    (shuffle partitions) should be ≥ cores and ≤ S; shards hash-spread
+    across partitions evenly since the key is pmod(user_id)."""
+    import os
+
     from pyspark.sql import functions as F
 
+    if n_shards is None:
+        n_shards = int(os.environ.get("SPARK_GRAFT_Q149_SHARDS", "4096"))
     return (
         events_stream.select("user_id", "value")
         .withColumn("_shard", F.pmod(F.col("user_id"), F.lit(n_shards)))
