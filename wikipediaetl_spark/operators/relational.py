@@ -1537,13 +1537,16 @@ def q116_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q117_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): aggregate-then-HAVING as a
     pre-join reducer — the grouped filter shrinks lineitem to qualifying
-    orderkeys before any join touches orders/customer."""
+    orderkeys before any join touches orders/customer. r7: the filtered key
+    set carries a SHUFFLE_HASH hint (tiny build by HAVING selectivity;
+    sort-merge sorted the 15M-row orders side: 4.96 s → 3.56 s at 100×)."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 250)
         .select("l_orderkey")
+        .hint("shuffle_hash")
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
