@@ -622,3 +622,94 @@ def test_q155_lift_matches_fraction_reference(spark, tmp_path):
     em = {(x, y): e for x, y, _c, _d, e in cand}
     for r in rows:
         assert abs(r.lift_micro - em[(r.x, r.y)]) <= 1
+
+
+def _events_fixture(spark, tmp_path):
+    """Adversarial event log for the funnel/retention references: stage
+    events exactly AT the previous stage's timestamp (>= boundary), stages
+    in the wrong order, users missing stages entirely, duplicate same-day
+    activity, and midnight-boundary timestamps."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+
+    def ev(uid, et, minutes):
+        rows.append((len(rows), t0 + timedelta(minutes=minutes), uid, et))
+
+    ev(1, "view", 10); ev(1, "click", 20); ev(1, "purchase", 30)  # full funnel
+    ev(2, "click", 5); ev(2, "view", 10); ev(2, "purchase", 15)   # click BEFORE view, but purchase... click>=view missing -> no click stage
+    ev(3, "view", 0); ev(3, "click", 0); ev(3, "purchase", 0)     # all AT the same ts (>= boundaries all hold)
+    ev(4, "view", 10); ev(4, "purchase", 20)                      # no click: purchase must NOT count
+    ev(5, "purchase", 1); ev(5, "view", 2)                        # purchase only before view
+    ev(6, "view", 100); ev(6, "view", 5); ev(6, "click", 50)      # min(view)=5 -> click at 50 counts
+    ev(7, "click", 1)                                             # click with no view
+    # retention shapes: multi-day + duplicates + midnight boundary
+    ev(8, "view", 0); ev(8, "click", 24 * 60); ev(8, "view", 24 * 60 + 1)
+    ev(8, "purchase", 3 * 24 * 60)
+    ev(9, "view", 24 * 60 - 1); ev(9, "click", 24 * 60)           # first-seen 23:59, next event 1 min later = offset 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    return rows
+
+
+def test_q161_funnel_matches_bruteforce_reference(spark, tmp_path):
+    """q161 against a per-user brute-force fold of the declared semantics:
+    earliest view, earliest click >= that view, earliest purchase >= that
+    click — boundary (>=) and ordering cases engineered in the fixture."""
+    from collections import defaultdict
+
+    from wikipediaetl_spark.operators.advanced import q161_funnel
+
+    rows = _events_fixture(spark, tmp_path)
+    by_user = defaultdict(list)
+    for _eid, ts, uid, et in rows:
+        by_user[uid].append((ts, et))
+    n_view = n_click = n_purchase = 0
+    for evs in by_user.values():
+        views = [t for t, e in evs if e == "view"]
+        if not views:
+            continue
+        n_view += 1
+        vt = min(views)
+        clicks = [t for t, e in evs if e == "click" and t >= vt]
+        if not clicks:
+            continue
+        n_click += 1
+        ct = min(clicks)
+        purchases = [t for t, e in evs if e == "purchase" and t >= ct]
+        if purchases:
+            n_purchase += 1
+    got = q161_funnel(spark, str(tmp_path)).collect()[0]
+    assert (got.n_view, got.n_click_after_view, got.n_purchase_after_click) == (
+        n_view,
+        n_click,
+        n_purchase,
+    ), (got, (n_view, n_click, n_purchase))
+
+
+def test_q162_retention_matches_bruteforce_reference(spark, tmp_path):
+    """q162 against a dict-fold retention reference: cohort = DATE of the
+    user's first event, one (cohort, offset) cell per user per active day,
+    duplicates collapsed — midnight-boundary users pinned in the fixture."""
+    from collections import defaultdict
+
+    from wikipediaetl_spark.operators.advanced import q162_cohort_retention
+
+    rows = _events_fixture(spark, tmp_path)
+    by_user = defaultdict(list)
+    for _eid, ts, uid, _et in rows:
+        by_user[uid].append(ts)
+    cells = defaultdict(set)
+    for uid, tss in by_user.items():
+        cohort = min(tss).date()
+        for ts in tss:
+            cells[(cohort, (ts.date() - cohort).days)].add(uid)
+    want = {k: len(v) for k, v in cells.items()}
+    got = {
+        (r.cohort_day, r.day_offset): r.n_active_users
+        for r in q162_cohort_retention(spark, str(tmp_path)).collect()
+    }
+    assert got == want
