@@ -973,7 +973,16 @@ def q138_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines are COUNTED, never re-scanned: lineitem is read exactly once
     and every later stage works on the (order, supplier) grain (~4×
     smaller). EXISTS holds iff the order has >1 supplier; NOT EXISTS
-    holds iff the only late supplier is the row's own."""
+    holds iff the only late supplier is the row's own.
+
+    Measured negatives at 100× (r7, recorded so they are not retried):
+    the 11.8 s wall is the inherent 60M-row grain aggregate (2.4× vs
+    DuckDB) — lazy-localCheckpointing per_supp for its two consumers
+    measured 27.8 s (materializing the 22M-row grain costs more than
+    ReuseExchange, which DOES fire here: both consumers sit directly on
+    the same canonical exchange, unlike the q155 filter-pushdown case);
+    SHUFFLE_HASH hints on the l1 joins measured 12.5 s (the grain-side
+    sorts are already cheap relative to the aggregate)."""
     li = _with_transport(_t(spark, sf_dir, "lineitem")).select(
         "l_orderkey",
         "l_suppkey",
