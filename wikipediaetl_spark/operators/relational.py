@@ -1326,8 +1326,19 @@ def q73_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q98_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): selective filters on all three
     tables pushed to their scans, customer dim join, fact-fact join on
-    orderkey, grouped revenue, global top-10. The canonical multi-join OLAP
-    plan; at scale the only wide exchange is lineitem⋈orders."""
+    orderkey, grouped revenue, global top-10.
+
+    r7 (400× plan-variant fix, 11.8× → ~6×): on this fixture the shipdate
+    filter keeps MOST of lineitem (134M of 240M rows at 400×) while
+    customer⋈orders reduces to ~5.5M rows — so c⋈o is the natural
+    SHUFFLE_HASH build and the huge lineitem side streams unsorted (the
+    sort-merge default sorted 134M rows). The revenue term quantizes to
+    exact 1e-4-unit LONGS scan-side (the q12 identity, property-tested:
+    for 2+2-decimal money the long fold is bit-equal to the DECIMAL(18,6)
+    oracle sum) — 134M per-row decimal adds were the other half of the
+    wall: 10.5 s → 7.3 s same-session at 400×. Per-order groups hold ≤7
+    lines, so the long partial cannot overflow; the /10000 happens in
+    decimal at the ~order-count grain."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
@@ -1335,14 +1346,22 @@ def q98_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
+    liv = li.select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("vu"),
+    )
+    co = c.join(o, c.c_custkey == o.o_custkey).hint("shuffle_hash")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        co.join(liv, liv.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .agg(F.sum("vu").alias("svu"))
         .select(
             "l_orderkey",
-            "revenue",
+            (F.col("svu").cast("decimal(38,0)") / 10000).cast("double").alias("revenue"),
             F.col("o_orderdate").cast("date").alias("order_date"),
             "o_orderpriority",
         )
@@ -1423,18 +1442,42 @@ def q99_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q112_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape (returned-item reporting): flagged lineitems joined
     up the chain to customers, top-20 by lost revenue. The returnflag filter
-    lands on the lineitem scan; nation broadcasts."""
+    lands on the lineitem scan; nation broadcasts.
+
+    r7 (400× plan-variant fix, 20.9 s → 10.3 s same-session): the
+    customer⋈orders⋈nation chain reduces to ~|orders| narrow rows and is
+    the SHUFFLE_HASH build, streaming the 80M-row 'R'-filtered lineitem
+    side unsorted; the revenue term folds as exact 1e-4-unit LONGS (the
+    q12 identity) instead of 80M per-row decimal adds — /10000 happens in
+    decimal at the customer grain. Long-sum bound: overflow needs ~8e9
+    lineitem rows on ONE customer (ANSI errors, never wraps)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
-    return (
+    liv = li.select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("vu"),
+    )
+    co = (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .hint("shuffle_hash")
+    )
+    return (
+        co.join(liv, liv.l_orderkey == F.col("o_orderkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "n_name")
+        .agg(F.sum("vu").alias("svu"))
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("svu").cast("decimal(38,0)") / 10000).cast("double").alias("revenue"),
+            "n_name",
+        )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
