@@ -1396,6 +1396,14 @@ def q99_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive joins — at scale this shrinks the shuffled customer side by the
     region selectivity (5×) before its orders join. Region/nation/supplier
     stay broadcast; the facts shuffle once each.
+
+    r7 (400× plan-variant fix, 17.9 s → 13.4 s same-session): the reduced
+    c⋈o chain is the SHUFFLE_HASH build (lineitem streams unsorted), and
+    the revenue term folds as exact 1e-4-unit longs. With only 5 output
+    groups a plain long sum WOULD overflow at ~8e9 rows/nation, so the
+    partials group by (n_name, partition id) — bounded by partition size —
+    and merge as DECIMAL(38,0), exactly the q12 overflow discipline; ANSI
+    errors on any residual breach.
     """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -1409,16 +1417,30 @@ def q99_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     asia_keys = asia.select("n_nationkey")
     c = c.join(F.broadcast(asia_keys), c.c_nationkey == F.col("n_nationkey"), "left_semi")
     s = s.join(F.broadcast(asia_keys), s.s_nationkey == F.col("n_nationkey"), "left_semi")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+    liv = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("vu"),
+    )
+    co = c.join(o, c.c_custkey == o.o_custkey).hint("shuffle_hash")
+    inner = (
+        co.join(liv, liv.l_orderkey == F.col("o_orderkey"))
         .join(
             F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            (liv.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(asia), s.s_nationkey == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .groupBy("n_name", F.spark_partition_id().alias("pid"))
+        .agg(F.sum("vu").alias("pvu"))
+    )
+    return inner.groupBy("n_name").agg(
+        (F.sum(F.col("pvu").cast("decimal(38,0)")) / 10000)
+        .cast("double")
+        .alias("revenue")
     )
 
 
