@@ -257,6 +257,25 @@ def test_random_scalar_compositions(spark, ducks, seed):
     assert got == want, f"scalar divergence: {outer_sql} / {d_sql}"
 
 
+# ------------------------------------------------------- AST dual-rendering
+
+
+def test_ast_fuzz_campaign(spark):
+    """Compositional AST fuzz (wikipediaetl_spark/plans/fuzz.py): 60 seeded
+    random queries — nested expressions, FK join paths, grouped and
+    projection shapes — each rendered independently to PySpark DataFrame ops
+    AND to ANSI SQL for DuckDB, compared with the typed exact discipline.
+    Unlike the atom tests above, nothing here is hand-enumerated: the AST is
+    the only shared artifact, so the two renderings cannot share a bug
+    (the VERDICT r6 oracle-circularity class)."""
+    from wikipediaetl_spark.plans.fuzz import run_campaign
+
+    res = run_campaign(spark, SF, n=60, seed0=0)
+    assert res["fail"] == 0, [
+        (f["seed"], f.get("problems")) for f in res["failures"]
+    ]
+
+
 # ---------------------------------------------------------------- curation ops
 
 

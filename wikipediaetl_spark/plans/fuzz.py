@@ -1,0 +1,705 @@
+"""Seeded differential query fuzzer: random relational ASTs, dual-rendered.
+
+The q160 incident (VERDICT r6) proved the class risk of hand-derived
+oracles: when the SQL twin is derived from the engine's own algebraic
+rewrite, the differential harness verifies self-consistency, not
+correctness.  The per-query antidote is the independent exact-reference
+battery in tests/test_properties.py; THIS module is the systematic one:
+
+  1. generate a random relational query as a small typed AST (a neutral
+     artifact derived from neither engine),
+  2. render it twice, through two independent code paths —
+     once to PySpark DataFrame operations (``to_spark``), once to ANSI
+     SQL for DuckDB (``to_sql``),
+  3. execute both and compare row count, column names, typed canonical
+     schema families, and the order-insensitive exact value multiset —
+     the same comparison discipline as tools/check_oracle.py (which
+     mirrors the external driver's hash).
+
+Any divergence is a bug in one of: the Spark rendering, the SQL
+rendering, Spark itself, or DuckDB — never "both wrong the same way",
+because the two renderings share no algebra beyond the AST node
+definitions.
+
+The grammar is restricted to the deterministic-exact subset where ANSI
+semantics agree bit-for-bit between the engines (documented per
+production below):
+
+  * integer arithmetic on BIGINT (magnitudes bounded so neither engine's
+    ANSI overflow check fires),
+  * double columns enter only through (a) exact comparisons and min/max
+    (IEEE total order on the generated positive values) and (b) the
+    cents quantization CAST(ROUND(x*100) AS BIGINT) — round-half-up on
+    positive values is identical in both engines (the q12 identity,
+    property-tested in tests/test_properties.py),
+  * string ops with ASCII-identical semantics (length/upper/lower/
+    substr/||-concat/LIKE); DuckDB's variadic concat() ignores NULLs
+    unlike Spark's, so concatenation always renders as ``||`` which
+    propagates NULL in both,
+  * timestamp comparisons and EXTRACT(YEAR/MONTH/DAY),
+  * aggregates count(*)/count/count(DISTINCT)/sum/min/max; DuckDB's
+    sum(BIGINT) is HUGEINT so the SQL rendering wraps every sum in
+    CAST(... AS BIGINT) to match Spark's long (the q111/q135 family
+    divergence, see tools/lint_oracles.py),
+  * inner/left equi-joins along the real FK edges of the test schema
+    (each table at most once per query, so the globally-unique TPC-H
+    column prefixes guarantee no name collisions),
+  * WHERE with 3-valued AND/OR/NOT logic (identical in both).
+
+Excluded by design, with reasons: float aggregation (order-dependent),
+division (int '/' promotes differently across engines' histories),
+regex (dialect differences), non-ASCII collation, avg (accumulation
+strategy is engine-internal).
+
+Determinism: everything derives from ``random.Random(seed)``; a failing
+seed is a permanent reproducer (``python tools/fuzz_differential.py
+--seed N --n 1``).
+
+Reference tie: the reference repo verifies its ETL output with
+hand-written expected rows (`tests/unit/test_parse_page.py`); this
+harness is the scale-appropriate generalization — machine-generated
+cases with an independent comparator.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# ---------------------------------------------------------------------------
+# Schema model: the driver-generated TPC-H-ish tables (TESTDATA.md).
+# Column prefixes are globally unique, so multi-table queries never collide.
+# ---------------------------------------------------------------------------
+
+# dtype in {"long", "int", "double", "str", "ts"}
+TABLES: dict[str, dict[str, str]] = {
+    "lineitem": {
+        "l_orderkey": "long", "l_partkey": "long", "l_suppkey": "long",
+        "l_linenumber": "int", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double", "l_tax": "double",
+        "l_returnflag": "str", "l_linestatus": "str", "l_shipdate": "ts",
+    },
+    "orders": {
+        "o_orderkey": "long", "o_custkey": "long", "o_orderstatus": "str",
+        "o_totalprice": "double", "o_orderdate": "ts", "o_orderpriority": "str",
+    },
+    "customer": {
+        "c_custkey": "long", "c_name": "str", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "str",
+    },
+    "supplier": {
+        "s_suppkey": "long", "s_name": "str", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "long", "p_name": "str", "p_brand": "str",
+        "p_type": "str", "p_size": "int", "p_retailprice": "double",
+    },
+    "nation": {"n_nationkey": "int", "n_name": "str", "n_regionkey": "int"},
+    "region": {"r_regionkey": "int", "r_name": "str"},
+}
+
+# FK edges: (left_table, left_col, right_table, right_col).  Queries walk a
+# simple path from a random start table, so each table appears at most once.
+FK_EDGES: list[tuple[str, str, str, str]] = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+# Low-cardinality columns preferred as group keys (bounded result sizes).
+GROUPABLE: dict[str, list[str]] = {
+    "lineitem": ["l_returnflag", "l_linestatus", "l_linenumber"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "customer": ["c_mktsegment", "c_nationkey"],
+    "supplier": ["s_nationkey"],
+    "part": ["p_brand", "p_size"],
+    "nation": ["n_name", "n_regionkey"],
+    "region": ["r_name"],
+}
+
+# Literal pools per string column so predicates are selective-but-nonempty.
+STR_LITERALS: dict[str, list[str]] = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["O", "F"],
+    "o_orderstatus": ["O", "F", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    "c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+}
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Expr:
+    """A typed expression node; ``kind`` selects the production."""
+
+    kind: str               # col | lit | bin | not | func | case | agg
+    dtype: str              # long | int | double | str | ts | bool
+    op: str = ""            # for bin/func/agg: operator or function name
+    args: tuple = field(default_factory=tuple)
+    value: object = None    # for lit
+
+
+def col(name: str, dtype: str) -> Expr:
+    return Expr("col", dtype, value=name)
+
+
+def lit(value, dtype: str) -> Expr:
+    return Expr("lit", dtype, value=value)
+
+
+# ---------------------------------------------------------------------------
+# Rendering path 1: PySpark Column
+# ---------------------------------------------------------------------------
+
+def to_spark(e: Expr) -> Column:
+    if e.kind == "col":
+        return F.col(e.value)
+    if e.kind == "lit":
+        if e.dtype == "ts":
+            return F.lit(e.value).cast("timestamp")
+        if e.dtype == "long":
+            return F.lit(int(e.value)).cast("long")
+        return F.lit(e.value)
+    if e.kind == "bin":
+        l, r = to_spark(e.args[0]), to_spark(e.args[1])
+        if e.op in ("+", "-", "*"):
+            l = l.cast("long") if e.args[0].dtype in ("int", "long") else l
+            r = r.cast("long") if e.args[1].dtype in ("int", "long") else r
+        return {
+            "+": lambda: l + r, "-": lambda: l - r, "*": lambda: l * r,
+            "<": lambda: l < r, "<=": lambda: l <= r, ">": lambda: l > r,
+            ">=": lambda: l >= r, "=": lambda: l == r, "<>": lambda: l != r,
+            "and": lambda: l & r, "or": lambda: l | r,
+        }[e.op]()
+    if e.kind == "not":
+        return ~to_spark(e.args[0])
+    if e.kind == "func":
+        a = [to_spark(x) for x in e.args]
+        if e.op == "length":
+            return F.length(a[0])
+        if e.op == "upper":
+            return F.upper(a[0])
+        if e.op == "lower":
+            return F.lower(a[0])
+        if e.op == "substr":
+            return F.substring(a[0], e.args[1].value, e.args[2].value)
+        if e.op == "concat":
+            return F.concat(a[0], a[1])  # both-NULL-propagating, like SQL ||
+        if e.op == "like":
+            return to_spark(e.args[0]).like(e.args[1].value)
+        if e.op == "in":
+            return to_spark(e.args[0]).isin([x.value for x in e.args[1:]])
+        if e.op == "abs":
+            return F.abs(a[0])
+        if e.op == "coalesce":
+            return F.coalesce(*a)
+        if e.op == "year":
+            return F.year(a[0])
+        if e.op == "month":
+            return F.month(a[0])
+        if e.op == "day":
+            return F.dayofmonth(a[0])
+        if e.op == "cents":
+            return F.round(a[0] * F.lit(100.0), 0).cast("long")
+        if e.op == "isnull":
+            return a[0].isNull()
+        raise ValueError(f"unknown func {e.op}")
+    if e.kind == "case":
+        cond, then, els = (to_spark(x) for x in e.args)
+        return F.when(cond, then).otherwise(els)
+    if e.kind == "agg":
+        if e.op == "count_star":
+            return F.count(F.lit(1))
+        a = to_spark(e.args[0])
+        if e.op == "count":
+            return F.count(a)
+        if e.op == "countd":
+            return F.countDistinct(a)
+        if e.op == "sum":
+            return F.sum(a.cast("long"))
+        if e.op == "min":
+            return F.min(a)
+        if e.op == "max":
+            return F.max(a)
+        raise ValueError(f"unknown agg {e.op}")
+    raise ValueError(f"unknown kind {e.kind}")
+
+
+# ---------------------------------------------------------------------------
+# Rendering path 2: ANSI SQL (DuckDB dialect-safe subset)
+# ---------------------------------------------------------------------------
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def to_sql(e: Expr) -> str:
+    if e.kind == "col":
+        return e.value
+    if e.kind == "lit":
+        if e.dtype == "str":
+            return _sql_str(e.value)
+        if e.dtype == "ts":
+            return f"TIMESTAMP {_sql_str(e.value)}"
+        return str(e.value)
+    if e.kind == "bin":
+        l, r = to_sql(e.args[0]), to_sql(e.args[1])
+        if e.op in ("+", "-", "*"):
+            if e.args[0].dtype in ("int", "long"):
+                l = f"CAST({l} AS BIGINT)"
+            if e.args[1].dtype in ("int", "long"):
+                r = f"CAST({r} AS BIGINT)"
+        op = {"and": "AND", "or": "OR"}.get(e.op, e.op)
+        return f"({l} {op} {r})"
+    if e.kind == "not":
+        return f"(NOT {to_sql(e.args[0])})"
+    if e.kind == "func":
+        a = [to_sql(x) for x in e.args]
+        if e.op in ("length", "upper", "lower", "abs"):
+            return f"{e.op}({a[0]})"
+        if e.op == "substr":
+            return f"substring({a[0]}, {e.args[1].value}, {e.args[2].value})"
+        if e.op == "concat":
+            return f"({a[0]} || {a[1]})"
+        if e.op == "like":
+            return f"({a[0]} LIKE {_sql_str(e.args[1].value)})"
+        if e.op == "in":
+            vals = ", ".join(to_sql(x) for x in e.args[1:])
+            return f"({a[0]} IN ({vals}))"
+        if e.op == "coalesce":
+            return f"coalesce({', '.join(a)})"
+        if e.op in ("year", "month", "day"):
+            return f"CAST(EXTRACT({e.op.upper()} FROM {a[0]}) AS INT)"
+        if e.op == "cents":
+            return f"CAST(ROUND({a[0]} * 100.0) AS BIGINT)"
+        if e.op == "isnull":
+            return f"({a[0]} IS NULL)"
+        raise ValueError(f"unknown func {e.op}")
+    if e.kind == "case":
+        c, t, els = (to_sql(x) for x in e.args)
+        return f"(CASE WHEN {c} THEN {t} ELSE {els} END)"
+    if e.kind == "agg":
+        if e.op == "count_star":
+            return "count(*)"
+        a = to_sql(e.args[0])
+        if e.op == "count":
+            return f"count({a})"
+        if e.op == "countd":
+            return f"count(DISTINCT {a})"
+        if e.op == "sum":
+            # DuckDB sum(BIGINT) -> HUGEINT; pin to Spark's long
+            return f"CAST(sum(CAST({a} AS BIGINT)) AS BIGINT)"
+        if e.op in ("min", "max"):
+            return f"{e.op}({a})"
+        raise ValueError(f"unknown agg {e.op}")
+    raise ValueError(f"unknown kind {e.kind}")
+
+
+# ---------------------------------------------------------------------------
+# Query model
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FuzzQuery:
+    seed: int
+    tables: list[str]                       # join path, len>=1
+    join_how: list[str]                     # len == len(tables)-1, inner|left
+    join_on: list[tuple[str, str]]          # (left_col, right_col) per join
+    where: Expr | None
+    group_by: list[Expr]                    # column refs
+    select: list[tuple[str, Expr]]          # (alias, expr)
+
+    def spark_df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = spark.read.parquet(f"{sf_dir}/{self.tables[0]}.parquet")
+        for i, t in enumerate(self.tables[1:]):
+            right = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            lc, rc = self.join_on[i]
+            df = df.join(right, on=F.col(lc) == F.col(rc), how=self.join_how[i])
+        if self.where is not None:
+            df = df.filter(to_spark(self.where))
+        if self.group_by:
+            keys = [to_spark(g).alias(g.value) for g in self.group_by]
+            aggs = [to_spark(e).alias(a) for a, e in self.select
+                    if e.kind == "agg"]
+            return df.groupBy(*keys).agg(*aggs)
+        return df.select(*[to_spark(e).alias(a) for a, e in self.select])
+
+    def sql(self, sf_dir: str | None = None) -> str:
+        """ANSI SQL over the registered table views (or read_parquet paths)."""
+        def rel(t: str) -> str:
+            if sf_dir is None:
+                return t
+            return f"read_parquet('{sf_dir}/{t}.parquet') AS {t}"
+
+        frm = rel(self.tables[0])
+        for i, t in enumerate(self.tables[1:]):
+            kw = {"inner": "JOIN", "left": "LEFT JOIN"}[self.join_how[i]]
+            lc, rc = self.join_on[i]
+            frm += f" {kw} {rel(t)} ON {lc} = {rc}"
+        parts = []
+        if self.group_by:
+            keys = [g.value for g in self.group_by]
+            sel = keys + [f"{to_sql(e)} AS {a}" for a, e in self.select
+                          if e.kind == "agg"]
+            parts.append("SELECT " + ", ".join(sel))
+            parts.append(f"FROM {frm}")
+            if self.where is not None:
+                parts.append(f"WHERE {to_sql(self.where)}")
+            parts.append("GROUP BY " + ", ".join(keys))
+        else:
+            parts.append("SELECT " + ", ".join(
+                f"{to_sql(e)} AS {a}" for a, e in self.select))
+            parts.append(f"FROM {frm}")
+            if self.where is not None:
+                parts.append(f"WHERE {to_sql(self.where)}")
+        return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+class FuzzGen:
+    """Deterministic query generator; one instance per seed."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
+        self.seed = seed
+
+    # -- expressions --------------------------------------------------------
+
+    def _cols_of(self, tables: list[str], dtypes: tuple[str, ...]) -> list[Expr]:
+        out = []
+        for t in tables:
+            for c, d in TABLES[t].items():
+                if d in dtypes:
+                    out.append(col(c, d))
+        return out
+
+    def _int_expr(self, tables: list[str], depth: int = 0) -> Expr:
+        rng = self.rng
+        pool = self._cols_of(tables, ("int", "long"))
+        choices = ["col", "col", "arith", "case", "year", "cents", "length"]
+        if depth >= 2:
+            choices = ["col"]
+        k = rng.choice(choices)
+        if k == "col" or not pool:
+            if pool:
+                c = rng.choice(pool)
+                return Expr("col", "long", value=c.value) if c.dtype == "long" else c
+            return lit(rng.randint(0, 50), "long")
+        if k == "arith":
+            op = rng.choice(["+", "-", "*"])
+            l = self._int_expr(tables, depth + 1)
+            r = (lit(rng.randint(1, 997), "long") if rng.random() < 0.5
+                 else self._int_expr(tables, depth + 1))
+            if op == "*" and r.kind != "lit":
+                r = lit(rng.randint(1, 97), "long")  # bound products
+            return Expr("bin", "long", op=op, args=(l, r))
+        if k == "case":
+            cond = self._bool_expr(tables, depth + 1)
+            a = self._int_expr(tables, depth + 1)
+            b = lit(rng.randint(-100, 100), "long")
+            return Expr("case", "long", args=(cond, a, b))
+        if k == "year":
+            ts = self._cols_of(tables, ("ts",))
+            if ts:
+                return Expr("func", "int", op=rng.choice(["year", "month", "day"]),
+                            args=(rng.choice(ts),))
+            return self._int_expr(tables, depth + 1)
+        if k == "cents":
+            dbl = self._cols_of(tables, ("double",))
+            if dbl:
+                return Expr("func", "long", op="cents", args=(rng.choice(dbl),))
+            return self._int_expr(tables, depth + 1)
+        if k == "length":
+            ss = self._cols_of(tables, ("str",))
+            if ss:
+                return Expr("func", "int", op="length",
+                            args=(self._str_expr(tables, depth + 1),))
+            return self._int_expr(tables, depth + 1)
+        raise AssertionError
+
+    def _str_expr(self, tables: list[str], depth: int = 0) -> Expr:
+        rng = self.rng
+        pool = self._cols_of(tables, ("str",))
+        if not pool:
+            return lit("x", "str")
+        base = rng.choice(pool)
+        if depth >= 2:
+            return base
+        k = rng.choice(["col", "col", "upper", "lower", "substr", "concat"])
+        if k == "col":
+            return base
+        if k in ("upper", "lower"):
+            return Expr("func", "str", op=k, args=(base,))
+        if k == "substr":
+            pos = lit(rng.randint(1, 3), "int")
+            ln = lit(rng.randint(1, 8), "int")
+            return Expr("func", "str", op="substr", args=(base, pos, ln))
+        if k == "concat":
+            other = rng.choice(pool)
+            return Expr("func", "str", op="concat", args=(base, other))
+        raise AssertionError
+
+    def _bool_expr(self, tables: list[str], depth: int = 0) -> Expr:
+        rng = self.rng
+        if depth < 2 and rng.random() < 0.35:
+            op = rng.choice(["and", "or"])
+            return Expr("bin", "bool", op=op,
+                        args=(self._bool_expr(tables, depth + 1),
+                              self._bool_expr(tables, depth + 1)))
+        if depth < 2 and rng.random() < 0.12:
+            return Expr("not", "bool", args=(self._bool_expr(tables, depth + 1),))
+        k = rng.choice(["int_cmp", "int_cmp", "str_eq", "str_like", "str_in",
+                        "dbl_cmp", "ts_cmp", "isnull"])
+        if k == "int_cmp":
+            l = self._int_expr(tables, depth + 1)
+            op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+            r = (lit(rng.randint(0, 5000), "long") if rng.random() < 0.7
+                 else self._int_expr(tables, depth + 1))
+            return Expr("bin", "bool", op=op, args=(l, r))
+        if k in ("str_eq", "str_like", "str_in"):
+            pool = [c for c in self._cols_of(tables, ("str",))
+                    if c.value in STR_LITERALS]
+            if not pool:
+                return self._bool_expr(tables, depth + 1) if depth < 3 else \
+                    Expr("bin", "bool", op="=", args=(lit(1, "long"), lit(1, "long")))
+            c = rng.choice(pool)
+            vals = STR_LITERALS[c.value]
+            if k == "str_eq":
+                return Expr("bin", "bool", op=rng.choice(["=", "<>"]),
+                            args=(c, lit(rng.choice(vals), "str")))
+            if k == "str_like":
+                v = rng.choice(vals)
+                pat = rng.choice([v[:1] + "%", "%" + v[-1:], "%" + v[1:2] + "%"])
+                return Expr("func", "bool", op="like", args=(c, lit(pat, "str")))
+            picks = rng.sample(vals, k=min(len(vals), rng.randint(1, 3)))
+            return Expr("func", "bool", op="in",
+                        args=(c, *[lit(v, "str") for v in picks]))
+        if k == "dbl_cmp":
+            pool = self._cols_of(tables, ("double",))
+            if not pool:
+                return Expr("bin", "bool", op="=", args=(lit(1, "long"), lit(1, "long")))
+            c = rng.choice(pool)
+            thresh = {"l_quantity": (1, 50), "l_discount": (0, 1),
+                      "l_tax": (0, 1)}.get(c.value, (0, 100000))
+            v = round(rng.uniform(*thresh), 2)
+            return Expr("bin", "bool", op=rng.choice(["<", ">", "<=", ">="]),
+                        args=(c, lit(v, "double")))
+        if k == "ts_cmp":
+            pool = self._cols_of(tables, ("ts",))
+            if not pool:
+                return Expr("bin", "bool", op="=", args=(lit(1, "long"), lit(1, "long")))
+            c = rng.choice(pool)
+            d = dt.date(2023, 1, 1) + dt.timedelta(days=rng.randint(0, 720))
+            return Expr("bin", "bool", op=rng.choice(["<", ">="]),
+                        args=(c, lit(f"{d.isoformat()} 00:00:00", "ts")))
+        if k == "isnull":
+            pool = self._cols_of(tables, ("str", "long", "int", "double"))
+            c = rng.choice(pool)
+            return Expr("func", "bool", op="isnull", args=(c,))
+        raise AssertionError
+
+    def _agg_expr(self, tables: list[str]) -> Expr:
+        rng = self.rng
+        k = rng.choice(["count_star", "count", "countd", "sum", "sum",
+                        "min", "max"])
+        if k == "count_star":
+            return Expr("agg", "long", op="count_star")
+        if k == "sum":
+            return Expr("agg", "long", op="sum", args=(self._int_expr(tables),))
+        if k in ("count", "countd"):
+            c = rng.choice(self._cols_of(tables, ("int", "long", "str")))
+            return Expr("agg", "long", op=k, args=(c,))
+        # min/max: keep the argument's type
+        pools = self._cols_of(tables, ("int", "long", "str", "double", "ts"))
+        c = rng.choice(pools)
+        return Expr("agg", c.dtype, op=k, args=(c,))
+
+    # -- query --------------------------------------------------------------
+
+    def gen(self) -> FuzzQuery:
+        rng = self.rng
+        # Walk a simple path through the FK graph.
+        start = rng.choice(list(TABLES))
+        tables, hows, ons = [start], [], []
+        while len(tables) < 3 and rng.random() < 0.55:
+            frontier = []
+            for (lt, lc, rt, rc) in FK_EDGES:
+                if lt in tables and rt not in tables:
+                    frontier.append((lc, rt, rc))
+                elif rt in tables and lt not in tables:
+                    frontier.append((rc, lt, lc))
+            if not frontier:
+                break
+            lc, nt, rc = rng.choice(frontier)
+            tables.append(nt)
+            hows.append(rng.choice(["inner", "inner", "left"]))
+            ons.append((lc, rc))
+
+        where = self._bool_expr(tables) if rng.random() < 0.8 else None
+
+        if rng.random() < 0.55:
+            # grouped query
+            gcols = []
+            pool = [c for t in tables for c in GROUPABLE[t]]
+            for c in rng.sample(pool, k=min(len(pool), rng.randint(1, 2))):
+                gcols.append(col(c, TABLES[self._owner(c)][c]))
+            select = [(f"a{i}", self._agg_expr(tables))
+                      for i in range(rng.randint(1, 3))]
+            return FuzzQuery(self.seed, tables, hows, ons, where, gcols, select)
+
+        # projection query
+        select = []
+        for i in range(rng.randint(2, 5)):
+            kind = rng.choice(["int", "int", "str"])
+            e = self._int_expr(tables) if kind == "int" else self._str_expr(tables)
+            select.append((f"c{i}", e))
+        return FuzzQuery(self.seed, tables, hows, ons, where, [], select)
+
+    @staticmethod
+    def _owner(colname: str) -> str:
+        for t, cols in TABLES.items():
+            if colname in cols:
+                return t
+        raise KeyError(colname)
+
+
+# ---------------------------------------------------------------------------
+# Comparison (mirrors tools/check_oracle.py typed mode)
+# ---------------------------------------------------------------------------
+
+def _canon(v) -> str:
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _canon_rows(cols, rows) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+def _spark_family(d) -> str:
+    """Canonical type family (mirrors tools/check_oracle.py typed mode)."""
+    from pyspark.sql import types as T
+
+    if isinstance(d, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(d, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(d, T.DecimalType):
+        return f"decimal({d.scale})"
+    if isinstance(d, T.BooleanType):
+        return "bool"
+    if isinstance(d, T.StringType):
+        return "str"
+    if isinstance(d, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    return d.simpleString()
+
+
+def _arrow_family(at) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(at):
+        return "int"
+    if pa.types.is_floating(at):
+        return "float"
+    if pa.types.is_decimal(at):
+        return f"decimal({at.scale})"
+    if pa.types.is_boolean(at):
+        return "bool"
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return "str"
+    if pa.types.is_timestamp(at):
+        return "timestamp"
+    return str(at)
+
+
+def _schema_mismatches(sdf, atbl) -> list[str]:
+    sfam = {f.name: _spark_family(f.dataType) for f in sdf.schema.fields}
+    ofam = {f.name: _arrow_family(f.type) for f in atbl.schema}
+    return [f"type[{c}] spark={sfam[c]} duckdb={ofam[c]}"
+            for c in sorted(set(sfam) & set(ofam)) if sfam[c] != ofam[c]]
+
+
+def run_one(spark: SparkSession, con, q: FuzzQuery, sf_dir: str) -> dict:
+    """Execute both renderings; return a result record (ok / mismatch detail)."""
+    rec: dict = {"seed": q.seed, "sql": q.sql(), "ok": False}
+    sdf = q.spark_df(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    atbl = con.execute(q.sql()).fetch_arrow_table()
+    orows = [tuple(c[i].as_py() for c in atbl.columns)
+             for i in range(atbl.num_rows)]
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+    if sorted(sdf.columns) != sorted(atbl.column_names):
+        problems.append(f"columns spark={sorted(sdf.columns)} "
+                        f"duckdb={sorted(atbl.column_names)}")
+    if not problems:
+        problems.extend(_schema_mismatches(sdf, atbl))
+    if not problems:
+        sc, oc = _canon_rows(sdf.columns, srows), _canon_rows(atbl.column_names, orows)
+        if sc != oc:
+            so = [r for r in sc if r not in set(oc)][:3]
+            oo = [r for r in oc if r not in set(sc)][:3]
+            problems.append(f"values differ; spark-only={so} duckdb-only={oo}")
+    rec["rows"] = len(srows)
+    if problems:
+        rec["problems"] = problems
+    else:
+        rec["ok"] = True
+    return rec
+
+
+def run_campaign(spark: SparkSession, sf_dir: str, n: int, seed0: int = 0,
+                 verbose: bool = False) -> dict:
+    """Run ``n`` seeded queries; returns {"pass": .., "fail": .., "failures": [..]}."""
+    import duckdb
+
+    from wikipediaetl_spark.sources import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    n_pass, failures = 0, []
+    for s in range(seed0, seed0 + n):
+        q = FuzzGen(s).gen()
+        rec = run_one(spark, con, q, sf_dir)
+        if rec["ok"]:
+            n_pass += 1
+            if verbose:
+                print(f"ok    seed={s} rows={rec['rows']}")
+        else:
+            failures.append(rec)
+            print(f"FAIL  seed={s}: {rec.get('problems')}\n{rec['sql']}")
+    return {"pass": n_pass, "fail": len(failures), "failures": failures}
