@@ -1466,17 +1466,23 @@ def q112_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     up the chain to customers, top-20 by lost revenue. The returnflag filter
     lands on the lineitem scan; nation broadcasts.
 
-    r7 (400× plan-variant fix, 20.9 s → 10.3 s same-session): the
-    customer⋈orders⋈nation chain reduces to ~|orders| narrow rows and is
-    the SHUFFLE_HASH build, streaming the 80M-row 'R'-filtered lineitem
-    side unsorted; the revenue term folds as exact 1e-4-unit LONGS (the
-    q12 identity) instead of 80M per-row decimal adds — /10000 happens in
-    decimal at the customer grain. Long-sum bound: overflow needs ~8e9
-    lineitem rows on ONE customer (ANSI errors, never wraps)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    r7 (400× plan-variant fix, 20.9 s → 10.3 s same-session): the revenue
+    term folds as exact 1e-4-unit LONGS (the q12 identity) instead of 80M
+    per-row decimal adds — /10000 happens in decimal at the customer grain.
+    Long-sum bound: overflow needs ~8e9 lineitem rows on ONE customer
+    (ANSI errors, never wraps). r7 second pass (8.38 → 7.46 s best-of-3 at
+    400×, 4.8× → 1.7×): the fact-fact join runs on NARROW sides — lineitem
+    (l_orderkey, vu) probes a (o_orderkey, o_custkey) two-long SHUFFLE_HASH
+    build — and aggregates to the copied-dim customer grain (~15k groups,
+    partial map-side) BEFORE the string-carrying customer/nation dims
+    broadcast onto the tiny aggregate. c_name/n_name never enter a shuffle
+    or a hash build; the previous chain-build carried them through a
+    |orders|-row hash table. The dim joins are NOT hint-forced: at fixture
+    scale the optimizer broadcasts them from static scan stats, and on a
+    cluster where customer scales with SF the same plan degrades to a
+    customer-grain shuffle join — still fact-free — instead of OOMing a
+    forced broadcast."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = _t(spark, sf_dir, "nation")
     liv = li.select(
         "l_orderkey",
         F.floor(
@@ -1485,15 +1491,21 @@ def q112_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("vu"),
     )
-    co = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
         .hint("shuffle_hash")
     )
-    return (
-        co.join(liv, liv.l_orderkey == F.col("o_orderkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
+    per_cust = (
+        liv.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
         .agg(F.sum("vu").alias("svu"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        per_cust.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             "c_custkey",
             "c_name",

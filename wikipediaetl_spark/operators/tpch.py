@@ -793,25 +793,36 @@ def q135_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filtered lineitem side (~2% selectivity) carries a SHUFFLE_HASH
     hint — the sort-merge default spent its wall SORTING the unfiltered
     15M-row orders side; hashing the small filtered build and streaming
-    orders unsorted measured 8.98 s → 2.4-3.5 s at 100× (23× → 6.3-7.2×;
-    the pre-aggregated (orderkey, mode) variant measured 3.0 s and was
-    rejected). Same trade as q12: build side fits executor memory by
-    selectivity, AQE skew split still applies."""
-    li = _with_transport(_t(spark, sf_dir, "lineitem")).filter(
-        F.col("l_shipmode").isin("MAIL", "SHIP")
-        & (F.col("l_commitdate") < F.col("l_receiptdate"))
-        & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
-        & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("date"))
+    orders unsorted measured 8.98 s → 2.4-3.5 s at 100× (23× → 6.3-7.2×).
+    Same trade as q12: build side fits executor memory by selectivity, AQE
+    skew split still applies. r7 second pass (400×): the build is
+    pre-aggregated to (l_orderkey, l_shipmode, cnt) grain before the
+    shuffle — same-order lines are file-adjacent, so the map-side partial
+    collapses them before any bytes move, and the join carries counts
+    instead of raw lines: 7.20 → 6.30 s best-of-3 at 400× (5.3× → 3.8×).
+    Broadcasting the pre-aggregate instead measured 10.9 s (driver build
+    cost) and was rejected — the q133 lesson repeats."""
+    lig = (
+        _with_transport(_t(spark, sf_dir, "lineitem"))
+        .filter(
+            F.col("l_shipmode").isin("MAIL", "SHIP")
+            & (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+            & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy("l_orderkey", "l_shipmode")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .hint("shuffle_hash")
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.hint("shuffle_hash").join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        lig.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_shipmode")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, F.col("cnt")).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, F.col("cnt")).otherwise(0)).alias("low_line_count"),
         )
     )
 

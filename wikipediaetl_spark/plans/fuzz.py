@@ -44,7 +44,14 @@ production below):
   * inner/left equi-joins along the real FK edges of the test schema
     (each table at most once per query, so the globally-unique TPC-H
     column prefixes guarantee no name collisions),
-  * WHERE with 3-valued AND/OR/NOT logic (identical in both).
+  * WHERE with 3-valued AND/OR/NOT logic (identical in both),
+  * SELECT DISTINCT, HAVING on a long-typed aggregate, UNION ALL of two
+    filtered branches (DISTINCT and UNION ALL never compose — the two
+    renderings would disagree on application order), and ORDER BY every
+    output column ASC NULLS FIRST + LIMIT (explicit NULLS FIRST because
+    the engines' bare-ASC null placement defaults differ; ties at the
+    LIMIT boundary are whole-row duplicates, interchangeable under the
+    multiset compare).
 
 Excluded by design, with reasons: float aggregation (order-dependent),
 division (int '/' promotes differently across engines' histories),
@@ -320,6 +327,10 @@ class FuzzQuery:
     where: Expr | None
     group_by: list[Expr]                    # column refs
     select: list[tuple[str, Expr]]          # (alias, expr)
+    distinct: bool = False                  # SELECT DISTINCT (projection only)
+    having: tuple[str, int] | None = None   # (agg alias, threshold): alias > k
+    union_where: Expr | None = None         # UNION ALL twin with this filter
+    limit: int | None = None                # ORDER BY all cols NULLS FIRST + k
 
     def spark_df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{self.tables[0]}.parquet")
@@ -327,14 +338,32 @@ class FuzzQuery:
             right = spark.read.parquet(f"{sf_dir}/{t}.parquet")
             lc, rc = self.join_on[i]
             df = df.join(right, on=F.col(lc) == F.col(rc), how=self.join_how[i])
+        base = df
         if self.where is not None:
             df = df.filter(to_spark(self.where))
         if self.group_by:
             keys = [to_spark(g).alias(g.value) for g in self.group_by]
             aggs = [to_spark(e).alias(a) for a, e in self.select
                     if e.kind == "agg"]
-            return df.groupBy(*keys).agg(*aggs)
-        return df.select(*[to_spark(e).alias(a) for a, e in self.select])
+            out = df.groupBy(*keys).agg(*aggs)
+            if self.having is not None:
+                alias, k = self.having
+                out = out.filter(F.col(alias) > k)
+        else:
+            proj = [to_spark(e).alias(a) for a, e in self.select]
+            out = df.select(*proj)
+            if self.union_where is not None:
+                out = out.unionByName(
+                    base.filter(to_spark(self.union_where)).select(*proj))
+            if self.distinct:
+                out = out.distinct()
+        if self.limit is not None:
+            # total order over every output column; asc_nulls_first matches
+            # the explicit NULLS FIRST in the SQL rendering (the engines'
+            # bare-ASC null defaults differ: Spark first, DuckDB last)
+            out = out.orderBy(*[F.col(c).asc_nulls_first()
+                                for c in sorted(out.columns)]).limit(self.limit)
+        return out
 
     def sql(self, sf_dir: str | None = None) -> str:
         """ANSI SQL over the registered table views (or read_parquet paths)."""
@@ -358,13 +387,30 @@ class FuzzQuery:
             if self.where is not None:
                 parts.append(f"WHERE {to_sql(self.where)}")
             parts.append("GROUP BY " + ", ".join(keys))
+            if self.having is not None:
+                alias, k = self.having
+                agg_sql = next(to_sql(e) for a, e in self.select if a == alias)
+                parts.append(f"HAVING {agg_sql} > {k}")
         else:
-            parts.append("SELECT " + ", ".join(
-                f"{to_sql(e)} AS {a}" for a, e in self.select))
+            sel = ", ".join(f"{to_sql(e)} AS {a}" for a, e in self.select)
+            kw = "SELECT DISTINCT " if self.distinct else "SELECT "
+            parts.append(kw + sel)
             parts.append(f"FROM {frm}")
             if self.where is not None:
                 parts.append(f"WHERE {to_sql(self.where)}")
-        return "\n".join(parts)
+            if self.union_where is not None:
+                parts.append("UNION ALL")
+                parts.append("SELECT " + sel)
+                parts.append(f"FROM {frm}")
+                parts.append(f"WHERE {to_sql(self.union_where)}")
+        sql = "\n".join(parts)
+        if self.limit is not None:
+            cols = sorted(a for a, _ in self.select) if not self.group_by else \
+                sorted([g.value for g in self.group_by]
+                       + [a for a, e in self.select if e.kind == "agg"])
+            order = ", ".join(f"{c} ASC NULLS FIRST" for c in cols)
+            sql = f"SELECT * FROM (\n{sql}\n) q ORDER BY {order} LIMIT {self.limit}"
+        return sql
 
 
 # ---------------------------------------------------------------------------
@@ -551,6 +597,7 @@ class FuzzGen:
             ons.append((lc, rc))
 
         where = self._bool_expr(tables) if rng.random() < 0.8 else None
+        limit = rng.randint(1, 200) if rng.random() < 0.15 else None
 
         if rng.random() < 0.55:
             # grouped query
@@ -560,7 +607,12 @@ class FuzzGen:
                 gcols.append(col(c, TABLES[self._owner(c)][c]))
             select = [(f"a{i}", self._agg_expr(tables))
                       for i in range(rng.randint(1, 3))]
-            return FuzzQuery(self.seed, tables, hows, ons, where, gcols, select)
+            having = None
+            long_aggs = [a for a, e in select if e.dtype == "long"]
+            if long_aggs and rng.random() < 0.3:
+                having = (rng.choice(long_aggs), rng.randint(0, 20))
+            return FuzzQuery(self.seed, tables, hows, ons, where, gcols,
+                             select, having=having, limit=limit)
 
         # projection query
         select = []
@@ -568,7 +620,18 @@ class FuzzGen:
             kind = rng.choice(["int", "int", "str"])
             e = self._int_expr(tables) if kind == "int" else self._str_expr(tables)
             select.append((f"c{i}", e))
-        return FuzzQuery(self.seed, tables, hows, ons, where, [], select)
+        # distinct and UNION ALL are mutually exclusive: composing them would
+        # make the SQL rendering order (DISTINCT-then-union) diverge from the
+        # Spark one (union-then-distinct)
+        distinct = union_where = None
+        r = rng.random()
+        if r < 0.2:
+            distinct = True
+        elif r < 0.35:
+            union_where = self._bool_expr(tables)
+        return FuzzQuery(self.seed, tables, hows, ons, where, [], select,
+                         distinct=bool(distinct), union_where=union_where,
+                         limit=limit)
 
     @staticmethod
     def _owner(colname: str) -> str:
