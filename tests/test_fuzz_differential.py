@@ -260,6 +260,21 @@ def test_random_scalar_compositions(spark, ducks, seed):
 # ------------------------------------------------------- AST dual-rendering
 
 
+def test_ast_fuzz_campaign_nullable(spark, tmp_path):
+    """The AST fuzz campaign over a NULL-injected copy of the fixture:
+    ~8% NULLs in every non-key column, so isnull, 3VL predicates, NULL
+    propagation through arithmetic/||/CASE, aggregate NULL-skipping, and
+    NULLS FIRST ordering are exercised on real base-column NULLs rather
+    than only on left-join-manufactured ones."""
+    from wikipediaetl_spark.plans.fuzz import make_nullable_fixture, run_campaign
+
+    make_nullable_fixture(SF, str(tmp_path))
+    res = run_campaign(spark, str(tmp_path), n=40, seed0=2000)
+    assert res["fail"] == 0, [
+        (f["seed"], f.get("problems")) for f in res["failures"]
+    ]
+
+
 def test_ast_fuzz_campaign(spark):
     """Compositional AST fuzz (wikipediaetl_spark/plans/fuzz.py): 60 seeded
     random queries — nested expressions, FK join paths, grouped and

@@ -32,19 +32,30 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--json", dest="json_out", default=None)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--nullable", action="store_true",
+                    help="run over a NULL-injected copy of --sf (8%% NULLs "
+                         "in non-key columns) to exercise 3VL on base data")
     args = ap.parse_args()
 
-    from wikipediaetl_spark.plans.fuzz import run_campaign
+    from wikipediaetl_spark.plans.fuzz import make_nullable_fixture, run_campaign
     from wikipediaetl_spark.session import get_spark
 
     spark = get_spark("fuzz_differential")
-    res = run_campaign(spark, args.sf, n=args.n, seed0=args.seed0,
+    sf = args.sf
+    if args.nullable:
+        import tempfile
+
+        sf = tempfile.mkdtemp(prefix="fuzz_nullable_")
+        make_nullable_fixture(args.sf, sf)
+        print(f"nullable fixture at {sf}")
+    res = run_campaign(spark, sf, n=args.n, seed0=args.seed0,
                        verbose=args.verbose)
     print(f"\n{res['pass']} pass, {res['fail']} fail "
           f"(seeds {args.seed0}..{args.seed0 + args.n - 1}, sf={args.sf})")
     if args.json_out:
         payload = {
             "sf_dir": args.sf,
+            "nullable": args.nullable,
             "seed0": args.seed0,
             "n": args.n,
             "summary": {"pass": res["pass"], "fail": res["fail"]},

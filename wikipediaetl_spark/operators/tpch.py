@@ -795,34 +795,30 @@ def q135_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     15M-row orders side; hashing the small filtered build and streaming
     orders unsorted measured 8.98 s → 2.4-3.5 s at 100× (23× → 6.3-7.2×).
     Same trade as q12: build side fits executor memory by selectivity, AQE
-    skew split still applies. r7 second pass (400×): the build is
-    pre-aggregated to (l_orderkey, l_shipmode, cnt) grain before the
-    shuffle — same-order lines are file-adjacent, so the map-side partial
-    collapses them before any bytes move, and the join carries counts
-    instead of raw lines: 7.20 → 6.30 s best-of-3 at 400× (5.3× → 3.8×).
-    Broadcasting the pre-aggregate instead measured 10.9 s (driver build
-    cost) and was rejected — the q133 lesson repeats."""
-    lig = (
-        _with_transport(_t(spark, sf_dir, "lineitem"))
-        .filter(
-            F.col("l_shipmode").isin("MAIL", "SHIP")
-            & (F.col("l_commitdate") < F.col("l_receiptdate"))
-            & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
-            & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("date"))
-            & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("date"))
-        )
-        .groupBy("l_orderkey", "l_shipmode")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .hint("shuffle_hash")
+    skew split still applies. r7 second pass, measured NEGATIVE and pinned:
+    pre-aggregating the build to (l_orderkey, l_shipmode, cnt) wins 7.2 →
+    6.3 s under DEFAULT 128MB input splits but LOSES 5.3 → 6.7 s under the
+    bench session's 32MB splits — with enough scan tasks the raw-line
+    shuffle is already overlapped and the pre-agg's extra hash pass
+    dominates. Plan choices must be measured under the target session
+    config, not a default one (tools/exp_q116_q135.py). Broadcasting the
+    pre-aggregate measured 10.9 s either way (driver build cost) — the
+    q133 lesson repeats."""
+    li = _with_transport(_t(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("date"))
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        lig.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        li.hint("shuffle_hash").join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_shipmode")
         .agg(
-            F.sum(F.when(high, F.col("cnt")).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, F.col("cnt")).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 

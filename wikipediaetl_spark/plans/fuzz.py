@@ -766,3 +766,46 @@ def run_campaign(spark: SparkSession, sf_dir: str, n: int, seed0: int = 0,
             failures.append(rec)
             print(f"FAIL  seed={s}: {rec.get('problems')}\n{rec['sql']}")
     return {"pass": n_pass, "fail": len(failures), "failures": failures}
+
+
+def make_nullable_fixture(src_dir: str, dst_dir: str,
+                          seed: int = 0, null_frac: float = 0.08) -> None:
+    """Copy the fuzz schema's tables, injecting NULLs into non-key columns.
+
+    The driver fixtures carry no NULLs in base columns, so without this the
+    3-valued-logic productions (isnull, NULL propagation through arithmetic,
+    ||-concat, CASE, and aggregates' NULL-skipping) only ever see NULLs
+    manufactured by left joins. Every column not ending in ``key`` gets an
+    independent deterministic ~``null_frac`` of NULLs, keyed off a DuckDB
+    integer hash of the row's first key column, the column's position, and
+    ``seed`` — both engines then read identical parquet files.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    for t, cols in TABLES.items():
+        key0 = next(c for c in cols)
+        exprs = []
+        for i, c in enumerate(cols):
+            if c.endswith("key") or c == key0:
+                exprs.append(c)
+            else:
+                exprs.append(
+                    f"CASE WHEN hash({key0} * {i + 7} + {seed}) % 1000 < "
+                    f"{int(null_frac * 1000)} THEN NULL ELSE {c} END AS {c}")
+        con.execute(
+            f"COPY (SELECT {', '.join(exprs)} FROM "
+            f"read_parquet('{src_dir}/{t}.parquet')) TO "
+            f"'{dst_dir}/{t}.parquet' (FORMAT PARQUET)")
+    # the campaign registers every TABLE_NAMES view; provide the remaining
+    # tables untouched so registration succeeds
+    import os
+    import shutil
+
+    from wikipediaetl_spark.sources import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        if t not in TABLES:
+            dst = f"{dst_dir}/{t}.parquet"
+            if not os.path.exists(dst):
+                shutil.copyfile(f"{src_dir}/{t}.parquet", dst)
