@@ -1404,7 +1404,14 @@ def q99_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials group by (n_name, partition id) — bounded by partition size —
     and merge as DECIMAL(38,0), exactly the q12 overflow discipline; ANSI
     errors on any residual breach.
-    """
+
+    r7 second pass (11.9 → 5.5 s warm at 400×, ~5× → ~2.4×): lineitem is
+    semi-reduced by the broadcast ASIA-supplier key set BEFORE the fact
+    shuffle — any surviving row needs an ASIA supplier, so the semi-join is
+    a pure reduction (240M → ~48M rows, 1/5 by region selectivity) applied
+    scan-side. This is the manual form of the runtime bloom the session
+    enables: exact instead of approximate, and dim-bounded (the key set is
+    |ASIA suppliers|), so it holds at any SF where suppliers broadcast."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -1417,6 +1424,8 @@ def q99_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     asia_keys = asia.select("n_nationkey")
     c = c.join(F.broadcast(asia_keys), c.c_nationkey == F.col("n_nationkey"), "left_semi")
     s = s.join(F.broadcast(asia_keys), s.s_nationkey == F.col("n_nationkey"), "left_semi")
+    sk = s.select(F.col("s_suppkey").alias("sk")).alias("skv")
+    li = li.join(F.broadcast(sk), li.l_suppkey == F.col("skv.sk"), "left_semi")
     liv = li.select(
         "l_orderkey",
         "l_suppkey",
@@ -1427,13 +1436,15 @@ def q99_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vu"),
     )
     co = c.join(o, c.c_custkey == o.o_custkey).hint("shuffle_hash")
+    sup = s.alias("sup")
     inner = (
-        co.join(liv, liv.l_orderkey == F.col("o_orderkey"))
+        liv.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
-            (liv.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("sup.s_suppkey"))
+            & (F.col("c_nationkey") == F.col("sup.s_nationkey")),
         )
-        .join(F.broadcast(asia), s.s_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(asia), F.col("sup.s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.spark_partition_id().alias("pid"))
         .agg(F.sum("vu").alias("pvu"))
     )
