@@ -51,7 +51,12 @@ production below):
     output column ASC NULLS FIRST + LIMIT (explicit NULLS FIRST because
     the engines' bare-ASC null placement defaults differ; ties at the
     LIMIT boundary are whole-row duplicates, interchangeable under the
-    multiset compare).
+    multiset compare),
+  * window functions (row_number/rank/lag/lead/framed sum/min/max/count)
+    on single-table shapes ordered by the table's single-column unique key
+    — a total order, so both engines agree row-for-row; frames render as
+    explicit ROWS BETWEEN on both sides, and window sums pin DuckDB's
+    HUGEINT back to BIGINT outside the OVER.
 
 Excluded by design, with reasons: float aggregation (order-dependent),
 division (int '/' promotes differently across engines' histories),
@@ -121,6 +126,14 @@ FK_EDGES: list[tuple[str, str, str, str]] = [
     ("supplier", "s_nationkey", "nation", "n_nationkey"),
     ("nation", "n_regionkey", "region", "r_regionkey"),
 ]
+
+# Single-column unique keys per table (windowed shapes order by these, so
+# every window's row order is total and both engines agree row-for-row).
+# lineitem is absent: its key is composite.
+UNIQUE_KEYS: dict[str, str] = {
+    "orders": "o_orderkey", "customer": "c_custkey", "part": "p_partkey",
+    "supplier": "s_suppkey", "nation": "n_nationkey", "region": "r_regionkey",
+}
 
 # Low-cardinality columns preferred as group keys (bounded result sizes).
 GROUPABLE: dict[str, list[str]] = {
@@ -331,6 +344,10 @@ class FuzzQuery:
     having: tuple[str, int] | None = None   # (agg alias, threshold): alias > k
     union_where: Expr | None = None         # UNION ALL twin with this filter
     limit: int | None = None                # ORDER BY all cols NULLS FIRST + k
+    # windowed shape (single table, no joins/group_by): list of
+    # (alias, fn, arg Expr|None, partition_col) over ORDER BY the table's
+    # unique key — total order, so both engines agree row-for-row.
+    windows: list[tuple] = field(default_factory=list)
 
     def spark_df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{self.tables[0]}.parquet")
@@ -341,6 +358,37 @@ class FuzzQuery:
         base = df
         if self.where is not None:
             df = df.filter(to_spark(self.where))
+        if self.windows:
+            from pyspark.sql import Window as W
+
+            key = UNIQUE_KEYS[self.tables[0]]
+            cols = [F.col(key)]
+            for alias, fn, arg, part in self.windows:
+                w = W.partitionBy(part).orderBy(F.col(key).asc())
+                if fn in ("sum", "min", "max", "count"):
+                    w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+                if fn == "row_number":
+                    e = F.row_number().over(w)
+                elif fn == "rank":
+                    e = F.rank().over(w)
+                elif fn == "lag":
+                    e = F.lag(to_spark(arg)).over(w)
+                elif fn == "lead":
+                    e = F.lead(to_spark(arg), 2).over(w)
+                elif fn == "sum":
+                    e = F.sum(to_spark(arg).cast("long")).over(w)
+                elif fn in ("min", "max"):
+                    e = getattr(F, fn)(to_spark(arg)).over(w)
+                elif fn == "count":
+                    e = F.count(F.lit(1)).over(w)
+                else:
+                    raise ValueError(fn)
+                cols.append(e.alias(alias))
+            out = df.select(*cols)
+            if self.limit is not None:
+                out = out.orderBy(*[F.col(c).asc_nulls_first()
+                                    for c in sorted(out.columns)]).limit(self.limit)
+            return out
         if self.group_by:
             keys = [to_spark(g).alias(g.value) for g in self.group_by]
             aggs = [to_spark(e).alias(a) for a, e in self.select
@@ -378,6 +426,40 @@ class FuzzQuery:
             lc, rc = self.join_on[i]
             frm += f" {kw} {rel(t)} ON {lc} = {rc}"
         parts = []
+        if self.windows:
+            key = UNIQUE_KEYS[self.tables[0]]
+            items = [key]
+            for alias, fn, arg, part in self.windows:
+                frame = (" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                         if fn in ("sum", "min", "max", "count") else "")
+                over = f"OVER (PARTITION BY {part} ORDER BY {key} ASC{frame})"
+                if fn in ("row_number", "rank"):
+                    ex = f"{fn}() {over}"
+                elif fn == "lag":
+                    ex = f"lag({to_sql(arg)}) {over}"
+                elif fn == "lead":
+                    ex = f"lead({to_sql(arg)}, 2) {over}"
+                elif fn == "sum":
+                    # DuckDB window sum(BIGINT) is HUGEINT; pin to long
+                    ex = f"CAST(sum(CAST({to_sql(arg)} AS BIGINT)) {over} AS BIGINT)"
+                elif fn in ("min", "max"):
+                    ex = f"{fn}({to_sql(arg)}) {over}"
+                elif fn == "count":
+                    ex = f"count(*) {over}"
+                else:
+                    raise ValueError(fn)
+                items.append(f"{ex} AS {alias}")
+            parts.append("SELECT " + ", ".join(items))
+            parts.append(f"FROM {frm}")
+            if self.where is not None:
+                parts.append(f"WHERE {to_sql(self.where)}")
+            sql = "\n".join(parts)
+            if self.limit is not None:
+                cols = sorted([key] + [a for a, *_ in self.windows])
+                order = ", ".join(f"{c} ASC NULLS FIRST" for c in cols)
+                sql = (f"SELECT * FROM (\n{sql}\n) q "
+                       f"ORDER BY {order} LIMIT {self.limit}")
+            return sql
         if self.group_by:
             keys = [g.value for g in self.group_by]
             sel = keys + [f"{to_sql(e)} AS {a}" for a, e in self.select
@@ -598,6 +680,25 @@ class FuzzGen:
 
         where = self._bool_expr(tables) if rng.random() < 0.8 else None
         limit = rng.randint(1, 200) if rng.random() < 0.15 else None
+
+        if (len(tables) == 1 and tables[0] in UNIQUE_KEYS
+                and rng.random() < 0.25):
+            # windowed shape: ORDER BY the unique key makes every window's
+            # row order total, so lag/lead/rank/frames agree row-for-row
+            t0 = tables[0]
+            wins = []
+            for i in range(rng.randint(1, 3)):
+                part = rng.choice(GROUPABLE[t0])
+                fn = rng.choice(["row_number", "rank", "lag", "lead",
+                                 "sum", "min", "max", "count"])
+                arg = None
+                if fn in ("lag", "lead", "min", "max"):
+                    arg = rng.choice(self._cols_of(tables, ("int", "long")))
+                elif fn == "sum":
+                    arg = self._int_expr(tables)
+                wins.append((f"w{i}", fn, arg, part))
+            return FuzzQuery(self.seed, tables, hows, ons, where, [], [],
+                             windows=wins, limit=limit)
 
         if rng.random() < 0.55:
             # grouped query
