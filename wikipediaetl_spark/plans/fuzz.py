@@ -56,7 +56,17 @@ production below):
     on single-table shapes ordered by the table's single-column unique key
     — a total order, so both engines agree row-for-row; frames render as
     explicit ROWS BETWEEN on both sides, and window sums pin DuckDB's
-    HUGEINT back to BIGINT outside the OVER.
+    HUGEINT back to BIGINT outside the OVER,
+  * correlated [NOT] EXISTS along an FK edge not already in the join path,
+    optionally with its own subquery filter — the Spark rendering is a
+    left_semi/left_anti join, the SQL rendering a correlated subquery, so
+    the two encodings of semi/anti semantics check each other (NULL keys
+    included: a NULL correlation value never matches in either encoding),
+  * set operations INTERSECT [ALL] / EXCEPT [ALL] between two filtered
+    branches of the same FROM (Spark intersect/intersectAll/subtract/
+    exceptAll vs the SQL keywords; SQL set ops treat NULLs as equal in
+    both engines, and projections are int/str-typed so no float equality
+    is ever compared).
 
 Excluded by design, with reasons: float aggregation (order-dependent),
 division (int '/' promotes differently across engines' histories),
@@ -348,6 +358,15 @@ class FuzzQuery:
     # (alias, fn, arg Expr|None, partition_col) over ORDER BY the table's
     # unique key — total order, so both engines agree row-for-row.
     windows: list[tuple] = field(default_factory=list)
+    # correlated existence along an FK edge to a table NOT in the join path:
+    # (sub_table, outer_col, sub_col, sub_where Expr|None, negated).  Spark
+    # renders a left_semi/left_anti join; SQL renders [NOT] EXISTS — the two
+    # independent encodings of the reference's semi/anti join semantics.
+    exists_rel: tuple | None = None
+    # set-operation twin (projection shape only, exclusive with distinct /
+    # union_where): (op in {intersect, intersect_all, except, except_all},
+    # twin-branch filter Expr over the same FROM).
+    setop: tuple | None = None
 
     def spark_df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{self.tables[0]}.parquet")
@@ -358,6 +377,13 @@ class FuzzQuery:
         base = df
         if self.where is not None:
             df = df.filter(to_spark(self.where))
+        if self.exists_rel is not None:
+            sub_t, oc, sc, sub_where, neg = self.exists_rel
+            sub = spark.read.parquet(f"{sf_dir}/{sub_t}.parquet")
+            if sub_where is not None:
+                sub = sub.filter(to_spark(sub_where))
+            df = df.join(sub.select(sc), on=F.col(oc) == F.col(sc),
+                         how="left_anti" if neg else "left_semi")
         if self.windows:
             from pyspark.sql import Window as W
 
@@ -403,6 +429,13 @@ class FuzzQuery:
             if self.union_where is not None:
                 out = out.unionByName(
                     base.filter(to_spark(self.union_where)).select(*proj))
+            if self.setop is not None:
+                op, tw = self.setop
+                twin = base.filter(to_spark(tw)).select(*proj)
+                out = {"intersect": out.intersect,
+                       "intersect_all": out.intersectAll,
+                       "except": out.subtract,
+                       "except_all": out.exceptAll}[op](twin)
             if self.distinct:
                 out = out.distinct()
         if self.limit is not None:
@@ -412,6 +445,20 @@ class FuzzQuery:
             out = out.orderBy(*[F.col(c).asc_nulls_first()
                                 for c in sorted(out.columns)]).limit(self.limit)
         return out
+
+    def _where_sql(self, rel) -> str:
+        """Main-branch WHERE: the row filter AND-ed with the [NOT] EXISTS
+        correlated subquery (the SQL dual of the Spark semi/anti join)."""
+        conds = []
+        if self.where is not None:
+            conds.append(f"({to_sql(self.where)})")
+        if self.exists_rel is not None:
+            sub_t, oc, sc, sub_where, neg = self.exists_rel
+            inner = f"SELECT 1 FROM {rel(sub_t)} WHERE {sc} = {oc}"
+            if sub_where is not None:
+                inner += f" AND ({to_sql(sub_where)})"
+            conds.append(f"{'NOT ' if neg else ''}EXISTS ({inner})")
+        return " AND ".join(conds)
 
     def sql(self, sf_dir: str | None = None) -> str:
         """ANSI SQL over the registered table views (or read_parquet paths)."""
@@ -466,8 +513,9 @@ class FuzzQuery:
                           if e.kind == "agg"]
             parts.append("SELECT " + ", ".join(sel))
             parts.append(f"FROM {frm}")
-            if self.where is not None:
-                parts.append(f"WHERE {to_sql(self.where)}")
+            wc = self._where_sql(rel)
+            if wc:
+                parts.append(f"WHERE {wc}")
             parts.append("GROUP BY " + ", ".join(keys))
             if self.having is not None:
                 alias, k = self.having
@@ -478,13 +526,23 @@ class FuzzQuery:
             kw = "SELECT DISTINCT " if self.distinct else "SELECT "
             parts.append(kw + sel)
             parts.append(f"FROM {frm}")
-            if self.where is not None:
-                parts.append(f"WHERE {to_sql(self.where)}")
+            wc = self._where_sql(rel)
+            if wc:
+                parts.append(f"WHERE {wc}")
             if self.union_where is not None:
                 parts.append("UNION ALL")
                 parts.append("SELECT " + sel)
                 parts.append(f"FROM {frm}")
                 parts.append(f"WHERE {to_sql(self.union_where)}")
+            if self.setop is not None:
+                op, tw = self.setop
+                parts.append({"intersect": "INTERSECT",
+                              "intersect_all": "INTERSECT ALL",
+                              "except": "EXCEPT",
+                              "except_all": "EXCEPT ALL"}[op])
+                parts.append("SELECT " + sel)
+                parts.append(f"FROM {frm}")
+                parts.append(f"WHERE {to_sql(tw)}")
         sql = "\n".join(parts)
         if self.limit is not None:
             cols = sorted(a for a, _ in self.select) if not self.group_by else \
@@ -681,6 +739,22 @@ class FuzzGen:
         where = self._bool_expr(tables) if rng.random() < 0.8 else None
         limit = rng.randint(1, 200) if rng.random() < 0.15 else None
 
+        # Correlated existence along an unused FK edge: Spark semi/anti join
+        # vs SQL [NOT] EXISTS — independent encodings of the same semantics.
+        exists_rel = None
+        if rng.random() < 0.3:
+            frontier = []
+            for (lt, lc, rt, rc) in FK_EDGES:
+                if lt in tables and rt not in tables:
+                    frontier.append((rt, lc, rc))
+                elif rt in tables and lt not in tables:
+                    frontier.append((lt, rc, lc))
+            if frontier:
+                sub_t, oc, sc = rng.choice(frontier)
+                sub_where = (self._bool_expr([sub_t])
+                             if rng.random() < 0.6 else None)
+                exists_rel = (sub_t, oc, sc, sub_where, rng.random() < 0.4)
+
         if (len(tables) == 1 and tables[0] in UNIQUE_KEYS
                 and rng.random() < 0.25):
             # windowed shape: ORDER BY the unique key makes every window's
@@ -713,7 +787,8 @@ class FuzzGen:
             if long_aggs and rng.random() < 0.3:
                 having = (rng.choice(long_aggs), rng.randint(0, 20))
             return FuzzQuery(self.seed, tables, hows, ons, where, gcols,
-                             select, having=having, limit=limit)
+                             select, having=having, limit=limit,
+                             exists_rel=exists_rel)
 
         # projection query
         select = []
@@ -721,18 +796,22 @@ class FuzzGen:
             kind = rng.choice(["int", "int", "str"])
             e = self._int_expr(tables) if kind == "int" else self._str_expr(tables)
             select.append((f"c{i}", e))
-        # distinct and UNION ALL are mutually exclusive: composing them would
-        # make the SQL rendering order (DISTINCT-then-union) diverge from the
-        # Spark one (union-then-distinct)
-        distinct = union_where = None
+        # distinct / UNION ALL / set-op twins are mutually exclusive:
+        # composing them would make the SQL rendering order (e.g.
+        # DISTINCT-then-union) diverge from the Spark one
+        distinct = union_where = setop = None
         r = rng.random()
-        if r < 0.2:
+        if r < 0.15:
             distinct = True
-        elif r < 0.35:
+        elif r < 0.3:
             union_where = self._bool_expr(tables)
+        elif r < 0.45:
+            setop = (rng.choice(["intersect", "intersect_all",
+                                 "except", "except_all"]),
+                     self._bool_expr(tables))
         return FuzzQuery(self.seed, tables, hows, ons, where, [], select,
                          distinct=bool(distinct), union_where=union_where,
-                         limit=limit)
+                         setop=setop, limit=limit, exists_rel=exists_rel)
 
     @staticmethod
     def _owner(colname: str) -> str:
