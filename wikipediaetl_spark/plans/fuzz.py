@@ -66,7 +66,14 @@ production below):
     branches of the same FROM (Spark intersect/intersectAll/subtract/
     exceptAll vs the SQL keywords; SQL set ops treat NULLs as equal in
     both engines, and projections are int/str-typed so no float equality
-    is ever compared).
+    is ever compared),
+  * ROLLUP / CUBE grouped shapes (Spark df.rollup/df.cube vs GROUP BY
+    ROLLUP/CUBE) — subtotal rows carry NULL keys in both engines, and a
+    data-NULL key group stays distinct from the subtotal row in both, so
+    the multiset compare is exact.  One engine-level divergence is pinned:
+    on EMPTY input ANSI emits the grand-total grouping-set row while
+    Spark's Expand rewrite emits nothing, so the SQL rendering appends
+    HAVING count(*) > 0 — a strict no-op on non-empty input.
 
 Excluded by design, with reasons: float aggregation (order-dependent),
 division (int '/' promotes differently across engines' histories),
@@ -367,6 +374,10 @@ class FuzzQuery:
     # union_where): (op in {intersect, intersect_all, except, except_all},
     # twin-branch filter Expr over the same FROM).
     setop: tuple | None = None
+    # grouped-shape grouping strategy: Spark df.groupBy/rollup/cube vs SQL
+    # GROUP BY [ROLLUP|CUBE] (...).  Subtotal rows carry NULL keys in both
+    # engines, interchangeable under the multiset compare.
+    group_kind: str = "group"               # group | rollup | cube
 
     def spark_df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{self.tables[0]}.parquet")
@@ -419,7 +430,9 @@ class FuzzQuery:
             keys = [to_spark(g).alias(g.value) for g in self.group_by]
             aggs = [to_spark(e).alias(a) for a, e in self.select
                     if e.kind == "agg"]
-            out = df.groupBy(*keys).agg(*aggs)
+            grouped = {"group": df.groupBy, "rollup": df.rollup,
+                       "cube": df.cube}[self.group_kind](*keys)
+            out = grouped.agg(*aggs)
             if self.having is not None:
                 alias, k = self.having
                 out = out.filter(F.col(alias) > k)
@@ -516,11 +529,25 @@ class FuzzQuery:
             wc = self._where_sql(rel)
             if wc:
                 parts.append(f"WHERE {wc}")
-            parts.append("GROUP BY " + ", ".join(keys))
+            klist = ", ".join(keys)
+            parts.append({"group": f"GROUP BY {klist}",
+                          "rollup": f"GROUP BY ROLLUP ({klist})",
+                          "cube": f"GROUP BY CUBE ({klist})"}[self.group_kind])
+            having_conds = []
             if self.having is not None:
                 alias, k = self.having
                 agg_sql = next(to_sql(e) for a, e in self.select if a == alias)
-                parts.append(f"HAVING {agg_sql} > {k}")
+                having_conds.append(f"{agg_sql} > {k}")
+            if self.group_kind != "group":
+                # Engine-level divergence (fuzz seeds 8/49): on EMPTY input,
+                # ANSI/DuckDB ROLLUP/CUBE emit the grand-total () grouping-set
+                # row, while Spark's Expand-based rewrite emits nothing.  Pin
+                # the SQL to Spark's behavior; on non-empty input every
+                # rollup/cube group has >=1 contributing row, so this guard
+                # is exactly a no-op there.
+                having_conds.append("count(*) > 0")
+            if having_conds:
+                parts.append("HAVING " + " AND ".join(having_conds))
         else:
             sel = ", ".join(f"{to_sql(e)} AS {a}" for a, e in self.select)
             kw = "SELECT DISTINCT " if self.distinct else "SELECT "
@@ -786,9 +813,10 @@ class FuzzGen:
             long_aggs = [a for a, e in select if e.dtype == "long"]
             if long_aggs and rng.random() < 0.3:
                 having = (rng.choice(long_aggs), rng.randint(0, 20))
+            group_kind = rng.choice(["group"] * 4 + ["rollup", "cube"])
             return FuzzQuery(self.seed, tables, hows, ons, where, gcols,
                              select, having=having, limit=limit,
-                             exists_rel=exists_rel)
+                             exists_rel=exists_rel, group_kind=group_kind)
 
         # projection query
         select = []
