@@ -73,7 +73,15 @@ production below):
     the multiset compare is exact.  One engine-level divergence is pinned:
     on EMPTY input ANSI emits the grand-total grouping-set row while
     Spark's Expand rewrite emits nothing, so the SQL rendering appends
-    HAVING count(*) > 0 — a strict no-op on non-empty input.
+    HAVING count(*) > 0 — a strict no-op on non-empty input,
+  * FILTER (WHERE cond) aggregates — the SQL FILTER clause vs Spark's
+    agg(when(cond, x)) encoding (NULL where the condition is false or
+    NULL, which every aggregate skips: exactly FILTER's rule) — plus
+    sum(DISTINCT) pinned to BIGINT on both sides,
+  * uncorrelated scalar subqueries in WHERE — SQL scalar subquery vs
+    Spark crossJoin(broadcast(1-row agg)) + filter; when the inner
+    filter empties the subquery, agg-on-empty yields a NULL scalar and
+    the 3VL comparison drops every row in both engines.
 
 Excluded by design, with reasons: float aggregation (order-dependent),
 division (int '/' promotes differently across engines' histories),
@@ -259,11 +267,26 @@ def to_spark(e: Expr) -> Column:
     if e.kind == "agg":
         if e.op == "count_star":
             return F.count(F.lit(1))
+        if e.op == "count_starf":
+            return F.count(F.when(to_spark(e.args[0]), F.lit(1)))
+        if e.op.endswith("f") and e.op != "countd":
+            # FILTER (WHERE cond) aggregates: the Spark encoding routes the
+            # condition through when(cond, x) — NULL where cond is false or
+            # NULL, which every aggregate skips, exactly FILTER's semantics.
+            arg = F.when(to_spark(e.args[1]), to_spark(e.args[0]))
+            base = e.op[:-1]
+            if base == "sum":
+                return F.sum(arg.cast("long"))
+            if base == "count":
+                return F.count(arg)
+            return getattr(F, base)(arg)
         a = to_spark(e.args[0])
         if e.op == "count":
             return F.count(a)
         if e.op == "countd":
             return F.countDistinct(a)
+        if e.op == "sumd":
+            return F.sum_distinct(a.cast("long"))
         if e.op == "sum":
             return F.sum(a.cast("long"))
         if e.op == "min":
@@ -330,11 +353,22 @@ def to_sql(e: Expr) -> str:
     if e.kind == "agg":
         if e.op == "count_star":
             return "count(*)"
+        if e.op == "count_starf":
+            return f"count(*) FILTER (WHERE {to_sql(e.args[0])})"
+        if e.op.endswith("f") and e.op != "countd":
+            a, cond = to_sql(e.args[0]), to_sql(e.args[1])
+            base = e.op[:-1]
+            if base == "sum":
+                return (f"CAST(sum(CAST({a} AS BIGINT)) "
+                        f"FILTER (WHERE {cond}) AS BIGINT)")
+            return f"{base}({a}) FILTER (WHERE {cond})"
         a = to_sql(e.args[0])
         if e.op == "count":
             return f"count({a})"
         if e.op == "countd":
             return f"count(DISTINCT {a})"
+        if e.op == "sumd":
+            return f"CAST(sum(DISTINCT CAST({a} AS BIGINT)) AS BIGINT)"
         if e.op == "sum":
             # DuckDB sum(BIGINT) -> HUGEINT; pin to Spark's long
             return f"CAST(sum(CAST({a} AS BIGINT)) AS BIGINT)"
@@ -378,6 +412,13 @@ class FuzzQuery:
     # GROUP BY [ROLLUP|CUBE] (...).  Subtotal rows carry NULL keys in both
     # engines, interchangeable under the multiset compare.
     group_kind: str = "group"               # group | rollup | cube
+    # uncorrelated scalar subquery in WHERE:
+    # (sub_table, agg_op in {min,max}, sub_col, k, cmp, outer_expr, sub_where).
+    # Spark renders crossJoin(broadcast(1-row agg)) + filter; SQL renders a
+    # scalar subquery — two independent encodings, including the empty-input
+    # case (agg-on-empty yields one NULL row; NULL comparison drops all rows
+    # in both).
+    scalar_sub: tuple | None = None
 
     def spark_df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{self.tables[0]}.parquet")
@@ -395,6 +436,19 @@ class FuzzQuery:
                 sub = sub.filter(to_spark(sub_where))
             df = df.join(sub.select(sc), on=F.col(oc) == F.col(sc),
                          how="left_anti" if neg else "left_semi")
+        if self.scalar_sub is not None:
+            sub_t, agg_op, sc, k, cmp, outer, sub_where = self.scalar_sub
+            sub = spark.read.parquet(f"{sf_dir}/{sub_t}.parquet")
+            if sub_where is not None:
+                sub = sub.filter(to_spark(sub_where))
+            scalar = sub.agg(
+                (getattr(F, agg_op)(F.col(sc)).cast("long")
+                 + F.lit(int(k))).alias("__scalar0"))
+            lhs = to_spark(outer).cast("long")
+            rhs = F.col("__scalar0")
+            pred = {"<": lhs < rhs, "<=": lhs <= rhs, ">": lhs > rhs,
+                    ">=": lhs >= rhs, "=": lhs == rhs, "<>": lhs != rhs}[cmp]
+            df = df.crossJoin(F.broadcast(scalar)).filter(pred).drop("__scalar0")
         if self.windows:
             from pyspark.sql import Window as W
 
@@ -471,6 +525,14 @@ class FuzzQuery:
             if sub_where is not None:
                 inner += f" AND ({to_sql(sub_where)})"
             conds.append(f"{'NOT ' if neg else ''}EXISTS ({inner})")
+        if self.scalar_sub is not None:
+            sub_t, agg_op, sc, k, cmp, outer, sub_where = self.scalar_sub
+            inner = (f"SELECT CAST({agg_op}({sc}) AS BIGINT) + {int(k)} "
+                     f"FROM {rel(sub_t)}")
+            if sub_where is not None:
+                inner += f" WHERE ({to_sql(sub_where)})"
+            conds.append(
+                f"(CAST({to_sql(outer)} AS BIGINT) {cmp} ({inner}))")
         return " AND ".join(conds)
 
     def sql(self, sf_dir: str | None = None) -> str:
@@ -729,11 +791,29 @@ class FuzzGen:
     def _agg_expr(self, tables: list[str]) -> Expr:
         rng = self.rng
         k = rng.choice(["count_star", "count", "countd", "sum", "sum",
-                        "min", "max"])
+                        "min", "max", "filter", "sumd"])
         if k == "count_star":
             return Expr("agg", "long", op="count_star")
         if k == "sum":
             return Expr("agg", "long", op="sum", args=(self._int_expr(tables),))
+        if k == "sumd":
+            c = rng.choice(self._cols_of(tables, ("int", "long")))
+            return Expr("agg", "long", op="sumd", args=(c,))
+        if k == "filter":
+            # FILTER (WHERE cond) aggregates: SQL's FILTER clause vs Spark's
+            # agg(when(cond, x)) — independent encodings of the same skip rule
+            cond = self._bool_expr(tables, depth=1)
+            kind = rng.choice(["count_starf", "sumf", "countf", "minf", "maxf"])
+            if kind == "count_starf":
+                return Expr("agg", "long", op=kind, args=(cond,))
+            if kind == "sumf":
+                return Expr("agg", "long", op=kind,
+                            args=(self._int_expr(tables), cond))
+            if kind == "countf":
+                c = rng.choice(self._cols_of(tables, ("int", "long", "str")))
+                return Expr("agg", "long", op=kind, args=(c, cond))
+            c = rng.choice(self._cols_of(tables, ("int", "long", "str", "ts")))
+            return Expr("agg", c.dtype, op=kind, args=(c, cond))
         if k in ("count", "countd"):
             c = rng.choice(self._cols_of(tables, ("int", "long", "str")))
             return Expr("agg", "long", op=k, args=(c,))
@@ -782,6 +862,23 @@ class FuzzGen:
                              if rng.random() < 0.6 else None)
                 exists_rel = (sub_t, oc, sc, sub_where, rng.random() < 0.4)
 
+        # Uncorrelated scalar subquery: any table works (no FK needed); the
+        # sub_where sometimes filters to empty, exercising the NULL-scalar
+        # path in both encodings.
+        scalar_sub = None
+        if rng.random() < 0.22:
+            sub_t = rng.choice(list(TABLES))
+            int_cols = [c for c, d in TABLES[sub_t].items()
+                        if d in ("int", "long")]
+            if int_cols:
+                sub_col = rng.choice(int_cols)
+                sub_where = (self._bool_expr([sub_t])
+                             if rng.random() < 0.5 else None)
+                scalar_sub = (sub_t, rng.choice(["min", "max"]), sub_col,
+                              rng.randint(-1000, 1000),
+                              rng.choice(["<", "<=", ">", ">=", "<>"]),
+                              self._int_expr(tables), sub_where)
+
         if (len(tables) == 1 and tables[0] in UNIQUE_KEYS
                 and rng.random() < 0.25):
             # windowed shape: ORDER BY the unique key makes every window's
@@ -816,7 +913,8 @@ class FuzzGen:
             group_kind = rng.choice(["group"] * 4 + ["rollup", "cube"])
             return FuzzQuery(self.seed, tables, hows, ons, where, gcols,
                              select, having=having, limit=limit,
-                             exists_rel=exists_rel, group_kind=group_kind)
+                             exists_rel=exists_rel, group_kind=group_kind,
+                             scalar_sub=scalar_sub)
 
         # projection query
         select = []
@@ -839,7 +937,8 @@ class FuzzGen:
                      self._bool_expr(tables))
         return FuzzQuery(self.seed, tables, hows, ons, where, [], select,
                          distinct=bool(distinct), union_where=union_where,
-                         setop=setop, limit=limit, exists_rel=exists_rel)
+                         setop=setop, limit=limit, exists_rel=exists_rel,
+                         scalar_sub=scalar_sub)
 
     @staticmethod
     def _owner(colname: str) -> str:
