@@ -87,6 +87,50 @@ def test_bfs_cycle_terminates(spark):
     assert got == {"a": 0, "b": 1}
 
 
+# a forest: one depth-7 chain plus a branch, plus a second unreachable tree
+_FOREST = [
+    ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "g"),
+    ("g", "h"), ("a", "x"), ("x", "y"), ("p", "q"),
+]
+
+
+def test_recursive_bfs_tree_matches_fixpoint(spark):
+    """The Spark-4 recursive-CTE BFS must assign the same depths as the
+    driver-loop engine on a forest, at every stride (the anchor covers
+    depths 0..stride-1; the power-table step covers the rest)."""
+    from wikipediaetl_spark.streaming.crawler import recursive_bfs_tree
+
+    edges = spark.createDataFrame(_FOREST, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    want = {r.node: r.depth for r in bfs_fixpoint(spark, seeds, edges).collect()}
+    assert want == {"a": 0, "b": 1, "x": 1, "c": 2, "y": 2, "d": 3, "e": 4,
+                    "f": 5, "g": 6, "h": 7}
+    for stride in (1, 2, 4, 8):
+        got = {
+            r.node: r.depth
+            for r in recursive_bfs_tree(spark, seeds, edges, stride=stride).collect()
+        }
+        assert got == want, f"stride={stride} diverged: {got}"
+
+
+def test_recursive_bfs_tree_depth_cap_and_empty_seeds(spark):
+    from wikipediaetl_spark.streaming.crawler import recursive_bfs_tree
+
+    edges = spark.createDataFrame(_FOREST, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    # cap below the chain length, NOT a multiple of the stride: depths > cap
+    # must be filtered even when the strided step overshoots
+    got = {
+        r.node: r.depth
+        for r in recursive_bfs_tree(spark, seeds, edges, max_depth=5,
+                                    stride=4).collect()
+    }
+    assert got == {"a": 0, "b": 1, "x": 1, "c": 2, "y": 2, "d": 3, "e": 4,
+                   "f": 5}
+    empty = spark.createDataFrame([], "node string")
+    assert recursive_bfs_tree(spark, empty, edges, stride=2).count() == 0
+
+
 def test_crawl_frontier_step_semantics(spark):
     """normalize → domain filter → seen anti-join, parity with
     parser/app/main.py + filter/app/main.py."""

@@ -98,6 +98,18 @@ QUERIES = [
     "q136_parts_supplier_relationship",
     "q137_potential_promotion",
     "q138_waiting_suppliers",
+    # r7: the custom-operator family (operators Spark lacks natively,
+    # composed from DataFrame ops) measured at scale — as-of join, window
+    # top-k, iterative BFS, TF-IDF, and sequence packing. q57/q83 are
+    # excluded with reasons: embeddings is copied (scale-invariant input,
+    # the q53 caveat), and document replication makes every replica an
+    # exact near-dup of its base so q83's pair count grows quadratically in
+    # FACTOR — a worst-case-adversarial corpus, not a scale measurement.
+    "q19_asof_join",
+    "q20_window_topk",
+    "q38_bfs_reachability",
+    "q67_tfidf_top_terms",
+    "q90_sequence_packing",
 ]
 
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "embeddings")
