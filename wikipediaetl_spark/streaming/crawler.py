@@ -169,10 +169,15 @@ def recursive_bfs_tree(
     n_part = min(8, spark.sparkContext.defaultParallelism)
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    prev_rows = spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
     # Same rationale as bfs_fixpoint: tiny per-level frontiers make AQE's
     # per-stage re-optimization and default-200 shuffles pure overhead.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    # the default 1M-row recursion guard fires on any fact-scale reach set
+    # (15M nodes at 100x); -1 disables it — termination is guaranteed by
+    # max_depth, which bounds levels regardless of row volume
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     cached = []
     views = []
     try:
@@ -220,6 +225,7 @@ def recursive_bfs_tree(
             t.unpersist()
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.cteRecursionRowLimit", prev_rows)
 
 
 def crawl_frontier_step(
