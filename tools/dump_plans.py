@@ -103,6 +103,13 @@ SHOWCASE = {
     "q167_rollup_serving": "the q12 shape answered FROM a maintained bucketed "
     "rollup after an incremental merge batch — exchange-light probe over "
     "~|orders| grain rows; hash-matches the raw-lineitem oracle (r7).",
+    "q38_bfs_reachability": "the BFS fixpoint as ONE Spark 4 recursive CTE "
+    "(UnionLoopExec) stepping over the cached edges^4 power table — no "
+    "Python driver rounds; 0.90x/0.53x vs the comparator at 100x/400x (r7). "
+    "The fn returns the EAGER localCheckpoint of the recursion (so its "
+    "pinned session confs can be restored), hence the plan below is the "
+    "materialized RDD scan; the recursion itself plans as UnionLoop inside "
+    "streaming/crawler.py:recursive_bfs_tree.",
 }
 
 
