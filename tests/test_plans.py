@@ -230,3 +230,25 @@ def test_readme_and_coverage_counts_match_catalog():
     assert f"{n_oracle} pass / {n_rows_only} rows-only / 0 fail" in readme, (
         "README.md sweep line stale"
     )
+
+
+def test_bfs_recursion_plans_as_union_loop(spark):
+    """q38's fixpoint must plan ENGINE-side: the recursive CTE lowers to a
+    UnionLoop operator (one query, no Python driver rounds). Asserted on
+    the recursion shape itself — the catalog fn returns the eagerly
+    materialized result, whose outer plan is just the checkpoint scan."""
+    spark.range(1, 100).selectExpr(
+        "id div 2 AS src", "id AS dst"
+    ).createOrReplaceTempView("ul_edges")
+    text = explain_str(
+        spark.sql("""
+            WITH RECURSIVE reach(node, depth) AS (
+              SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+              UNION ALL
+              SELECT e.dst, r.depth + 1 FROM ul_edges e
+              JOIN reach r ON e.src = r.node WHERE r.depth < 10
+            ) SELECT * FROM reach
+        """)
+    )
+    spark.catalog.dropTempView("ul_edges")
+    assert "UnionLoop" in text, text[:500]
