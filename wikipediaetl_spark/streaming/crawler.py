@@ -170,6 +170,7 @@ def recursive_bfs_tree(
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     prev_rows = spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
+    prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     # Same rationale as bfs_fixpoint: tiny per-level frontiers make AQE's
     # per-stage re-optimization and default-200 shuffles pure overhead.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -178,6 +179,14 @@ def recursive_bfs_tree(
     # (15M nodes at 100x); -1 disables it — termination is guaranteed by
     # max_depth, which bounds levels regardless of row volume
     spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+    # Whole-stage codegen is a net LOSS for the loop: each recursion level
+    # compiles its stages, the generated classes are evicted from the
+    # code cache by whatever else the session runs, and the per-level data
+    # is tiny. Measured interleaved with 5 heavy catalog queries (the
+    # bench round-robin shape) at sf0.1: codegen-on 2.8-5.1 s/call,
+    # codegen-off 2.2-2.5 s/call. At cluster scale per-level volume grows;
+    # revisit there (the conf is loop-scoped and restored).
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     cached = []
     views = []
     try:
@@ -226,6 +235,7 @@ def recursive_bfs_tree(
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.cteRecursionRowLimit", prev_rows)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
 
 
 def crawl_frontier_step(
