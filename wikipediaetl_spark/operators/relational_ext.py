@@ -261,15 +261,24 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     as the crawler BFS (streaming/crawler.py).
     """
     spark = pairs.sparkSession
+    # Materialize the pair list BEFORE pinning the loop confs: the upstream
+    # pair generation (e.g. q53's shingle join) is the heavy stage and must
+    # run at session parallelism/codegen, not the loop's tiny-round pins.
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")  # tiny-round loop
     spark.conf.set("spark.sql.shuffle.partitions", "8")  # AQE off → pin small
+    # per-round whole-stage compilation is a net loss on tiny frontiers and
+    # the generated classes get code-cache-evicted between calls (measured
+    # on q83 interleaved with heavy queries: 1.85 -> 1.36 s/call; the same
+    # finding as recursive_bfs_tree)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try:
-        edges = pairs.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        edges = edges.localCheckpoint(eager=True)
         labels = (
             edges.select(F.col("src").alias("node"))
             .distinct()
@@ -305,6 +314,8 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
 
 
 @query(
@@ -609,8 +620,12 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85) -> DataFr
     spark = edges.sparkSession
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # tiny-round loop: per-round codegen compiles get evicted between calls
+    # (measured on q165 interleaved: 2.44 -> 2.03 s/call)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try:
         nodes = (
             edges.select(F.col("src").alias("node"))
@@ -656,6 +671,7 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85) -> DataFr
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
 
 
 @query("q103_pagerank")
@@ -737,8 +753,12 @@ def pagerank_exact(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     base = 1_000_000_000
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # tiny-round loop: per-round codegen compiles get evicted between calls
+    # (measured on q165 interleaved: 2.44 -> 2.03 s/call)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try:
         nodes = (
             edges.select(F.col("src").alias("node"))
@@ -785,6 +805,7 @@ def pagerank_exact(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
 
 
 @query("q165_pagerank_exact", oracle=_pagerank_exact_oracle(5))
