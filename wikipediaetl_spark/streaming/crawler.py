@@ -184,8 +184,10 @@ def recursive_bfs_tree(
     # code cache by whatever else the session runs, and the per-level data
     # is tiny. Measured interleaved with 5 heavy catalog queries (the
     # bench round-robin shape) at sf0.1: codegen-on 2.8-5.1 s/call,
-    # codegen-off 2.2-2.5 s/call. At cluster scale per-level volume grows;
-    # revisit there (the conf is loop-scoped and restored).
+    # codegen-off 2.2-2.5 s/call. Re-measured at 100x/400x (per-level
+    # frontiers of 0.5-2M rows): no regression — 0.91x/0.55x vs the
+    # comparator, the join/shuffle dominates, not expression eval. The
+    # conf is loop-scoped and restored.
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     cached = []
     views = []
