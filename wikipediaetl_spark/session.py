@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # whole-stage-codegen class cache: the 100-entry default thrashes on
+        # any multi-query workload (the 167-query catalog sweep and the
+        # 20-query bench round-robin both recompile every repetition once
+        # ~100 distinct stages have run). 2048 covers the full catalog with
+        # headroom; measured 20% off a 16-query best-of-3 round-robin at
+        # sf0.1 (10.25 s → 8.2 s). Static conf — set at session build.
+        .config("spark.sql.codegen.cache.maxEntries", "2048")
         # driver fixtures carry parquet TIMESTAMP(NANOS), which Spark only
         # reads as long; sources/tables.py converts back to timestamps
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
