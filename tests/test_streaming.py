@@ -131,6 +131,25 @@ def test_recursive_bfs_tree_depth_cap_and_empty_seeds(spark):
     assert recursive_bfs_tree(spark, empty, edges, stride=2).count() == 0
 
 
+def test_recursive_bfs_tree_overlapping_seeds(spark):
+    """A seed that is an ancestor of another seed enumerates the descendant
+    subtree twice; the final min-aggregate must return each node once at
+    its MINIMAL depth (bfs_fixpoint semantics)."""
+    from wikipediaetl_spark.streaming.crawler import recursive_bfs_tree
+
+    edges = spark.createDataFrame(_FOREST, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("c",)], "node string")
+    want = {r.node: r.depth for r in bfs_fixpoint(spark, seeds, edges).collect()}
+    assert want == {"a": 0, "c": 0, "b": 1, "x": 1, "d": 1, "y": 2, "e": 2,
+                    "f": 3, "g": 4, "h": 5}
+    for stride in (1, 4):
+        got = {
+            r.node: r.depth
+            for r in recursive_bfs_tree(spark, seeds, edges, stride=stride).collect()
+        }
+        assert got == want, f"stride={stride}: {got}"
+
+
 def test_crawl_frontier_step_semantics(spark):
     """normalize → domain filter → seen anti-join, parity with
     parser/app/main.py + filter/app/main.py."""

@@ -218,6 +218,12 @@ def recursive_bfs_tree(
         anchor.createOrReplaceTempView(anchor_v)
         hops[-1].createOrReplaceTempView(step_v)
         views.extend([anchor_v, step_v])
+        # The final min-aggregate covers the one duplicate source a forest
+        # allows: a seed that is an ancestor of another seed enumerates the
+        # descendant's subtree once per covering seed (bounded by |seeds|,
+        # never exponential) — min(depth) restores bfs_fixpoint's minimal-
+        # depth semantics. With pairwise non-reachable seeds it aggregates
+        # singleton groups.
         out = spark.sql(f"""
             WITH RECURSIVE reach(node, depth) AS (
               SELECT node, depth FROM {anchor_v}
@@ -226,7 +232,8 @@ def recursive_bfs_tree(
               FROM {step_v} e JOIN reach r ON e.src = r.node
               WHERE r.depth < {max_depth}
             )
-            SELECT node, depth FROM reach WHERE depth <= {max_depth}
+            SELECT node, min(depth) AS depth FROM reach
+            WHERE depth <= {max_depth} GROUP BY node
         """)
         return out.localCheckpoint(eager=True)
     finally:
