@@ -110,6 +110,20 @@ QUERIES = [
     "q38_bfs_reachability",
     "q67_tfidf_top_terms",
     "q90_sequence_packing",
+    # r7 (second batch): the per-document curation scalars — no cross-doc
+    # joins, so fixture replication is semantically clean for them.
+    # Regimes, for the reader: q141/q142/q144 are work-dominated (full-text
+    # token streams; 1.9x/1.7x/4.2x at 100x); q89/q120/q151 touch only
+    # ids/lang (sub-second walls over tiny denominators — the q122/q130
+    # fixed-cost regime); q121 is doc_id<100 capped BY DESIGN (the q53
+    # scale-invariant-input caveat applies to its ratio).
+    "q89_stratified_sample",
+    "q120_train_val_test_split",
+    "q121_chunking",
+    "q141_duplicate_spans",
+    "q142_gopher_rules",
+    "q144_unigram_perplexity",
+    "q151_content_hash_sample",
 ]
 
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "embeddings")
