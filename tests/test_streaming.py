@@ -233,3 +233,50 @@ def test_watermark_bounds_state_and_emits_once(spark, sf_dir, tmp_path):
     # append mode: every window emitted at most once
     emitted = spark.table(name)
     assert emitted.count() == emitted.select("ws").distinct().count()
+
+
+def test_recursive_bfs_tree_random_forests_vs_python_reference(spark):
+    """Independent-reference battery for the stride algebra: random forests
+    + random (possibly ancestor-overlapping) seed sets, checked against a
+    pure-Python multi-source BFS — derived from neither engine path."""
+    import random
+    from collections import deque
+
+    from wikipediaetl_spark.streaming.crawler import recursive_bfs_tree
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(10, 60)
+        edge_list = []
+        children: dict[int, list[int]] = {}
+        for i in range(1, n):
+            if rng.random() < 0.85:
+                p = rng.randrange(0, i)
+                edge_list.append((f"n{p}", f"n{i}"))
+                children.setdefault(p, []).append(i)
+        seeds_i = sorted(rng.sample(range(n), rng.randint(1, 3)))
+        # pure-Python multi-source BFS (min depth)
+        want: dict[str, int] = {}
+        dq = deque((s, 0) for s in seeds_i)
+        for s in seeds_i:
+            want[f"n{s}"] = 0
+        while dq:
+            u, d = dq.popleft()
+            for v in children.get(u, ()):
+                if f"n{v}" not in want:
+                    want[f"n{v}"] = d + 1
+                    dq.append((v, d + 1))
+        edges = spark.createDataFrame(
+            edge_list or [("zz", "zz2")], "src string, dst string"
+        )
+        seeds = spark.createDataFrame(
+            [(f"n{s}",) for s in seeds_i], "node string"
+        )
+        stride = rng.choice([1, 2, 4, 8])
+        got = {
+            r.node: r.depth
+            for r in recursive_bfs_tree(spark, seeds, edges, stride=stride).collect()
+        }
+        assert got == want, (
+            f"seed={seed} stride={stride} n={n}: got {got} want {want}"
+        )
