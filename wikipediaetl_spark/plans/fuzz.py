@@ -81,7 +81,14 @@ production below):
   * uncorrelated scalar subqueries in WHERE — SQL scalar subquery vs
     Spark crossJoin(broadcast(1-row agg)) + filter; when the inner
     filter empties the subquery, agg-on-empty yields a NULL scalar and
-    the 3VL comparison drops every row in both engines.
+    the 3VL comparison drops every row in both engines,
+  * BETWEEN (SQL keyword vs the Spark >=/<= conjunction — independent
+    encodings of the same 3VL range predicate), greatest/least on
+    BIGINT-cast args (both engines skip NULLs, all-NULL yields NULL —
+    verified empirically), multi-WHEN searched CASE, and LIMIT k
+    OFFSET n under the total ORDER BY (Spark .offset().limit() vs the
+    SQL clause; boundary ties are whole-row duplicates, interchangeable
+    under the multiset compare).
 
 Excluded by design, with reasons: float aggregation (order-dependent),
 division (int '/' promotes differently across engines' histories),
@@ -264,6 +271,16 @@ def to_spark(e: Expr) -> Column:
     if e.kind == "case":
         cond, then, els = (to_spark(x) for x in e.args)
         return F.when(cond, then).otherwise(els)
+    if e.kind == "case2":
+        c1, t1, c2, t2, els = (to_spark(x) for x in e.args)
+        return F.when(c1, t1).when(c2, t2).otherwise(els)
+    if e.kind == "between":
+        # independent encoding: SQL renders BETWEEN, Spark the conjunction
+        x, lo, hi = (to_spark(a) for a in e.args)
+        return (x >= lo) & (x <= hi)
+    if e.kind == "gl":
+        args = [to_spark(a).cast("long") for a in e.args]
+        return (F.greatest if e.op == "greatest" else F.least)(*args)
     if e.kind == "agg":
         if e.op == "count_star":
             return F.count(F.lit(1))
@@ -350,6 +367,16 @@ def to_sql(e: Expr) -> str:
     if e.kind == "case":
         c, t, els = (to_sql(x) for x in e.args)
         return f"(CASE WHEN {c} THEN {t} ELSE {els} END)"
+    if e.kind == "case2":
+        c1, t1, c2, t2, els = (to_sql(x) for x in e.args)
+        return (f"(CASE WHEN {c1} THEN {t1} WHEN {c2} THEN {t2} "
+                f"ELSE {els} END)")
+    if e.kind == "between":
+        x, lo, hi = (to_sql(a) for a in e.args)
+        return f"({x} BETWEEN {lo} AND {hi})"
+    if e.kind == "gl":
+        args = ", ".join(f"CAST({to_sql(a)} AS BIGINT)" for a in e.args)
+        return f"{e.op}({args})"
     if e.kind == "agg":
         if e.op == "count_star":
             return "count(*)"
@@ -419,6 +446,10 @@ class FuzzQuery:
     # case (agg-on-empty yields one NULL row; NULL comparison drops all rows
     # in both).
     scalar_sub: tuple | None = None
+    # OFFSET under the total ORDER BY (only ever set alongside limit);
+    # boundary ties are whole-row duplicates, interchangeable under the
+    # multiset compare exactly as at the LIMIT boundary.
+    offset: int | None = None
 
     def spark_df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{self.tables[0]}.parquet")
@@ -478,7 +509,10 @@ class FuzzQuery:
             out = df.select(*cols)
             if self.limit is not None:
                 out = out.orderBy(*[F.col(c).asc_nulls_first()
-                                    for c in sorted(out.columns)]).limit(self.limit)
+                                    for c in sorted(out.columns)])
+                if self.offset:
+                    out = out.offset(self.offset)
+                out = out.limit(self.limit)
             return out
         if self.group_by:
             keys = [to_spark(g).alias(g.value) for g in self.group_by]
@@ -510,7 +544,10 @@ class FuzzQuery:
             # the explicit NULLS FIRST in the SQL rendering (the engines'
             # bare-ASC null defaults differ: Spark first, DuckDB last)
             out = out.orderBy(*[F.col(c).asc_nulls_first()
-                                for c in sorted(out.columns)]).limit(self.limit)
+                                for c in sorted(out.columns)])
+            if self.offset:
+                out = out.offset(self.offset)
+            out = out.limit(self.limit)
         return out
 
     def _where_sql(self, rel) -> str:
@@ -580,7 +617,8 @@ class FuzzQuery:
                 cols = sorted([key] + [a for a, *_ in self.windows])
                 order = ", ".join(f"{c} ASC NULLS FIRST" for c in cols)
                 sql = (f"SELECT * FROM (\n{sql}\n) q "
-                       f"ORDER BY {order} LIMIT {self.limit}")
+                       f"ORDER BY {order} LIMIT {self.limit}"
+                       + (f" OFFSET {self.offset}" if self.offset else ""))
             return sql
         if self.group_by:
             keys = [g.value for g in self.group_by]
@@ -638,7 +676,9 @@ class FuzzQuery:
                 sorted([g.value for g in self.group_by]
                        + [a for a, e in self.select if e.kind == "agg"])
             order = ", ".join(f"{c} ASC NULLS FIRST" for c in cols)
-            sql = f"SELECT * FROM (\n{sql}\n) q ORDER BY {order} LIMIT {self.limit}"
+            sql = (f"SELECT * FROM (\n{sql}\n) q ORDER BY {order} "
+                   f"LIMIT {self.limit}"
+                   + (f" OFFSET {self.offset}" if self.offset else ""))
         return sql
 
 
@@ -666,7 +706,8 @@ class FuzzGen:
     def _int_expr(self, tables: list[str], depth: int = 0) -> Expr:
         rng = self.rng
         pool = self._cols_of(tables, ("int", "long"))
-        choices = ["col", "col", "arith", "case", "year", "cents", "length"]
+        choices = ["col", "col", "arith", "case", "case2", "gl", "year",
+                   "cents", "length"]
         if depth >= 2:
             choices = ["col"]
         k = rng.choice(choices)
@@ -688,6 +729,18 @@ class FuzzGen:
             a = self._int_expr(tables, depth + 1)
             b = lit(rng.randint(-100, 100), "long")
             return Expr("case", "long", args=(cond, a, b))
+        if k == "case2":
+            c1 = self._bool_expr(tables, depth + 1)
+            c2 = self._bool_expr(tables, depth + 1)
+            t1 = self._int_expr(tables, depth + 1)
+            t2 = lit(rng.randint(-100, 100), "long")
+            els = lit(rng.randint(-100, 100), "long")
+            return Expr("case2", "long", args=(c1, t1, c2, t2, els))
+        if k == "gl":
+            args = tuple(self._int_expr(tables, depth + 1)
+                         for _ in range(rng.randint(2, 3)))
+            return Expr("gl", "long", op=rng.choice(["greatest", "least"]),
+                        args=args)
         if k == "year":
             ts = self._cols_of(tables, ("ts",))
             if ts:
@@ -739,7 +792,12 @@ class FuzzGen:
         if depth < 2 and rng.random() < 0.12:
             return Expr("not", "bool", args=(self._bool_expr(tables, depth + 1),))
         k = rng.choice(["int_cmp", "int_cmp", "str_eq", "str_like", "str_in",
-                        "dbl_cmp", "ts_cmp", "isnull"])
+                        "dbl_cmp", "ts_cmp", "isnull", "between"])
+        if k == "between":
+            x = self._int_expr(tables, depth + 1)
+            a, b = sorted((rng.randint(0, 5000), rng.randint(0, 5000)))
+            return Expr("between", "bool",
+                        args=(x, lit(a, "long"), lit(b, "long")))
         if k == "int_cmp":
             l = self._int_expr(tables, depth + 1)
             op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
@@ -845,6 +903,7 @@ class FuzzGen:
 
         where = self._bool_expr(tables) if rng.random() < 0.8 else None
         limit = rng.randint(1, 200) if rng.random() < 0.15 else None
+        offset = rng.randint(1, 50) if limit and rng.random() < 0.35 else None
 
         # Correlated existence along an unused FK edge: Spark semi/anti join
         # vs SQL [NOT] EXISTS — independent encodings of the same semantics.
@@ -896,7 +955,7 @@ class FuzzGen:
                     arg = self._int_expr(tables)
                 wins.append((f"w{i}", fn, arg, part))
             return FuzzQuery(self.seed, tables, hows, ons, where, [], [],
-                             windows=wins, limit=limit)
+                             windows=wins, limit=limit, offset=offset)
 
         if rng.random() < 0.55:
             # grouped query
@@ -914,7 +973,7 @@ class FuzzGen:
             return FuzzQuery(self.seed, tables, hows, ons, where, gcols,
                              select, having=having, limit=limit,
                              exists_rel=exists_rel, group_kind=group_kind,
-                             scalar_sub=scalar_sub)
+                             scalar_sub=scalar_sub, offset=offset)
 
         # projection query
         select = []
@@ -938,7 +997,7 @@ class FuzzGen:
         return FuzzQuery(self.seed, tables, hows, ons, where, [], select,
                          distinct=bool(distinct), union_where=union_where,
                          setop=setop, limit=limit, exists_rel=exists_rel,
-                         scalar_sub=scalar_sub)
+                         scalar_sub=scalar_sub, offset=offset)
 
     @staticmethod
     def _owner(colname: str) -> str:
