@@ -300,3 +300,155 @@ def test_duplicate_span_interval_union_identity():
             min(k, b - a) for a, b in zip(starts, starts[1:])
         )
         assert naive == folded, (k, starts)
+
+
+def _with_docs(spark, d, fn, *args, **kw):
+    """Run a catalog query fn against an injected documents DataFrame."""
+    import wikipediaetl_spark.operators.dedup as dd
+
+    orig = dd.load_table
+    try:
+        dd.load_table = lambda spark, sf_dir, name: d
+        return fn(spark, "x", *args, **kw)
+    finally:
+        dd.load_table = orig
+
+
+def test_shingle_neardup_full_jaccards_are_exact(spark):
+    """q168's verify stage must emit TRUE set Jaccards: every emitted pair's
+    score equals the inverted-index exact computation on the rep corpus, and
+    emitted pairs = (banded candidates) ∩ (exact pairs ≥ 0.5)."""
+    from wikipediaetl_spark.operators.dedup import (
+        portable_minhash_bands,
+        q168_shingle_neardup_full,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    rows = [
+        (0, base),
+        (7, base),  # exact dup -> collapsed by the prepass, n_docs == 2
+        (2, base.replace("lazy", "sleepy")),
+        (3, "completely different words about spark catalyst optimizer plans"),
+        (4, "another unrelated document mentioning minhash banding techniques"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b): (r.jaccard, r.n_docs_a, r.n_docs_b)
+        for r in _with_docs(spark, d, q168_shingle_neardup_full).collect()
+    }
+    # the exact-dup prepass collapsed (0, 7): no 0-7 pair, rep 0 has n_docs 2
+    assert (0, 7) not in out
+    reps = d.filter(F.col("doc_id") != 7)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(_shingles(reps, n=2), threshold=0.5).collect()
+    }
+    banded = portable_minhash_bands(_shingles(reps, n=2))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    assert set(out) == {p for p in exact if p in cands}
+    for p, (jac, na, nb) in out.items():
+        assert abs(jac - exact[p]) < 1e-12
+        assert (na, nb) == (2, 1) if p[0] == 0 else (na, nb) == (1, 1)
+
+
+def test_shingle_neardup_full_uncapped_and_no_cartesian(spark, sf_dir):
+    """The q53 successor must read the WHOLE documents table (no doc_id cap
+    — VERDICT r7 #4) and keep every join an equi-join."""
+    from wikipediaetl_spark.operators.dedup import q168_shingle_neardup_full
+
+    df = q168_shingle_neardup_full(spark, sf_dir)
+    plan = _plan(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # the scan carries no doc_id pushdown filter: uncapped by construction
+    import re
+
+    scans = [l for l in plan.splitlines() if "PushedFilters" in l and "documents" in l]
+    for line in scans:
+        assert "doc_id" not in re.findall(r"PushedFilters: \[(.*?)\]", line)[0]
+
+
+def test_simhash_wide_low_bits_equal_q152_fingerprints(spark):
+    """q169's bits 0..31 (bands b0, b1) must reconstruct q152's 32-bit
+    fingerprint exactly: same vote stream, wider nibble range."""
+    import wikipediaetl_spark.operators.dedup as dd
+
+    d = _near_dup_docs(spark)
+    toks = _tokens(d)
+    hashed = toks.select("doc_id", F.md5(F.concat(F.lit("sh|"), F.col("tok"))).alias("h"))
+    votes32 = hashed.groupBy("doc_id").agg(
+        *[F.expr(dd._simhash_vote_sql(i, "h")).alias(f"v{i}") for i in range(32)]
+    )
+    fp32 = {
+        r.doc_id: r.fp
+        for r in votes32.select(
+            "doc_id", F.expr(dd._SIMHASH_FP_SQL).cast("long").alias("fp")
+        ).collect()
+    }
+    votes64 = hashed.groupBy("doc_id").agg(
+        *[F.expr(dd._simhash_vote_sql(i, "h")).alias(f"v{i}") for i in range(64)]
+    )
+    wide = {
+        r.doc_id: (r.b0, r.b1)
+        for r in votes64.select(
+            "doc_id",
+            F.expr(dd._simhash_wide_band_sql(0, 16)).alias("b0"),
+            F.expr(dd._simhash_wide_band_sql(1, 16)).alias("b1"),
+        ).collect()
+    }
+    for doc, (b0, b1) in wide.items():
+        assert b0 + (b1 << 16) == fp32[doc], doc
+
+
+def test_simhash_wide_banding_equals_allpairs(spark):
+    """Pigeonhole completeness at 64 bits / 4×16 bands: the banded candidate
+    join must emit EXACTLY the Hamming ≤ 3 pairs the brute-force all-pairs
+    formulation finds (superset by pigeonhole, subset by the verify)."""
+    import itertools
+
+    from wikipediaetl_spark.operators.dedup import simhash_wide_pairs
+
+    # 40 docs: 8 clusters of small perturbations + noise docs
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for c in range(8):
+        base = " ".join(words[i % 10] + str((c * 7 + i * 3) % 13) for i in range(12))
+        for v in range(3):
+            rows.append((c * 5 + v, base.replace(words[v] + "0", "mut" + str(v))
+                         if v else base))
+    for n in range(16):
+        rows.append((100 + n, " ".join(f"noise{n}w{i}" for i in range(10))))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_wide_pairs(d, bits=64, n_bands=4).collect()
+    }
+    # brute force from the fps the same pipeline computes
+    import wikipediaetl_spark.operators.dedup as dd
+
+    toks = _tokens(d)
+    hashed = toks.select("doc_id", F.md5(F.concat(F.lit("sh|"), F.col("tok"))).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[F.expr(dd._simhash_vote_sql(i, "h")).alias(f"v{i}") for i in range(64)]
+    )
+    fps = {
+        r.doc_id: sum((r[f"b{k}"] << (16 * k)) for k in range(4))
+        for r in votes.select(
+            "doc_id",
+            *[F.expr(dd._simhash_wide_band_sql(k, 16)).alias(f"b{k}") for k in range(4)],
+        ).collect()
+    }
+    want = {}
+    for x, y in itertools.combinations(sorted(fps), 2):
+        ham = bin(fps[x] ^ fps[y]).count("1")
+        if ham <= 3:
+            want[(x, y)] = ham
+    assert got == want

@@ -321,6 +321,63 @@ class TestPartitionedUpsert:
         assert len(rows) == 1 and rows[0].o_orderkey == 7
 
 
+
+    def test_durable_staging_mode(self, spark, tmp_path):
+        """VERDICT r7 #6: durable mode must (a) produce the identical merge
+        result, (b) hand the overwrite a DataFrame whose EVERY input file
+        lives in the staging dir — never the path being overwritten, (c)
+        clean the staging dir up, and (d) be conf-selectable."""
+        from wikipediaetl_spark.operators.layout import (
+            _DURABLE_CONF,
+            _materialize_merged,
+            create_partitioned_table,
+            read_partitioned,
+            upsert_partitioned,
+        )
+
+        path = str(tmp_path / "wh")
+        base = spark.createDataFrame(
+            [(i, "O", float(i)) for i in range(100)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        create_partitioned_table(base, path, "o_orderkey", n_partitions=8)
+        batch = spark.createDataFrame(
+            [(7, "X", 99.0), (500, "N", 1.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        # (b): the materialization helper's read-isolation invariant
+        df, staging = _materialize_merged(spark, batch, durable=True, fs_path=path)
+        assert staging is not None and staging.startswith(path)
+        files = df.inputFiles()
+        assert files and all("_upsert_staging_" in f for f in files)
+        import shutil
+
+        shutil.rmtree(staging)
+        # (a) + (c): full durable merge, explicit arg
+        upsert_partitioned(spark, path, batch, "o_orderkey", durable=True)
+        rows = {
+            r.o_orderkey: (r.o_orderstatus, r.o_totalprice)
+            for r in read_partitioned(spark, path).collect()
+        }
+        assert rows[7] == ("X", 99.0) and rows[500] == ("N", 1.0)
+        assert rows[8] == ("O", 8.0) and len(rows) == 101
+        import pathlib
+
+        assert not list(pathlib.Path(path).glob("_upsert_staging_*"))
+        # (d): conf-selected durable path, replay idempotent
+        spark.conf.set(_DURABLE_CONF, "true")
+        try:
+            upsert_partitioned(spark, path, batch, "o_orderkey")
+        finally:
+            spark.conf.set(_DURABLE_CONF, "false")
+        rows2 = {
+            r.o_orderkey: (r.o_orderstatus, r.o_totalprice)
+            for r in read_partitioned(spark, path).collect()
+        }
+        assert rows2 == rows
+        assert not list(pathlib.Path(path).glob("_upsert_staging_*"))
+
+
 def test_lineitem_rollup_incremental_equals_rebuild(spark, sf_dir):
     """r7 (VERDICT r6 #5): folding the fact history in as three arbitrary
     batches through merge_batch_into_lineitem_rollup must leave the rollup
@@ -360,3 +417,75 @@ def test_lineitem_rollup_incremental_equals_rebuild(spark, sf_dir):
     }
     assert got == want
     _drop_table(spark, table)
+
+
+def test_keyed_rollup_merge_incremental_equals_rebuild(spark, tmp_path):
+    """merge_batch_into_keyed_rollup (VERDICT r7 #2): for both merge
+    algebras used by the serving layouts — max (q170) and sum over a
+    partitioned grain (q171) — incrementally folding two batches must equal
+    rebuilding from the union, and the partitioned variant must survive the
+    staged RENAME with its partitions intact (the RECOVER PARTITIONS fix)."""
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        merge_batch_into_keyed_rollup,
+    )
+    from pyspark.sql import functions as F
+
+    b1 = spark.createDataFrame(
+        [(1, 10, "A"), (1, 30, "A"), (2, 5, "B")], "k long, v long, g string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 20, "A"), (3, 7, "B"), (2, 50, "B")], "k long, v long, g string"
+    )
+    # max algebra, unpartitioned
+    t = "t_keyed_rollup_max"
+    _drop_table(spark, t)
+    agg = lambda d: d.groupBy("k").agg(F.max("v").alias("mx"))
+    agg(b1).write.bucketBy(4, "k").sortBy("k").saveAsTable(t)
+    merge_batch_into_keyed_rollup(
+        spark, agg(b2), t, keys=["k"], merge_aggs=[F.max("mx").alias("mx")],
+        bucket_key="k", n_buckets=4,
+    )
+    got = {r.k: r.mx for r in spark.table(t).collect()}
+    assert got == {1: 30, 2: 50, 3: 7}
+    _drop_table(spark, t)
+    # sum algebra, partitioned on g: partitions must survive the swap
+    t = "t_keyed_rollup_sum"
+    _drop_table(spark, t)
+    agg2 = lambda d: d.groupBy("g", "k").agg(F.sum("v").cast("long").alias("s"))
+    agg2(b1).write.partitionBy("g").bucketBy(4, "k").sortBy("k").saveAsTable(t)
+    merge_batch_into_keyed_rollup(
+        spark, agg2(b2), t, keys=["g", "k"],
+        merge_aggs=[F.sum("s").cast("long").alias("s")],
+        bucket_key="k", n_buckets=4, partition_cols=("g",),
+    )
+    got = {(r.g, r.k): r.s for r in spark.table(t).collect()}
+    assert got == {("A", 1): 60, ("B", 2): 55, ("B", 3): 7}
+    # a partition-pruned serve read actually prunes (directory pruning)
+    plan = (
+        spark.table(t).filter(F.col("g") == "A")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "g#" in plan.split("PartitionFilters")[1][:120]
+    _drop_table(spark, t)
+
+
+def test_serving_layout_queries_match_stock_plans(spark, sf_dir):
+    """q170/q171/q172 must return byte-identical results to the stock
+    q116/q135/q124 plans they re-found on maintained layouts."""
+    from wikipediaetl_spark.operators.layout import (
+        q170_priority_rollup_serving,
+        q171_shipmode_rollup_serving,
+        q172_market_share_denorm,
+    )
+    from wikipediaetl_spark.operators.relational import q116_priority_checking
+    from wikipediaetl_spark.operators.tpch import q124_market_share, q135_shipping_modes
+
+    for serving, stock in [
+        (q170_priority_rollup_serving, q116_priority_checking),
+        (q171_shipmode_rollup_serving, q135_shipping_modes),
+        (q172_market_share_denorm, q124_market_share),
+    ]:
+        got = sorted(map(tuple, serving(spark, sf_dir).collect()))
+        want = sorted(map(tuple, stock(spark, sf_dir).collect()))
+        assert got == want, serving.__name__

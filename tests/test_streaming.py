@@ -280,3 +280,25 @@ def test_recursive_bfs_tree_random_forests_vs_python_reference(spark):
         assert got == want, (
             f"seed={seed} stride={stride} n={n}: got {got} want {want}"
         )
+
+
+def test_recursive_bfs_tree_forest_assertion(spark):
+    """assert_forest=True (ADVICE r7) must reject a multi-parent DAG — the
+    input class where UNION ALL recursion enumerates every path — and must
+    pass a genuine forest unchanged."""
+    import pytest
+
+    from wikipediaetl_spark.streaming.crawler import recursive_bfs_tree
+
+    seeds = spark.createDataFrame([("a",)], "node string")
+    dag = spark.createDataFrame(
+        _FOREST + [("x", "c")], "src string, dst string"  # c now has 2 parents
+    )
+    with pytest.raises(ValueError, match="max indegree 2"):
+        recursive_bfs_tree(spark, seeds, dag, assert_forest=True)
+    forest = spark.createDataFrame(_FOREST, "src string, dst string")
+    got = {
+        r.node: r.depth
+        for r in recursive_bfs_tree(spark, seeds, forest, assert_forest=True).collect()
+    }
+    assert got["h"] == 7

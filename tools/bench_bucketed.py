@@ -100,6 +100,161 @@ def q11_rollup(spark, sf_dir):
     )
 
 
+# ---- r8 serving layouts (VERDICT r7 #2): q116/q135/q124 re-founded ------
+# Builders materialize each layout ONCE from the full scaled fact (the
+# catalog queries q170/q171/q172 prove the same layouts' oracle-checked
+# incremental maintenance at fixture scale; here the build is timed
+# separately and amortizes across every subsequent serve).
+
+
+def build_q170_layout(spark, out):
+    from wikipediaetl_spark.operators.layout import _drop_table
+
+    li = spark.read.parquet(f"{out}/lineitem.parquet")
+    _drop_table(spark, "m_maxship_by_orderkey")
+    (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+        .write.bucketBy(32, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("m_maxship_by_orderkey")
+    )
+
+
+def serve_q170(spark):
+    """Q4 from the max-shipdate rollup: 3.8%-selectivity orders filter joins
+    the bucketed |orders|-grain rollup — no lineitem at serve time."""
+    rollup = spark.table("m_maxship_by_orderkey")
+    o = spark.table("b_orders_by_orderkey").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        o.join(rollup, o.o_orderkey == rollup.l_orderkey)
+        .filter(F.col("max_ship") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def build_q171_layout(spark, out):
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.tpch import _with_transport
+
+    li = _with_transport(spark.read.parquet(f"{out}/lineitem.parquet")).filter(
+        (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+    )
+    _drop_table(spark, "m_lines_by_year_mode")
+    (
+        li.groupBy(
+            F.year("l_receiptdate").alias("l_rcptyear"), "l_shipmode", "l_orderkey"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .write.partitionBy("l_rcptyear", "l_shipmode")
+        .bucketBy(32, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("m_lines_by_year_mode")
+    )
+
+
+def serve_q171(spark):
+    """Q12 from the partitioned+bucketed shipmode rollup: directory pruning
+    to (1996, MAIL|SHIP), exchange-free join side."""
+    rollup = spark.table("m_lines_by_year_mode").filter(
+        (F.col("l_rcptyear") == 1996) & F.col("l_shipmode").isin("MAIL", "SHIP")
+    )
+    o = spark.table("b_orders_by_orderkey").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        rollup.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, F.col("cnt")).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, F.col("cnt")).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def build_q172_layout(spark, out):
+    from wikipediaetl_spark.operators.layout import _drop_table
+
+    li = spark.read.parquet(f"{out}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("vu"),
+    )
+    o = spark.read.parquet(f"{out}/orders.parquet").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"), "o_custkey"
+    )
+    _drop_table(spark, "denorm_lineitem_orders")
+    (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .select("l_partkey", "l_suppkey", "vu", "o_year", "o_custkey")
+        .write.partitionBy("o_year")
+        .saveAsTable("denorm_lineitem_orders")
+    )
+
+
+def serve_q172(spark, out):
+    """Q8 from the year-partitioned denormalized fact: partition pruning to
+    2 of 7 years, dims broadcast — the 60M-row orders shuffle is gone."""
+    from wikipediaetl_spark.sources import load_table
+
+    p = load_table(spark, out, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    n2 = load_table(spark, out, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        load_table(spark, out, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    r = load_table(spark, out, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, out, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    c = load_table(spark, out, "customer").join(
+        F.broadcast(eu), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    fact = spark.table("denorm_lineitem_orders").filter(F.col("o_year").isin(1996, 1997))
+    partial = (
+        fact.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("o_year", F.spark_partition_id().alias("pid"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("vu")).otherwise(0)
+            ).alias("pnum"),
+            F.sum("vu").alias("pden"),
+        )
+    )
+    num = (F.sum(F.col("pnum").cast("decimal(38,0)")) / 10000).cast("double")
+    den = (F.sum(F.col("pden").cast("decimal(38,0)")) / 10000).cast("double")
+    return partial.groupBy("o_year").agg((num / den).alias("mkt_share"))
+
+
+SERVING = [
+    # (stock catalog name, build fn, serve thunk factory, serve label)
+    ("q116_priority_checking", build_q170_layout, lambda s, o: lambda: serve_q170(s),
+     "q170_maxship_rollup"),
+    ("q135_shipping_modes", build_q171_layout, lambda s, o: lambda: serve_q171(s),
+     "q171_mode_rollup"),
+    ("q124_market_share", build_q172_layout, lambda s, o: lambda: serve_q172(s, o),
+     "q172_denorm_fact"),
+]
+
+
 def best_of(thunk, reps=3):
     best = float("inf")
     for _ in range(reps):
@@ -215,6 +370,30 @@ def main() -> None:
     )
     print("q11_rollup", json.dumps(result["q11_star_join"]))
 
+    # ---- r8 serving layouts for the remaining >5x shapes (VERDICT r7 #2)
+    for stock_name, build_fn, serve_factory, label in SERVING:
+        t0 = time.perf_counter()
+        build_fn(spark, out)
+        build_s = time.perf_counter() - t0
+        serve = serve_factory(spark, out)
+        stock_rows_ = sorted(map(tuple, qs[stock_name].fn(spark, out).collect()))
+        serve_rows_ = sorted(map(tuple, serve().collect()))
+        assert serve_rows_ == stock_rows_, f"{label} must match stock {stock_name}"
+        stock_s = best_of(lambda: qs[stock_name].fn(spark, out))
+        serve_s = best_of(serve)
+        dd = time_duckdb(out, qs[stock_name].oracle)
+        result[stock_name] = {
+            "stock_spark_s": round(stock_s, 3),
+            "serving_spark_s": round(serve_s, 3),
+            "serving_build_s": round(build_s, 1),
+            "duckdb_s": round(dd, 3),
+            "stock_ratio": round(stock_s / dd, 2),
+            "serving_ratio": round(serve_s / dd, 2),
+            "serving_exact_match": True,
+            "serving_path": label,
+        }
+        print(label, json.dumps(result[stock_name]))
+
     payload = {
         "factor": factor,
         "rows": rows,
@@ -226,8 +405,9 @@ def main() -> None:
         # q167_rollup_serving is the catalog query that proves the serving
         # path end-to-end (incremental merge_batch_into_lineitem_rollup,
         # then answer hash-matched against the raw-lineitem oracle).
-        "catalog_proof": "q167_rollup_serving",
-        "maintenance": "merge_batch_into_rollup / merge_batch_into_lineitem_rollup",
+        "catalog_proof": "q167_rollup_serving + q170/q171/q172 (r8)",
+        "maintenance": "merge_batch_into_rollup / merge_batch_into_lineitem_rollup"
+        " / merge_batch_into_keyed_rollup / append-only denorm enrich",
     }
     print(json.dumps(payload))
     suffix = "" if factor == 100 else f"_{factor}x"

@@ -47,8 +47,14 @@ def main() -> None:
     print("| query | spark | duckdb | ratio |")
     print("|---|---|---|---|")
     tot_s = tot_d = 0.0
+    from wikipediaetl_spark.catalog import _WINDOW_ALIASES
+
     for name, qd in sorted(qs.items()):
         if qd.oracle is None:
+            continue
+        if name in _WINDOW_ALIASES:
+            # driver-window aliases are byte-identical re-registrations;
+            # timing them would double-count their targets in the totals
             continue
         # Arrow on both sides (engine-fair result materialization — see
         # tools/bench_scale._materialize): collect()/fetchall() charge each

@@ -117,6 +117,17 @@ QUERIES = [
     # ids/lang (sub-second walls over tiny denominators — the q122/q130
     # fixed-cost regime); q121 is doc_id<100 capped BY DESIGN (the q53
     # scale-invariant-input caveat applies to its ratio).
+    # r8: the uncapped full-corpus near-dup (VERDICT r7 #4). Unlike q83,
+    # replication is semantically CLEAN here: the exact-dedup prepass
+    # (md5-content groupBy, mirrored in the oracle) collapses all 400
+    # replicas of a base doc into one representative, so the quadratic
+    # candidate stage sees the base corpus and the measurement is the scan +
+    # content-hash aggregate — exactly how a production near-dup pass
+    # absorbs a replica-heavy crawl. q169 stays excluded: its DOC-level
+    # pair output under replication is the q83 quadratic worst case (each
+    # base near-dup pair explodes into 400x400 doc pairs); its scale
+    # witness is the fp-level candidate count in tools/exp_simhash_wide.py.
+    "q168_shingle_neardup_full",
     "q89_stratified_sample",
     "q120_train_val_test_split",
     "q121_chunking",
@@ -232,6 +243,73 @@ def _materialize(df) -> None:
         df.collect()
 
 
+# streaming queries whose one-shot catalog ratio is a cold single-batch
+# artifact (VERDICT r7 #3): the catalog run processes the WHOLE replicated
+# history as micro-batch 0 on a cold JVM, while the comparator recomputes
+# the batch answer once. BENCH_STREAM_BATCH0.json decomposes the cold
+# penalty (warm batch-0 ≈ steady state ⇒ it is codegen/JIT, amortized over
+# an executor's lifetime); BENCH_STREAM_AMORTIZE.json measures the honest
+# long-lived-query cost: flat per-batch marginal wall. _attach_amortized
+# copies that steady-state marginal into this artifact so both numbers sit
+# side by side.
+_AMORTIZE_TWIN = {
+    "q100_stream_stream_join": "q100_join",
+    "q147_stream_static_enrich": "q147_enrich",
+    "q149_stateful_running_stats": "q149_python_state_sharded",
+    "q164_stateful_stats_native": "q164_native_state",
+}
+
+
+def _attach_amortized(result: dict, factor: int) -> None:
+    """Merge the steady-state marginal cost from BENCH_STREAM_AMORTIZE.json
+    (same factor) into the streaming queries' rows, so the artifact reports
+    BOTH cost models side by side:
+
+      - `ratio` (existing): one-shot — the whole replicated history as one
+        cold micro-batch vs one comparator recompute. Honest about THIS
+        harness, misleading about production: nobody re-bootstraps a
+        streaming query per refresh.
+      - `steady_marginal_s`: per-batch wall of the warm long-lived query,
+        measured over an N-way time-split of the same history. This is
+        O(batch), FLAT in history length (`marginal_flat` = last/second
+        batch wall ≈ 1.0 ⇒ no growth), while the comparator's refresh cost
+        `duckdb_s` is O(history) — a recompute-per-refresh model that stops
+        being runnable long before 100 TB of history. No single scalar
+        ratio of these two is meaningful; the pair (flat marginal,
+        linearly-growing recompute) IS the result.
+    """
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_STREAM_AMORTIZE.json",
+    )
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        amort = json.load(f)
+    if amort.get("factor") != factor:
+        return
+    for qname, twin in _AMORTIZE_TWIN.items():
+        row, runs = result.get(qname), amort.get(twin)
+        walls = [
+            b["trigger_ms"]
+            for b in (runs or {}).get("batches", [])
+            if b.get("trigger_ms") and b.get("input_rows")
+        ]
+        if not row or len(walls) < 3:
+            continue
+        steady = sum(walls[1:]) / len(walls[1:]) / 1000.0  # skip batch-0
+        row["steady_marginal_s"] = round(steady, 3)
+        row["marginal_flat"] = round(walls[-1] / walls[1], 2)
+        row["amortized_note"] = (
+            f"warm long-lived query: {steady:.2f}s marginal per "
+            f"{amort.get('n_batches', len(walls))}-way split batch, flat in "
+            "history (BENCH_STREAM_AMORTIZE); comparator refresh recomputes "
+            f"the full {factor}x history per update (O(history), "
+            "duckdb_s here) — cold batch-0 penalty decomposed in "
+            "BENCH_STREAM_BATCH0 = one-time codegen/JIT warmup"
+        )
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     out = (
@@ -280,6 +358,7 @@ def main() -> None:
             "duckdb_s": round(dd, 3),
             "ratio": round(best / dd, 2),
         }
+    _attach_amortized(result, factor)
     payload = {
         "factor": factor,
         "base": BASE,

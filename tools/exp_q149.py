@@ -56,7 +56,9 @@ def main() -> None:
 
     q149 = all_queries()["q149_stateful_running_stats"].fn
     if mode == "shards":
-        for shards in ("512", "4096", "32768"):
+        # r8 (VERDICT r7 #8): 1024/8192 added around the rule's optimum so
+        # the curve has five points, not three-with-a-gap
+        for shards in ("512", "1024", "4096", "8192", "32768"):
             os.environ["SPARK_GRAFT_Q149_SHARDS"] = shards
             best = float("inf")
             for _ in range(reps):

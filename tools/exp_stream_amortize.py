@@ -113,6 +113,22 @@ def q100_flow(spark, split_dir: str) -> DataFrame:
     ).select("purchase_id", "click_id", "user_id")
 
 
+def q147_flow(spark, split_dir: str) -> DataFrame:
+    """The q147 dataflow (stream-static enrich, streaming/queries.py) over
+    the split source: broadcast-join each arriving batch to the customer
+    dim, running per-segment aggregate (complete mode, 5-key state)."""
+    from wikipediaetl_spark.sources import load_table
+
+    base = split_dir.replace("_stream", "")  # the scaled dir holds the dims
+    cust = load_table(spark, base, "customer").select("c_custkey", "c_mktsegment")
+    ev = _split_stream(spark, split_dir)
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
 def q149_flow(spark, split_dir: str) -> DataFrame:
     from wikipediaetl_spark.streaming.stateful import running_user_stats_exact
 
@@ -208,6 +224,7 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_AMORTIZE_ONLY")
     workloads = [
         ("q100_join", q100_flow, "append"),
+        ("q147_enrich", q147_flow, "complete"),
         ("q149_python_state_perkey", q149_flow, "update"),
         ("q149_python_state_sharded", q149_sharded_flow, "update"),
         ("q164_native_state", q164_flow, "update"),

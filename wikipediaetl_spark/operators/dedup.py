@@ -389,6 +389,23 @@ def q150_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d, n=2)
+    banded = portable_minhash_bands(sh)
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct(F.col("band_idx")).alias("n_shared_bands"))
+    )
+
+
+def portable_minhash_bands(sh: DataFrame) -> DataFrame:
+    """Engine-portable MinHash(8) + 4×2 banding over ``sh(doc_id, tok)`` →
+    ``(doc_id, band_idx, band_hash)``. Signatures are lexicographic mins of
+    md5 hex digests, so a DuckDB oracle reproduces them byte-for-byte (the
+    q150 contract); one explode + one map-side-combinable aggregate, then a
+    narrow band explode — no shuffle wider than the doc_id groupBy."""
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("tok")))).alias(f"sig_{k}")
@@ -406,18 +423,146 @@ def q150_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(4)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
+    return sigs.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id",
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_hash").alias("band_hash"),
     )
+
+
+# Shared CTE prefix: documents → exact-dedup reps → bigram shingles → q150's
+# md5 MinHash signatures → (band_idx, band_hash) rows. Kept as one string so
+# q168's Spark plan and oracle can never drift on the blocking scheme.
+_Q168_BANDS_SQL = """
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+             count(*) AS n_docs
+      FROM documents GROUP BY md5(text)
+    ),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM reps),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS tok
+      FROM words, unnest(range(1, len(w))) t(i)
+    ),
+    sigs AS (
+      SELECT doc_id,
+             min(md5('0|' || tok)) AS sig_0, min(md5('1|' || tok)) AS sig_1,
+             min(md5('2|' || tok)) AS sig_2, min(md5('3|' || tok)) AS sig_3,
+             min(md5('4|' || tok)) AS sig_4, min(md5('5|' || tok)) AS sig_5,
+             min(md5('6|' || tok)) AS sig_6, min(md5('7|' || tok)) AS sig_7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx, md5(sig_0 || '|' || sig_1) AS band_hash FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+    )
+"""
+
+
+@query(
+    "q168_shingle_neardup_full",
+    oracle=_Q168_BANDS_SQL
+    + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list(tok) AS toks, count(*) AS sz FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.toks, sb.toks)) AS i,
+             sa.sz AS sz_a, sb.sz AS sz_b
+      FROM cand
+      JOIN sets sa ON doc_a = sa.doc_id
+      JOIN sets sb ON doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, i * 1.0 / (sz_a + sz_b - i) AS jaccard,
+           na.n_docs AS n_docs_a, nb.n_docs AS n_docs_b
+    FROM verified
+    JOIN reps na ON doc_a = na.doc_id
+    JOIN reps nb ON doc_b = nb.doc_id
+    WHERE i * 1.0 / (sz_a + sz_b - i) >= 0.5
+    """,
+)
+def q168_shingle_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED full-corpus exact shingle-Jaccard near-dup (VERDICT r7 #4):
+    q53's operator with the doc_id<200 cap removed and the all-pairs
+    inverted-index join replaced by q150's (band, sig) blocking — banded
+    candidates, exact-Jaccard verify on candidates only (D6 dedup semantics,
+    reference filter/app/main.py:16-24, at corpus scale).
+
+    Production pipeline shape, three stages, each linear-or-bounded:
+    1. EXACT-DEDUP PREPASS — group byte-identical texts (md5 content key,
+       one hash aggregate, the q50/q51 operator) and keep min(doc_id) as
+       representative with the group size. Web corpora are replica-heavy;
+       running near-dup on unique contents shrinks the quadratic stage by
+       the replication factor squared and makes replicated-fixture scale
+       runs measure scan throughput, not an adversarial pair explosion
+       (the q83 caveat in tools/bench_scale.py).
+    2. BANDED CANDIDATES — portable_minhash_bands (the q150 pipeline):
+       equi-join on (band_idx, band_hash); collision buckets, not the
+       corpus, bound the pair count. Exactness caveat, stated plainly: the
+       blocking is the standard probabilistic MinHash-LSH recall trade
+       (pairs sharing no band are not candidates); "exact" refers to the
+       verify stage — every emitted jaccard is the true set Jaccard, no
+       estimate. The oracle mirrors the same blocking, so the hash-check
+       verifies precisely this contract.
+    3. EXACT VERIFY — candidates (small) equi-join the per-doc shingle-set
+       arrays; |A∩B| via array_intersect on candidates ONLY, never
+       corpus-wide. Jaccard = i/(|A|+|B|-i), an integer ratio →
+       bit-identical across engines, no rounding needed.
+
+    Output is at content-group level (rep doc_ids + n_docs multiplicities);
+    expanding to doc-level pairs is a narrow downstream explode the caller
+    owns — emitting it here would be quadratic in group sizes by design.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    reps = (
+        d.groupBy(F.md5("text").alias("ck"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.expr("min_by(text, doc_id)").alias("text"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .drop("ck")
+    )
+    sh = _shingles(reps, n=2)
+    banded = portable_minhash_bands(sh)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
-    return (
+    cand = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count_distinct(F.col("band_idx")).alias("n_shared_bands"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_list("tok").alias("toks"), F.count(F.lit(1)).alias("sz")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b")
+    )
+    i = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    nd = reps.select("doc_id", "n_docs")
+    na = nd.select(F.col("doc_id").alias("doc_a"), F.col("n_docs").alias("n_docs_a"))
+    nb = nd.select(F.col("doc_id").alias("doc_b"), F.col("n_docs").alias("n_docs_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("i", i)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "jaccard", "n_docs_a", "n_docs_b")
     )
 
 
@@ -675,6 +820,196 @@ def q152_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs_cross.unionByName(pairs_within)
+
+
+# ---------------------------------------------------- wide portable SimHash
+#
+# VERDICT r7 #5: q152's docstring promised that a 1e9-doc corpus needs a
+# 64-bit fingerprint with 16-bit bands. This implements it, parameterized on
+# (bits, n_bands) for BOTH the Spark plan and the generated oracle SQL, so
+# any width the pigeonhole guarantee admits (n_bands == max_hamming + 1,
+# bits % n_bands == 0, bands ≤ 31 bits) is one call away. The fingerprint is
+# held as n_bands INT band columns — never packed into one BIGINT — because
+# bit 63 of a packed fingerprint is the sign bit of a signed 64-bit integer:
+# Spark wraps silently in non-ANSI mode while DuckDB raises on BIGINT
+# overflow, so the packed form cannot be made portable; per-band columns
+# keep every value < 2^band_bits with identical arithmetic in both engines,
+# and hamming = Σ_k bit_count(xor(band_k_a, band_k_b)) is identical to the
+# packed xor by bit-disjointness.
+
+
+def _simhash_wide_band_sql(k: int, band_bits: int) -> str:
+    """Band k's integer value from the per-bit votes v{i}: bit r of band k is
+    global bit (k*band_bits + r); value < 2^band_bits so INT is safe."""
+    terms = " + ".join(
+        f"(CASE WHEN v{k * band_bits + r} > 0 THEN {1 << r} ELSE 0 END)"
+        for r in range(band_bits)
+    )
+    return f"CAST({terms} AS INT)"
+
+
+def simhash_wide_oracle_sql(bits: int = 64, n_bands: int = 4) -> str:
+    """DuckDB oracle for the wide portable SimHash, doc-level formulation
+    (the Spark side's distinct-fingerprint grouping is an optimization with
+    identical output, exactly as in q152)."""
+    band_bits = bits // n_bands
+    max_hamming = n_bands - 1
+    votes = ",\n             ".join(
+        f"{_simhash_vote_sql(i, 'h')} AS v{i}" for i in range(bits)
+    )
+    bandcols = ",\n             ".join(
+        f"{_simhash_wide_band_sql(k, band_bits)} AS b{k}" for k in range(n_bands)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {', '.join(f'b{j}' for j in range(n_bands))}, "
+        f"{k} AS band_idx, b{k} AS band_bits FROM fps"
+        for k in range(n_bands)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(n_bands))
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5('sh|' || tok) AS h FROM toks),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM hashed GROUP BY doc_id
+    ),
+    fps AS (
+      SELECT doc_id,
+             {bandcols}
+      FROM votes
+    ),
+    bands AS (
+      {band_rows}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           min({ham}) AS hamming
+    FROM bands a
+    JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING min({ham}) <= {max_hamming}
+    """
+
+
+def simhash_wide_pairs(
+    d: DataFrame, bits: int = 64, n_bands: int = 4
+) -> DataFrame:
+    """Width-parameterized portable SimHash near-dup pairs over
+    ``d(doc_id, text)``: Hamming ≤ n_bands - 1 under the pigeonhole band
+    guarantee (n_bands disjoint bands of bits/n_bands bits — a qualifying
+    pair matches at least one band exactly, so the equi-join loses nothing).
+
+    Same pipeline as q152 — md5-nibble votes, one wide conditional
+    aggregate, DISTINCT-fingerprint grouping with doc-id posting lists,
+    banded self-join, posting-list explode — at a band width that holds
+    bucket occupancy sub-linear on 1e9-doc corpora (16-bit bands put mean
+    occupancy at n/2^16 per band value vs n/2^8 for q152; the candidate
+    stage shrinks ~2^8× on diffuse corpora, measured in
+    tools/exp_simhash_wide.py)."""
+    band_bits = bits // n_bands
+    max_hamming = n_bands - 1
+    assert bits % n_bands == 0 and band_bits <= 31 and bits <= 128
+    bcols = [f"b{k}" for k in range(n_bands)]
+    toks = _tokens(d)
+    hashed = toks.select(
+        "doc_id", F.md5(F.concat(F.lit("sh|"), F.col("tok"))).alias("h")
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[F.expr(_simhash_vote_sql(i, "h")).alias(f"v{i}") for i in range(bits)]
+    )
+    fps = votes.select(
+        "doc_id",
+        *[F.expr(_simhash_wide_band_sql(k, band_bits)).alias(f"b{k}") for k in range(n_bands)],
+    )
+    groups = fps.groupBy(*bcols).agg(F.collect_list("doc_id").alias("ids"))
+    banded = (
+        groups.select(
+            *bcols,
+            "ids",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("band_idx"),
+                            F.col(f"b{k}").alias("band_bits"),
+                        )
+                        for k in range(n_bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select(*bcols, "ids", "band.band_idx", "band.band_bits")
+    )
+    a = banded.select(
+        *[F.col(c).alias(f"{c}_a") for c in bcols],
+        F.col("ids").alias("ids_a"),
+        "band_idx",
+        "band_bits",
+    )
+    b = banded.select(
+        *[F.col(c).alias(f"{c}_b") for c in bcols],
+        F.col("ids").alias("ids_b"),
+        "band_idx",
+        "band_bits",
+    )
+    fp_a = F.struct(*[F.col(f"b{k}_a") for k in range(n_bands)])
+    fp_b = F.struct(*[F.col(f"b{k}_b") for k in range(n_bands)])
+    ham = sum(
+        F.bit_count(F.col(f"b{k}_a").bitwiseXOR(F.col(f"b{k}_b")))
+        for k in range(n_bands)
+    )
+    cross = (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter((fp_a < fp_b) & (ham <= max_hamming))
+        .groupBy(*[f"b{k}_a" for k in range(n_bands)], *[f"b{k}_b" for k in range(n_bands)])
+        .agg(
+            F.first("ids_a").alias("ids_a"),
+            F.first("ids_b").alias("ids_b"),
+            F.first(ham).alias("hamming"),
+        )
+    )
+    pairs_cross = (
+        cross.select(F.explode("ids_a").alias("d1"), "ids_b", "hamming")
+        .select("d1", F.explode("ids_b").alias("d2"), "hamming")
+        .select(
+            F.least("d1", "d2").alias("doc_a"),
+            F.greatest("d1", "d2").alias("doc_b"),
+            "hamming",
+        )
+    )
+    pairs_within = (
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("d1"), "ids")
+        .select("d1", F.explode("ids").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            F.col("d1").alias("doc_a"),
+            F.col("d2").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return pairs_cross.unionByName(pairs_within)
+
+
+@query("q169_simhash_wide", oracle=simhash_wide_oracle_sql(bits=64, n_bands=4))
+def q169_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit portable SimHash, 4×16-bit pigeonhole bands, Hamming ≤ 3
+    (VERDICT r7 #5 — the corpus-scale variant q152's docstring documented).
+
+    Bits 0..31 equal q152's 32-bit fingerprint by construction (same md5
+    'sh|' vote stream, nibbles 0..15 instead of 0..7), which the tests use
+    to cross-check the two widths; the hash-verify contract vs DuckDB is
+    identical to q152's. Hamming here is over the 64-bit fingerprint, so
+    the ≤3 pair set is a SUBSET of q152's (more bits → more disagreement
+    chances) — the wide form trades recall-at-32-bit-distance for a 2^8×
+    narrower candidate stage, the right trade at 1e9 docs."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_wide_pairs(d, bits=64, n_bands=4)
 
 
 @query(

@@ -294,12 +294,19 @@ def create_partitioned_table(
         )
 
 
+# Conf key selecting the durable staging-dir materialization for
+# upsert_partitioned (VERDICT r7 #6). Default off: localCheckpoint is
+# cheaper and fine on local[*]; ANY real cluster deployment should set it.
+_DURABLE_CONF = "spark.wikipediaetl.upsert.durableStaging"
+
+
 def upsert_partitioned(
     spark: SparkSession,
     path: str,
     changes: DataFrame,
     key: str,
     delete_keys: DataFrame | None = None,
+    durable: bool | None = None,
 ) -> None:
     """Storage-level MERGE: fold ``changes`` (latest-wins per ``key``) and
     optional deletes into a ``create_partitioned_table`` layout, rewriting
@@ -365,9 +372,25 @@ def upsert_partitioned(
     # overwrite never races its own input — with lazy evaluation the
     # read-while-overwrite pattern only works because dynamic mode stages
     # files and deletes matched partitions at commit, which is fragile
-    # across Spark versions/committers. localCheckpoint pins the merged
-    # rows to block storage before any old file is touched.
-    out = out.localCheckpoint(eager=True)
+    # across Spark versions/committers. Two materializations are offered
+    # (VERDICT r7 #6):
+    #   durable=False (default) — localCheckpoint pins the merged rows to
+    #     EXECUTOR block storage. Cheap, but on a real cluster an executor
+    #     lost during the overwrite destroys its checkpoint blocks MID-
+    #     COMMIT, inside the already-non-atomic window below: the write job
+    #     then fails part-way with some partitions already swapped. Fine on
+    #     local[*]; cluster-unsafe.
+    #   durable=True (or conf spark.wikipediaetl.upsert.durableStaging) —
+    #     the merged result is written to a staging directory UNDER the
+    #     layout path (same filesystem, so a shared FS on a cluster), read
+    #     back, and only then overwritten into place. Executor loss during
+    #     the overwrite merely fails+retries tasks against durable staging
+    #     files; replaying the batch stays the recovery story for a crash
+    #     in the commit window itself.
+    if durable is None:
+        durable = spark.conf.get(_DURABLE_CONF, "false").lower() == "true"
+    fs_path = path.removeprefix("file:")
+    out, staging = _materialize_merged(spark, out, durable, fs_path)
     # COMMIT WINDOW (documented, not atomic): dynamic partition overwrite
     # commits per-partition directory swaps; a crash DURING job commit can
     # leave the touched set part-old/part-new. A table format's manifest
@@ -379,8 +402,27 @@ def upsert_partitioned(
         out.write.mode("overwrite").partitionBy("_pkey").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
     for p in emptied:
-        shutil.rmtree(f"{path.removeprefix('file:')}/_pkey={p}", ignore_errors=True)
+        shutil.rmtree(f"{fs_path}/_pkey={p}", ignore_errors=True)
+
+
+def _materialize_merged(
+    spark: SparkSession, out: DataFrame, durable: bool, fs_path: str
+) -> tuple[DataFrame, str | None]:
+    """Materialize the merged result so the overwrite never reads the path
+    it rewrites. Durable mode returns a DataFrame whose EVERY input file
+    lives under the returned staging dir (asserted by the layout tests);
+    the underscore prefix keeps partition discovery on the layout path from
+    ever listing the staging files."""
+    if not durable:
+        return out.localCheckpoint(eager=True), None
+    import uuid
+
+    staging = f"{fs_path}/_upsert_staging_{uuid.uuid4().hex[:12]}"
+    out.write.mode("overwrite").parquet(staging)
+    return spark.read.parquet(staging), staging
 
 
 def _read_spec(path: str) -> dict:
@@ -531,6 +573,363 @@ def merge_batch_into_lineitem_rollup(
     spark.sql(f"ALTER TABLE {staging} SET TBLPROPERTIES ('{_COMMIT_PROP}'='true')")
     _drop_table(spark, table)
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+
+
+def merge_batch_into_keyed_rollup(
+    spark: SparkSession,
+    partial: DataFrame,
+    table: str,
+    keys: list[str],
+    merge_aggs: list,
+    bucket_key: str,
+    n_buckets: int = 8,
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """Generic incremental maintenance for ANY associatively-mergeable keyed
+    rollup (VERDICT r7 #2 — the q167 pattern, factored so each serving
+    layout below states only its grain and merge algebra).
+
+    ``partial`` is the batch already aggregated to the rollup grain with
+    FINAL column types; ``merge_aggs`` are the combine aggregates (sum for
+    additive counts/decimal partials, max for running maxima — anything
+    associative+commutative, which is exactly the class a map-side combine
+    needs anyway). Staged-swap crash contract identical to
+    ``merge_batch_into_rollup``: commit marker after the staging write, so
+    a crash in the drop→rename window recovers by rename, and an
+    uncommitted staging table is discarded. Cost per batch is
+    O(batch + |grain|) regardless of history size. ``partition_cols``
+    additionally partitions the stored rollup (e.g. by year/mode) so
+    serve-time filters become directory pruning on top of the bucketed
+    exchange-free join."""
+    staging = f"{table}_staging"
+
+    def _rename_into_place() -> None:
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        if partition_cols:
+            # a partitioned managed table's per-partition locations still
+            # reference the staging directory after RENAME (the catalog
+            # tracks partitions individually); recover them from the moved
+            # directory layout or every serve-time scan resolves to the
+            # deleted staging paths and reads empty
+            spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")
+
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(staging):
+        if _staging_committed(spark, staging):
+            _rename_into_place()
+        else:
+            _drop_table(spark, staging)
+    cols = partial.columns
+    if spark.catalog.tableExists(table):
+        merged = (
+            spark.table(table)
+            .select(*cols)
+            .unionByName(partial.select(*cols))
+            .groupBy(*keys)
+            .agg(*merge_aggs)
+            .select(*cols)
+        )
+    else:
+        merged = partial
+    _drop_table(spark, staging)
+    w = merged.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.bucketBy(n_buckets, bucket_key).sortBy(bucket_key).saveAsTable(staging)
+    spark.sql(f"ALTER TABLE {staging} SET TBLPROPERTIES ('{_COMMIT_PROP}'='true')")
+    _drop_table(spark, table)
+    _rename_into_place()
+
+
+@query(
+    "q170_priority_rollup_serving",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q170_priority_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q116 (TPC-H Q4) served from a MAINTAINED max-shipdate rollup
+    (VERDICT r7 #2: q116 was 7.3× at 400× — the fact shuffle of the 240M-row
+    lineitem probe IS the bill, and the 27M-key build is out of the bloom
+    filter's regime).
+
+    The rewrite: EXISTS(l.shipdate > o.orderdate) ⇔ max_ship(orderkey) >
+    o_orderdate — so an ORDERKEY-grain rollup of max(l_shipdate) answers Q4
+    for ANY date window without touching lineitem at serve time. max is
+    associative+commutative, so the rollup maintains incrementally under
+    line-grain ingest batches (max of partial maxes; exercised here by
+    building from ~90% of lines and merging the rest through
+    merge_batch_into_keyed_rollup). The per-query max-aggregate form of
+    this rewrite measured NEGATIVE at 400× (tools/exp_q116_q135.py, pinned
+    in BENCH_NOTES) — paying the aggregation per query costs more than the
+    semi-join it replaces; paying it ONCE at ingest is the version that
+    wins, exactly the q167 lesson. Serve plan: 3-month orders filter
+    (3.8% selectivity) joins the bucketed |orders|-grain rollup — the
+    rollup side is exchange-free, the orders side shuffles 2.3M rows at
+    400× instead of the probe's 240M."""
+    table = "q170_m_maxship_by_orderkey"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    is_batch = F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber"), F.lit(10)) == 3
+    _drop_table(spark, table)
+    hist = (
+        li.filter(~is_batch)
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
+    hist.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(table)
+    batch_partial = (
+        li.filter(is_batch)
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
+    merge_batch_into_keyed_rollup(
+        spark,
+        batch_partial,
+        table,
+        keys=["l_orderkey"],
+        merge_aggs=[F.max("max_ship").alias("max_ship")],
+        bucket_key="l_orderkey",
+    )
+    rollup = spark.table(table)
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    res = (
+        o.join(rollup, o.o_orderkey == rollup.l_orderkey)
+        .filter(F.col("max_ship") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .localCheckpoint(eager=True)
+    )
+    _drop_table(spark, table)
+    return res
+
+
+# Serving-layout queries share their raw-fact oracles with the stock
+# queries they re-plan: the hash-check then certifies "the maintained
+# layout answers the SAME question with the SAME bits".
+from wikipediaetl_spark.operators.tpch import (  # noqa: E402
+    COMMITDATE_SQL,
+    RECEIPTDATE_SQL,
+    SHIPMODE_SQL,
+)
+
+_Q171_ORACLE = f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             {SHIPMODE_SQL} AS l_shipmode,
+             {COMMITDATE_SQL} AS l_commitdate,
+             {RECEIPTDATE_SQL} AS l_receiptdate,
+             CAST(l_shipdate AS DATE) AS l_shipdate_d
+      FROM lineitem
+    )
+    SELECT l_shipmode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN li ON o_orderkey = l_orderkey
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l_commitdate < l_receiptdate
+      AND l_shipdate_d < l_commitdate
+      AND l_receiptdate >= DATE '1996-01-01'
+      AND l_receiptdate < DATE '1997-01-01'
+    GROUP BY l_shipmode
+    """
+
+
+@query("q171_shipmode_rollup_serving", oracle=_Q171_ORACLE)
+def q171_shipmode_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q135 (TPC-H Q12) served from a maintained, PARTITIONED+BUCKETED
+    shipmode rollup (VERDICT r7 #2: q135 was 6.0× at 400×; the per-query
+    pre-aggregate variant measured negative under the bench session's 32MB
+    splits — again the fix is paying the aggregation at ingest, not per
+    query).
+
+    Rollup grain: (l_rcptyear, l_shipmode, l_orderkey) → count of lines
+    passing Q12's STATIC quality predicate (l_shipdate < l_commitdate <
+    l_receiptdate). The receipt-year and shipmode become PARTITION columns
+    of the stored rollup and the orderkey its bucket key, so the serve-time
+    scan reads exactly the (1996, MAIL)/(1996, SHIP) directories —
+    directory pruning, asserted on the plan in tests — and the orders join
+    is exchange-free on the rollup side. The count is additive → the
+    incremental merge is a sum (merge_batch_into_keyed_rollup; exercised
+    with a line-grain 90/10 split). Only the date WINDOW and mode SET stay
+    serve-time parameters; the quality predicate is data-quality semantics
+    baked into the rollup definition, the standard materialized-view
+    contract."""
+    table = "q171_m_lines_by_year_mode_orderkey"
+    from wikipediaetl_spark.operators.tpch import _with_transport
+
+    li = _with_transport(load_table(spark, sf_dir, "lineitem")).filter(
+        (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+    )
+    grain = [
+        F.year("l_receiptdate").alias("l_rcptyear"),
+        "l_shipmode",
+        "l_orderkey",
+    ]
+    is_batch = F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber"), F.lit(10)) == 3
+    _drop_table(spark, table)
+    hist = (
+        li.filter(~is_batch)
+        .groupBy(*grain)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist.write.partitionBy("l_rcptyear", "l_shipmode").bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable(table)
+    batch_partial = (
+        li.filter(is_batch).groupBy(*grain).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merge_batch_into_keyed_rollup(
+        spark,
+        batch_partial,
+        table,
+        keys=["l_rcptyear", "l_shipmode", "l_orderkey"],
+        merge_aggs=[F.sum("cnt").cast("long").alias("cnt")],
+        bucket_key="l_orderkey",
+        partition_cols=("l_rcptyear", "l_shipmode"),
+    )
+    rollup = spark.table(table).filter(
+        (F.col("l_rcptyear") == 1996) & F.col("l_shipmode").isin("MAIL", "SHIP")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    res = (
+        rollup.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, F.col("cnt")).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, F.col("cnt")).otherwise(0)).alias("low_line_count"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _drop_table(spark, table)
+    return res
+
+
+@query(
+    "q172_market_share_denorm",
+    oracle="""
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                         THEN CAST(volume AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q172_market_share_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q124 (TPC-H Q8) served from a DENORMALIZED lineitem⋈orders fact
+    partitioned by order year (VERDICT r7 #2: q124 was 6.2× at 400×). Q8
+    needs line-grain part/supp keys, so no orderkey-grain rollup can serve
+    it — the layout lever for this shape is materializing the fact-fact
+    JOIN at ingest instead. Every line is stored with its order's year and
+    custkey attached (o_year partition column), plus the line's exact
+    scaled-long revenue unit vu = floor(extprice·(1-disc)·1e4 + 0.5) — the
+    same unit q124's salted partials sum, so serving reproduces q124's
+    decimal/double rounding bit-for-bit.
+
+    Maintenance is APPEND-ONLY: new lines arrive, join their (already
+    ingested) order row — the stream-static enrich shape q147 runs — and
+    append into the year partition; no rewrite of history (exercised here
+    by building from ~90% of lines and appending the rest through the same
+    enrich join). Serve plan: partition pruning keeps only the 1996/1997
+    directories (2 of 7 years), dims broadcast, one partial-agg — the
+    60M-row orders shuffle is GONE from query time, which is the whole
+    6.2× bill."""
+    table = "q172_denorm_lineitem_orders"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("vu"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"), "o_custkey"
+    )
+    is_batch = F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber"), F.lit(10)) == 3
+    enrich = lambda lines: lines.join(  # noqa: E731
+        o, lines.l_orderkey == o.o_orderkey
+    ).select("l_partkey", "l_suppkey", "vu", "o_year", "o_custkey")
+    _drop_table(spark, table)
+    enrich(li.filter(~is_batch)).write.partitionBy("o_year").saveAsTable(table)
+    enrich(li.filter(is_batch)).write.mode("append").partitionBy("o_year").saveAsTable(
+        table
+    )
+    from wikipediaetl_spark.operators.relational import _t
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_keys = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(eu_keys), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    fact = spark.table(table).filter(F.col("o_year").isin(1996, 1997))
+    partial = (
+        fact.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("o_year", F.spark_partition_id().alias("pid"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("vu")).otherwise(0)
+            ).alias("pnum"),
+            F.sum("vu").alias("pden"),
+        )
+    )
+    num = (F.sum(F.col("pnum").cast("decimal(38,0)")) / 10000).cast("double")
+    den = (F.sum(F.col("pden").cast("decimal(38,0)")) / 10000).cast("double")
+    res = (
+        partial.groupBy("o_year")
+        .agg((num / den).alias("mkt_share"))
+        .localCheckpoint(eager=True)
+    )
+    _drop_table(spark, table)
+    return res
 
 
 @query(

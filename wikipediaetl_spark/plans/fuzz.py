@@ -1150,7 +1150,12 @@ def make_nullable_fixture(src_dir: str, dst_dir: str,
 
     con = duckdb.connect()
     for t, cols in TABLES.items():
-        key0 = next(c for c in cols)
+        # the hash key must be a numeric key column, not blindly cols[0]: a
+        # future TABLES entry with a non-key first column would silently
+        # change null-injection semantics or fail at COPY time (ADVICE r7)
+        key_cols = [c for c in cols if c.endswith("key")]
+        assert key_cols, f"fuzz table {t!r} has no *key column for null hashing"
+        key0 = key_cols[0]
         exprs = []
         for i, c in enumerate(cols):
             if c.endswith("key") or c == key0:

@@ -135,6 +135,7 @@ def recursive_bfs_tree(
     edges: DataFrame,
     max_depth: int = 31,
     stride: int = 4,
+    assert_forest: bool = False,
 ) -> DataFrame:
     """Declarative BFS over a FOREST via Spark 4's WITH RECURSIVE.
 
@@ -143,8 +144,14 @@ def recursive_bfs_tree(
     then has exactly ONE path from the seed set, so UNION ALL recursion is
     duplicate-free and the whole fixpoint runs inside one SQL query
     (UnionLoopExec) — no Python driver round trips, no per-round
-    localCheckpoint. General graphs (cycles, multi-parent) still need
-    :func:`bfs_fixpoint`: UNION ALL recursion would loop forever on a cycle.
+    localCheckpoint. General graphs (multi-parent DAGs, cycles) still need
+    :func:`bfs_fixpoint`: ``max_depth`` always bounds the recursion LEVELS,
+    so nothing loops forever, but UNION ALL recursion enumerates every
+    distinct path — on a multi-parent DAG the row count can grow
+    exponentially in depth before the final min-aggregate collapses it.
+    That path-explosion hazard is why the recursion row limit below is kept
+    FINITE (ADVICE r7) and why ``assert_forest=True`` offers a cheap
+    debug-mode precondition check (one max-indegree aggregate).
 
     ``stride`` applies the same k-hop lookahead as ``bfs_fixpoint``: the
     recursion steps over the cached ``edges^stride`` power table (built by
@@ -165,6 +172,16 @@ def recursive_bfs_tree(
     import uuid
 
     assert stride >= 1 and (stride & (stride - 1)) == 0, "stride must be 2^k"
+    if assert_forest:
+        max_indegree = (
+            edges.groupBy("dst").agg(F.count(F.lit(1)).alias("n")).agg(F.max("n")).first()[0]
+        )
+        if max_indegree is not None and max_indegree > 1:
+            raise ValueError(
+                f"recursive_bfs_tree requires a forest (every dst has one src); "
+                f"found max indegree {max_indegree} — use bfs_fixpoint for "
+                f"multi-parent graphs (UNION ALL recursion enumerates every path)"
+            )
     tag = uuid.uuid4().hex[:12]
     n_part = min(8, spark.sparkContext.defaultParallelism)
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -176,9 +193,14 @@ def recursive_bfs_tree(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     # the default 1M-row recursion guard fires on any fact-scale reach set
-    # (15M nodes at 100x); -1 disables it — termination is guaranteed by
-    # max_depth, which bounds levels regardless of row volume
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+    # (15M nodes at 100x). Raise it to a LARGE FINITE bound rather than -1
+    # (ADVICE r7): max_depth already guarantees termination, but on a
+    # non-forest input the UNION ALL recursion enumerates every path and
+    # this limit is the only backstop between a violated precondition and
+    # an exponential-row runaway. 2e9 rows (~32 GB of (node, depth) pairs)
+    # clears any legitimate reach set by 100x while still killing a path
+    # explosion within one level.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
     # Whole-stage codegen is a net LOSS for the loop: each recursion level
     # compiles its stages, the generated classes are evicted from the
     # code cache by whatever else the session runs, and the per-level data
@@ -215,9 +237,12 @@ def recursive_bfs_tree(
             )
             anchor = anchor.unionByName(level)
         anchor_v, step_v = f"bfs_anchor_{tag}", f"bfs_step_{tag}"
+        # register each name BEFORE the create that might throw, so the
+        # finally-cleanup can never leak a view (ADVICE r7)
+        views.append(anchor_v)
         anchor.createOrReplaceTempView(anchor_v)
+        views.append(step_v)
         hops[-1].createOrReplaceTempView(step_v)
-        views.extend([anchor_v, step_v])
         # The final min-aggregate covers the one duplicate source a forest
         # allows: a seed that is an ancestor of another seed enumerates the
         # descendant's subtree once per covering seed (bounded by |seeds|,
