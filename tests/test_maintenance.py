@@ -477,6 +477,7 @@ def test_serving_layout_queries_match_stock_plans(spark, sf_dir):
         q170_priority_rollup_serving,
         q171_shipmode_rollup_serving,
         q172_market_share_denorm,
+        q173_shipmode_mv_serving,
     )
     from wikipediaetl_spark.operators.relational import q116_priority_checking
     from wikipediaetl_spark.operators.tpch import q124_market_share, q135_shipping_modes
@@ -485,6 +486,7 @@ def test_serving_layout_queries_match_stock_plans(spark, sf_dir):
         (q170_priority_rollup_serving, q116_priority_checking),
         (q171_shipmode_rollup_serving, q135_shipping_modes),
         (q172_market_share_denorm, q124_market_share),
+        (q173_shipmode_mv_serving, q135_shipping_modes),
     ]:
         got = sorted(map(tuple, serving(spark, sf_dir).collect()))
         want = sorted(map(tuple, stock(spark, sf_dir).collect()))

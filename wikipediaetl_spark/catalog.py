@@ -115,6 +115,7 @@ _WINDOW_ALIASES: dict[str, str] = {
     "q07c_priority_rollup_serving": "q170_priority_rollup_serving",
     "q07d_shipmode_rollup_serving": "q171_shipmode_rollup_serving",
     "q08c_market_share_denorm": "q172_market_share_denorm",
+    "q07e_shipmode_mv_serving": "q173_shipmode_mv_serving",
 }
 
 

@@ -697,13 +697,27 @@ def q170_priority_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_aggs=[F.max("max_ship").alias("max_ship")],
         bucket_key="l_orderkey",
     )
-    rollup = spark.table(table)
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    # Serve (400x A/B, tools/bench_bucketed + BENCH_NOTES r8): the DERIVED
+    # STATIC filter max_ship > window_start prunes the rollup scan (any
+    # order satisfying EXISTS against a windowed orderdate must have
+    # max_ship past the window start), and the 3.8%-selectivity orders side
+    # is the SHUFFLE_HASH build against the pruned rollup stream — measured
+    # 1.91 s vs 2.61 s for the bucketed-SMJ form (32 bucket tasks cap the
+    # 60M-row rollup scan's parallelism, the same geometry that loses the
+    # plain bucketed q12).
+    rollup = spark.table(table).filter(
+        F.col("max_ship") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .hint("shuffle_hash")
     )
     res = (
-        o.join(rollup, o.o_orderkey == rollup.l_orderkey)
+        rollup.join(o, o.o_orderkey == rollup.l_orderkey)
         .filter(F.col("max_ship") > F.col("o_orderdate"))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
@@ -800,9 +814,15 @@ def q171_shipmode_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_key="l_orderkey",
         partition_cols=("l_rcptyear", "l_shipmode"),
     )
+    # Serve (400x A/B, BENCH_NOTES r8): the directory-pruned rollup slice is
+    # the SHUFFLE_HASH build against the RAW orders stream — 3.51 s vs
+    # 7.75 s for joining the bucketed orders table (exchange-free but the
+    # 32-bucket scan caps the 60M-row side's parallelism). The residual
+    # serve cost IS the orders stream; q173 is the next rung of the same
+    # ladder (priority folded into the grain at ingest → O(answer) serve).
     rollup = spark.table(table).filter(
         (F.col("l_rcptyear") == 1996) & F.col("l_shipmode").isin("MAIL", "SHIP")
-    )
+    ).hint("shuffle_hash")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     res = (
@@ -816,6 +836,84 @@ def q171_shipmode_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drop_table(spark, table)
     return res
+
+
+@query("q173_shipmode_mv_serving", oracle=_Q171_ORACLE)
+def q173_shipmode_mv_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q135 (TPC-H Q12) served from the FULL materialized aggregate — the
+    top rung of the serving ladder q170-q172 climb. Grain: (l_rcptyear,
+    l_shipmode, o_orderpriority) → qualifying-line count. The order's
+    priority is attached to each line batch AT INGEST (the q172 enrich
+    join — orders rows for a batch's lines are already ingested), so the
+    count is additive at this grain and incremental maintenance is a
+    3-key sum merge (merge_batch_into_keyed_rollup, exercised with the
+    90/10 line split here). Serve is O(answer): a ~(years × modes ×
+    priorities)-row scan + a 2-group aggregate — measured 0.22 s at 400×
+    (0.17× vs the comparator's 1.25 s full recompute).
+
+    The flexibility trade vs q171, stated plainly: this grain answers the
+    Q12 FAMILY (any year window × mode set × priority split) and nothing
+    else — no per-order joins. A deployment keeps q171's orderkey grain
+    for ad-hoc joins AND this answer-grain MV for its dashboard family;
+    both maintain incrementally from the same ingest batch for O(batch)
+    each. Reference tie: the categorizer's category-distribution summary
+    (ETL/tasks/categorizer.py:178-191) is exactly this pattern."""
+    table = "q173_mv_q12_year_mode_priority"
+    li = _with_transport_lines(spark, sf_dir).filter(
+        (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    enriched = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    grain = [
+        F.year("l_receiptdate").alias("l_rcptyear"),
+        "l_shipmode",
+        "o_orderpriority",
+    ]
+    is_batch = F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber"), F.lit(10)) == 3
+    _drop_table(spark, table)
+    (
+        enriched.filter(~is_batch)
+        .groupBy(*grain)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .write.bucketBy(4, "l_rcptyear")
+        .sortBy("l_rcptyear")
+        .saveAsTable(table)
+    )
+    batch_partial = (
+        enriched.filter(is_batch)
+        .groupBy(*grain)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    merge_batch_into_keyed_rollup(
+        spark,
+        batch_partial,
+        table,
+        keys=["l_rcptyear", "l_shipmode", "o_orderpriority"],
+        merge_aggs=[F.sum("cnt").cast("long").alias("cnt")],
+        bucket_key="l_rcptyear",
+        n_buckets=4,
+    )
+    mv = spark.table(table).filter(
+        (F.col("l_rcptyear") == 1996) & F.col("l_shipmode").isin("MAIL", "SHIP")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    res = (
+        mv.groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, F.col("cnt")).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, F.col("cnt")).otherwise(0)).alias("low_line_count"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _drop_table(spark, table)
+    return res
+
+
+def _with_transport_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wikipediaetl_spark.operators.tpch import _with_transport
+
+    return _with_transport(load_table(spark, sf_dir, "lineitem"))
 
 
 @query(
