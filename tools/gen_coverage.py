@@ -17,7 +17,7 @@ MAPPING = """## SURVEY §2 row mapping
 |---|---|
 | §2.1 scans/sources/sinks | q02 (parquet scan+pushdown), sources/tables.py (wholetext+provenance), sources/formats.py (JSON/CSV/partitioned parquet/JDBC/archival), sources/http.py (HTTP source), sources/pyds.py (registered Spark 4 Python DataSource "wikihtml": byte-balanced corpus splits, per-page landing sink, and an exactly-once streaming reader for the landing directory, tests/test_pyds.py), streaming/queries.foreach_batch_parquet_sink, tests/test_sources.py |
 | §2.2 projections/filters/predicates | q02, q03, q79 (null predicates), q46 (domain filter) |
-| §2.3 joins | q11 (star/broadcast), q12 (fact-fact), q13 (left), q14 (semi), q15 (anti = insert-if-absent), q16 (full), q17 (cross), q18 (range), q19 (as-of via max_by), q81 (salted skew), q85 (MERGE upsert), q92 (correlated subquery decorrelated), q44/etl.categorizer_tables (bridge M2M), bucketed co-located join (tests/test_scale_patterns.py); maintained serving layouts for the >5x fact-shuffle shapes (r8): q170 (Q4 from a max-shipdate orderkey rollup), q171 (Q12 from a year/mode-partitioned bucketed rollup), q172 (Q8 from a year-partitioned denormalized lineitem⋈orders fact) — each hash-matched against its raw-fact oracle with incremental maintenance exercised in-query; TPC-H shapes: Q1=q01 Q3=q98 Q4=q116 Q5=q99 Q6=q115 Q7=q123 Q8=q124 Q10=q112 Q13=q125 Q14=q126 Q15=q127 Q17=q128 Q18=q117 Q19=q129 Q22=q130 Q2=q132 Q9=q133 Q11=q134 Q12=q135 Q16=q136 Q20=q137 Q21=q138 (22 of 22; Q2/Q9/Q11/Q16/Q20 run on a derived partsupp view and Q12/Q21 on derived shipmode/commit/receipt columns — both derivations declared identically in the oracles, see operators/tpch.py docstring) |
+| §2.3 joins | q11 (star/broadcast), q12 (fact-fact), q13 (left), q14 (semi), q15 (anti = insert-if-absent), q16 (full), q17 (cross), q18 (range), q19 (as-of via max_by), q81 (salted skew), q85 (MERGE upsert), q92 (correlated subquery decorrelated), q44/etl.categorizer_tables (bridge M2M), bucketed co-located join (tests/test_scale_patterns.py); maintained serving layouts for the >5x fact-shuffle shapes (r8): q170 (Q4 from a max-shipdate orderkey rollup), q171 (Q12 from a year/mode-partitioned bucketed rollup), q172 (Q8 from a year-partitioned denormalized lineitem⋈orders fact), q173 (Q12 family from a (year, mode, priority) answer-grain MV — O(answer) serve, 3-key incremental sum merge) — each hash-matched against its raw-fact oracle with incremental maintenance exercised in-query; TPC-H shapes: Q1=q01 Q3=q98 Q4=q116 Q5=q99 Q6=q115 Q7=q123 Q8=q124 Q10=q112 Q13=q125 Q14=q126 Q15=q127 Q17=q128 Q18=q117 Q19=q129 Q22=q130 Q2=q132 Q9=q133 Q11=q134 Q12=q135 Q16=q136 Q20=q137 Q21=q138 (22 of 22; Q2/Q9/Q11/Q16/Q20 run on a derived partsupp view and Q12/Q21 on derived shipmode/commit/receipt columns — both derivations declared identically in the oracles, see operators/tpch.py docstring) |
 | §2.4 aggregations | q01, q05, q06, q07, q08 (approx), q09 (rollup), q10 (cube), q66 (grouping sets), q39 (percentiles), q75 (argmin/max), q76 (conditional), q77 (string_agg), q42 (word count) |
 | §2.5 windows | q20 (top-k), q21 (running frame), q22 (lag), q23 (rank/dense_rank), q24 (ntile), q25 (surrogate keys), q93 (first/last/nth_value), q94 (percent_rank/cume_dist) |
 | §2.6 sorts/limits | q04 (TakeOrderedAndProject top-N) |
@@ -58,10 +58,10 @@ def main() -> None:
         f"for three rounds can no longer pass locally. "
         f"`tools/lint_oracles.py` additionally rejects any oracle emitting "
         f"HUGEINT/DECIMAL(38,0) columns at type-inference time. Round 8: "
-        "26 early-sorting WINDOW ALIASES (catalog.py _WINDOW_ALIASES) pull "
+        "30 early-sorting WINDOW ALIASES (catalog.py _WINDOW_ALIASES) pull "
         "the previously never-externally-checked flagships — ETL/HTML core "
         "q40-q47, BFS q38, portable MinHash/SimHash q150/q152, the "
-        "curation capstone q148, rollup serving q167/q170-q172, the "
+        "curation capstone q148, rollup serving q167/q170-q173, the "
         "LLM-quality scalars — into that driver window as pure "
         "re-registrations (same fn, same oracle)."
     )
