@@ -452,3 +452,17 @@ def test_simhash_wide_banding_equals_allpairs(spark):
         if ham <= 3:
             want[(x, y)] = ham
     assert got == want
+
+
+def test_q174_incremental_index_matches_full_recompute(spark, sf_dir):
+    """q174's maintained-index path (build 90% -> bucketed self-join ->
+    append 10% batch bands -> batch-vs-index probe) must reproduce q150's
+    full-recompute pair set exactly — the maintenance contract."""
+    from wikipediaetl_spark.operators.dedup import (
+        q150_minhash_portable,
+        q174_lsh_index_maintenance,
+    )
+
+    inc = sorted(map(tuple, q174_lsh_index_maintenance(spark, sf_dir).collect()))
+    full = sorted(map(tuple, q150_minhash_portable(spark, sf_dir).collect()))
+    assert inc == full and len(inc) > 0

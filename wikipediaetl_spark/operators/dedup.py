@@ -328,9 +328,9 @@ def q54_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q150_minhash_portable",
-    oracle="""
+# q150's full-recompute oracle, shared verbatim by q174: the incremental
+# index-maintenance path must reproduce the batch recompute byte-for-byte.
+_Q150_ORACLE = """
     WITH words AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
@@ -366,8 +366,10 @@ def q54_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@query("q150_minhash_portable", oracle=_Q150_ORACLE)
 def q150_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable MinHash(8) + LSH(4 bands × 2): signatures are
     ``min(md5(seed || shingle))`` — lexicographic min over lowercase hex
@@ -428,6 +430,95 @@ def portable_minhash_bands(sh: DataFrame) -> DataFrame:
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_hash").alias("band_hash"),
     )
+
+
+@query("q174_lsh_index_maintenance", oracle=_Q150_ORACLE)
+def q174_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED MinHash-LSH band index — the serving-layout
+    discipline (q167/q170-q173) applied to the near-dup family. A 100 TB
+    ingest pipeline cannot re-signature the corpus per batch; the LSH index
+    is the rare maintained structure whose update is pure APPEND: new docs'
+    (doc_id, band_idx, band_hash) rows are additive, existing rows never
+    change, and the streaming-ingest question ("which corpus docs does this
+    new doc collide with?") is one equi-join of O(batch) band rows against
+    the bucketed index.
+
+    In-query exercise: documents split 90/10 on a deterministic doc_id hash;
+    the 90% build the index (bucketed by band_hash, the q11/q12 stored-
+    layout discipline — the self-join and every future probe reuse the
+    bucketing instead of shuffling the index); base-base pairs are read
+    from the index by a bucketed self-join; the 10% batch gets signatures
+    computed for ITS rows only, is APPENDED to the index, and its pairs
+    come from one batch⋈post-append-index join. The unioned result is
+    hash-verified against q150's FULL-RECOMPUTE oracle — incremental
+    maintenance must reproduce the batch pipeline byte-for-byte.
+
+    Scale: signature compute is O(batch tokens); the probe join shuffles
+    only the batch side into the index's layout (collision buckets bound
+    the pair count exactly as in q150/q54); the append is O(batch) with no
+    read-modify-write — no MERGE, no rewrite of history. count_distinct on
+    band_idx collapses the batch-batch pairs the canonicalized probe sees
+    in both directions."""
+    from wikipediaetl_spark.operators.layout import _drop_table
+
+    table = "q174_lsh_band_index"
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id") * 31 + 7, F.lit(10)) == 3
+    _drop_table(spark, table)
+    (
+        portable_minhash_bands(_shingles(d.filter(~is_batch), n=2))
+        .write.bucketBy(16, "band_hash")
+        .sortBy("band_hash")
+        .saveAsTable(table)
+    )
+    idx = spark.table(table)
+    base_rows = (
+        idx.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        .join(
+            idx.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "band_idx")
+        # snapshot BEFORE the append below: base-base pairs must come from
+        # the pre-batch index state, exactly as an online system would have
+        # already emitted them in earlier batches
+        .localCheckpoint(eager=True)
+    )
+    batch_bands = portable_minhash_bands(
+        _shingles(d.filter(is_batch), n=2)
+    ).localCheckpoint(eager=True)  # computed once, used for append AND probe
+    # append keeps the table's bucket spec: new files land in the same
+    # 16-bucket layout, so post-append probes still reuse the bucketing
+    (
+        batch_bands.write.mode("append")
+        .bucketBy(16, "band_hash")
+        .sortBy("band_hash")
+        .saveAsTable(table)
+    )
+    new_rows = (
+        batch_bands.select(F.col("doc_id").alias("id_n"), "band_idx", "band_hash")
+        .join(
+            spark.table(table).select(
+                F.col("doc_id").alias("id_c"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("id_n") != F.col("id_c"))
+        .select(
+            F.least("id_n", "id_c").alias("doc_a"),
+            F.greatest("id_n", "id_c").alias("doc_b"),
+            "band_idx",
+        )
+    )
+    res = (
+        base_rows.unionByName(new_rows)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct("band_idx").alias("n_shared_bands"))
+        .localCheckpoint(eager=True)
+    )
+    _drop_table(spark, table)
+    return res
 
 
 # Shared CTE prefix: documents → exact-dedup reps → bigram shingles → q150's
