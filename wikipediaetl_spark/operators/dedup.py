@@ -1097,8 +1097,18 @@ def q169_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     to cross-check the two widths; the hash-verify contract vs DuckDB is
     identical to q152's. Hamming here is over the 64-bit fingerprint, so
     the ≤3 pair set is a SUBSET of q152's (more bits → more disagreement
-    chances) — the wide form trades recall-at-32-bit-distance for a 2^8×
-    narrower candidate stage, the right trade at 1e9 docs."""
+    chances) — the wide form trades recall-at-32-bit-distance for a
+    narrower candidate stage.
+
+    Measured (tools/exp_simhash_wide.py at 400×, BENCH_SIMHASH_WIDE.json):
+    candidate fp pairs 1,012,958 → 487,127 (2.1×) and surviving pairs
+    59,329 → 11,073 (5.4×), while the vote stage costs 1.5× more (39.2 →
+    58.1 s wall — 64 md5-nibble votes per token vs 32). On THIS fixture the
+    distinct-fp count (2,685/3,858) is far below 2^band_bits, so bucket
+    occupancy is set by real near-dup structure, not hash collisions — the
+    full ~2^8× candidate shrink needs a diffuse corpus with n ≫ 2^16 fps
+    (the 1e9-doc regime). The honest rule: q152 is the right width until
+    the fp space saturates; q169 is the one that still works after."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_wide_pairs(d, bits=64, n_bands=4)
 
