@@ -509,3 +509,20 @@ def test_all_event_queries_differential_on_random_events(spark, tmp_path, seed):
         ):
             failures.append(name)
     assert not failures, f"seed={seed}: {failures}"
+
+
+def test_ast_fuzz_derived_join_production(spark):
+    """r8 production: aggregate-then-join (a grouped derived table in the
+    FROM — the TPC-H Q13/Q15 shape). Spark renders df.join(sub.groupBy(k)
+    .agg(..)), SQL renders JOIN (SELECT k, agg .. GROUP BY k); a dedicated
+    sweep over seeds dense in the production gives it direct coverage
+    beyond its ~25% share of the main campaigns."""
+    from wikipediaetl_spark.plans.fuzz import FuzzGen, run_campaign
+
+    seeds = [s for s in range(5000, 5600)
+             if FuzzGen(s).gen().derived_join is not None][:40]
+    assert len(seeds) >= 30, "production stopped firing — generator drift"
+    res = run_campaign(spark, SF, n=0, seeds=seeds)
+    assert res["fail"] == 0, [
+        (f["seed"], f.get("problems")) for f in res["failures"]
+    ]

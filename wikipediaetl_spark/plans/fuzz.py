@@ -450,6 +450,14 @@ class FuzzQuery:
     # boundary ties are whole-row duplicates, interchangeable under the
     # multiset compare exactly as at the LIMIT boundary.
     offset: int | None = None
+    # aggregate-then-join (the TPC-H Q13/Q15 shape, r8): a grouped derived
+    # table over an FK-adjacent table joined into the FROM.  Spark renders
+    # df.join(sub.groupBy(key).agg(...)); SQL renders JOIN (SELECT key,
+    # agg ... GROUP BY key) — independent encodings incl. the empty-group /
+    # left-join-NULL path.  (sub_t, sub_key, agg_op, agg_col|None,
+    # outer_col, how in {inner,left}, sub_where Expr|None); projection
+    # shape only, the derived value surfaces as output column ``dj``.
+    derived_join: tuple | None = None
 
     def spark_df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{self.tables[0]}.parquet")
@@ -457,6 +465,19 @@ class FuzzQuery:
             right = spark.read.parquet(f"{sf_dir}/{t}.parquet")
             lc, rc = self.join_on[i]
             df = df.join(right, on=F.col(lc) == F.col(rc), how=self.join_how[i])
+        if self.derived_join is not None:
+            sub_t, sk, agg_op, agg_col, oc, how, sub_where = self.derived_join
+            sub = spark.read.parquet(f"{sf_dir}/{sub_t}.parquet")
+            if sub_where is not None:
+                sub = sub.filter(to_spark(sub_where))
+            if agg_op == "count_star":
+                aggc = F.count(F.lit(1)).alias("__djv")
+            elif agg_op == "sum":
+                aggc = F.sum(F.col(agg_col).cast("long")).alias("__djv")
+            else:
+                aggc = getattr(F, agg_op)(F.col(agg_col)).alias("__djv")
+            dj = sub.groupBy(F.col(sk).alias("__djk")).agg(aggc)
+            df = df.join(dj, on=F.col(oc) == F.col("__djk"), how=how)
         base = df
         if self.where is not None:
             df = df.filter(to_spark(self.where))
@@ -584,6 +605,21 @@ class FuzzQuery:
             kw = {"inner": "JOIN", "left": "LEFT JOIN"}[self.join_how[i]]
             lc, rc = self.join_on[i]
             frm += f" {kw} {rel(t)} ON {lc} = {rc}"
+        if self.derived_join is not None:
+            sub_t, sk, agg_op, agg_col, oc, how, sub_where = self.derived_join
+            if agg_op == "count_star":
+                ex = "count(*)"
+            elif agg_op == "sum":
+                # DuckDB sum(BIGINT) -> HUGEINT; pin to Spark's long
+                ex = f"CAST(sum(CAST({agg_col} AS BIGINT)) AS BIGINT)"
+            else:
+                ex = f"{agg_op}({agg_col})"
+            inner = f"SELECT {sk} AS __djk, {ex} AS __djv FROM {rel(sub_t)}"
+            if sub_where is not None:
+                inner += f" WHERE ({to_sql(sub_where)})"
+            inner += f" GROUP BY {sk}"
+            kw = {"inner": "JOIN", "left": "LEFT JOIN"}[how]
+            frm += f" {kw} ({inner}) __dj ON {oc} = __djk"
         parts = []
         if self.windows:
             key = UNIQUE_KEYS[self.tables[0]]
@@ -938,6 +974,31 @@ class FuzzGen:
                               rng.choice(["<", "<=", ">", ">=", "<>"]),
                               self._int_expr(tables), sub_where)
 
+        # Aggregate-then-join along an unused FK edge (projection shape
+        # only): the derived value must survive the join NULL-intact, so
+        # how=left + a selective sub_where exercises the empty-group path.
+        derived_join = None
+        if rng.random() < 0.25:
+            frontier = []
+            for (lt, lc, rt, rc) in FK_EDGES:
+                if lt in tables and rt not in tables:
+                    frontier.append((rt, rc, lc))
+                elif rt in tables and lt not in tables:
+                    frontier.append((lt, lc, rc))
+            if frontier:
+                sub_t, sk, oc = rng.choice(frontier)
+                int_cols = [c for c, d in TABLES[sub_t].items()
+                            if d in ("int", "long")]
+                agg_op = rng.choice(["count_star", "sum", "sum", "min", "max"])
+                agg_col = rng.choice(int_cols) if int_cols else None
+                if agg_col is None:
+                    agg_op = "count_star"
+                sub_where = (self._bool_expr([sub_t])
+                             if rng.random() < 0.5 else None)
+                derived_join = (sub_t, sk, agg_op,
+                                None if agg_op == "count_star" else agg_col,
+                                oc, rng.choice(["inner", "left"]), sub_where)
+
         if (len(tables) == 1 and tables[0] in UNIQUE_KEYS
                 and rng.random() < 0.25):
             # windowed shape: ORDER BY the unique key makes every window's
@@ -981,6 +1042,8 @@ class FuzzGen:
             kind = rng.choice(["int", "int", "str"])
             e = self._int_expr(tables) if kind == "int" else self._str_expr(tables)
             select.append((f"c{i}", e))
+        if derived_join is not None:
+            select.append(("dj", col("__djv", "long")))
         # distinct / UNION ALL / set-op twins are mutually exclusive:
         # composing them would make the SQL rendering order (e.g.
         # DISTINCT-then-union) diverge from the Spark one
@@ -997,7 +1060,8 @@ class FuzzGen:
         return FuzzQuery(self.seed, tables, hows, ons, where, [], select,
                          distinct=bool(distinct), union_where=union_where,
                          setop=setop, limit=limit, exists_rel=exists_rel,
-                         scalar_sub=scalar_sub, offset=offset)
+                         scalar_sub=scalar_sub, offset=offset,
+                         derived_join=derived_join)
 
     @staticmethod
     def _owner(colname: str) -> str:
@@ -1109,8 +1173,11 @@ def run_one(spark: SparkSession, con, q: FuzzQuery, sf_dir: str) -> dict:
 
 
 def run_campaign(spark: SparkSession, sf_dir: str, n: int, seed0: int = 0,
-                 verbose: bool = False) -> dict:
-    """Run ``n`` seeded queries; returns {"pass": .., "fail": .., "failures": [..]}."""
+                 verbose: bool = False,
+                 seeds: list[int] | None = None) -> dict:
+    """Run ``n`` seeded queries (or an explicit ``seeds`` list, which
+    overrides n/seed0 — used for production-targeted sweeps); returns
+    {"pass": .., "fail": .., "failures": [..]}."""
     import duckdb
 
     from wikipediaetl_spark.sources import TABLE_NAMES
@@ -1121,7 +1188,7 @@ def run_campaign(spark: SparkSession, sf_dir: str, n: int, seed0: int = 0,
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')")
     n_pass, failures = 0, []
-    for s in range(seed0, seed0 + n):
+    for s in (seeds if seeds is not None else range(seed0, seed0 + n)):
         q = FuzzGen(s).gen()
         rec = run_one(spark, con, q, sf_dir)
         if rec["ok"]:
