@@ -526,3 +526,28 @@ def test_ast_fuzz_derived_join_production(spark):
     assert res["fail"] == 0, [
         (f["seed"], f.get("problems")) for f in res["failures"]
     ]
+
+
+def test_ast_fuzz_not_in_null_trap(spark, tmp_path):
+    """r8 production: [NOT] IN subquery with full ANSI 3VL. The Spark
+    rendering is built from first principles (semi join for IN; left join
+    vs the DISTINCT non-NULL set + a broadcast (count(*), count(col))
+    stats row for NOT IN), the SQL rendering is the bare predicate — the
+    classic NOT-IN-with-NULLs empty-result rule is differentially checked,
+    not assumed. Seeds are trap-dense: negated, with a nullable (non-key)
+    sub column, run over the NULL-injected fixture."""
+    from wikipediaetl_spark.plans.fuzz import (
+        FuzzGen,
+        make_nullable_fixture,
+        run_campaign,
+    )
+
+    trap = [s for s in range(6000, 9000)
+            if (q := FuzzGen(s).gen()).in_sub is not None and not q.windows
+            and q.in_sub[3] and not q.in_sub[2].endswith("key")][:20]
+    assert len(trap) >= 15, "trap production stopped firing — generator drift"
+    make_nullable_fixture(SF, str(tmp_path))
+    res = run_campaign(spark, str(tmp_path), n=0, seeds=trap)
+    assert res["fail"] == 0, [
+        (f["seed"], f.get("problems")) for f in res["failures"]
+    ]

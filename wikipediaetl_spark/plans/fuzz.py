@@ -458,6 +458,15 @@ class FuzzQuery:
     # outer_col, how in {inner,left}, sub_where Expr|None); projection
     # shape only, the derived value surfaces as output column ``dj``.
     derived_join: tuple | None = None
+    # [NOT] IN (SELECT col ...) with full ANSI 3VL (r8): SQL renders the
+    # subquery predicate; Spark renders it from first principles — IN is a
+    # left-semi join; NOT IN is a left join against the DISTINCT non-NULL
+    # value set plus a broadcast (count(*), count(col)) stats row, keeping
+    # a row iff the set is empty OR (outer IS NOT NULL AND the set has no
+    # NULLs AND no match).  The encodings share nothing, so the classic
+    # NOT-IN-with-NULLs trap is checked, not assumed.
+    # (sub_t, outer_col, sub_col, negated, sub_where Expr|None)
+    in_sub: tuple | None = None
 
     def spark_df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{self.tables[0]}.parquet")
@@ -488,6 +497,29 @@ class FuzzQuery:
                 sub = sub.filter(to_spark(sub_where))
             df = df.join(sub.select(sc), on=F.col(oc) == F.col(sc),
                          how="left_anti" if neg else "left_semi")
+        if self.in_sub is not None:
+            sub_t, oc, sc, neg, sub_where = self.in_sub
+            sub = spark.read.parquet(f"{sf_dir}/{sub_t}.parquet")
+            if sub_where is not None:
+                sub = sub.filter(to_spark(sub_where))
+            if not neg:
+                # alias the sub column: oc and sc may be the SAME name
+                # (the random branch can pick sub_t from the join path)
+                df = df.join(sub.select(F.col(sc).alias("__inv")),
+                             on=F.col(oc) == F.col("__inv"), how="left_semi")
+            else:
+                stats = sub.agg(F.count(F.lit(1)).alias("__incnt"),
+                                F.count(F.col(sc)).alias("__innn"))
+                vals = (sub.filter(F.col(sc).isNotNull())
+                        .select(F.col(sc).alias("__inv")).distinct())
+                df = (df.crossJoin(F.broadcast(stats))
+                      .join(F.broadcast(vals),
+                            on=F.col(oc) == F.col("__inv"), how="left")
+                      .filter((F.col("__incnt") == 0)
+                              | (F.col(oc).isNotNull()
+                                 & (F.col("__innn") == F.col("__incnt"))
+                                 & F.col("__inv").isNull()))
+                      .drop("__inv", "__incnt", "__innn"))
         if self.scalar_sub is not None:
             sub_t, agg_op, sc, k, cmp, outer, sub_where = self.scalar_sub
             sub = spark.read.parquet(f"{sf_dir}/{sub_t}.parquet")
@@ -583,6 +615,12 @@ class FuzzQuery:
             if sub_where is not None:
                 inner += f" AND ({to_sql(sub_where)})"
             conds.append(f"{'NOT ' if neg else ''}EXISTS ({inner})")
+        if self.in_sub is not None:
+            sub_t, oc, sc, neg, sub_where = self.in_sub
+            inner = f"SELECT {sc} FROM {rel(sub_t)}"
+            if sub_where is not None:
+                inner += f" WHERE ({to_sql(sub_where)})"
+            conds.append(f"({oc} {'NOT ' if neg else ''}IN ({inner}))")
         if self.scalar_sub is not None:
             sub_t, agg_op, sc, k, cmp, outer, sub_where = self.scalar_sub
             inner = (f"SELECT CAST({agg_op}({sc}) AS BIGINT) + {int(k)} "
@@ -974,6 +1012,45 @@ class FuzzGen:
                               rng.choice(["<", "<=", ">", ">=", "<>"]),
                               self._int_expr(tables), sub_where)
 
+        # [NOT] IN subquery over any table: half along an FK edge
+        # (membership mostly true), half on an arbitrary int column pair
+        # (mostly false); non-key sub columns carry NULLs under the
+        # nullable fixture, firing the NOT-IN-with-NULLs empty-result rule.
+        in_sub = None
+        if rng.random() < 0.22:
+            if rng.random() < 0.5:
+                frontier = []
+                for (lt, lc, rt, rc) in FK_EDGES:
+                    if lt in tables and rt not in tables:
+                        frontier.append((rt, lc, rc))
+                    elif rt in tables and lt not in tables:
+                        frontier.append((lt, rc, lc))
+                pick = rng.choice(frontier) if frontier else None
+            else:
+                pick = None
+            if pick is not None:
+                sub_t, oc, sc = pick
+            else:
+                sub_t = rng.choice(list(TABLES))
+                sub_ints = [c for c, d in TABLES[sub_t].items()
+                            if d in ("int", "long")]
+                outer_ints = [c.value for c in self._cols_of(tables,
+                                                             ("int", "long"))]
+                if not sub_ints or not outer_ints:
+                    sub_t = None
+                else:
+                    # prefer non-key sub columns: they carry NULLs under the
+                    # nullable fixture, making NOT IN's empty-result rule
+                    # (any NULL in the set) a LIVE path, not a dead branch
+                    nonkey = [c for c in sub_ints if not c.endswith("key")]
+                    sc = (rng.choice(nonkey) if nonkey and rng.random() < 0.6
+                          else rng.choice(sub_ints))
+                    oc = rng.choice(outer_ints)
+            if sub_t is not None:
+                sub_where = (self._bool_expr([sub_t])
+                             if rng.random() < 0.6 else None)
+                in_sub = (sub_t, oc, sc, rng.random() < 0.5, sub_where)
+
         # Aggregate-then-join along an unused FK edge (projection shape
         # only): the derived value must survive the join NULL-intact, so
         # how=left + a selective sub_where exercises the empty-group path.
@@ -1034,7 +1111,8 @@ class FuzzGen:
             return FuzzQuery(self.seed, tables, hows, ons, where, gcols,
                              select, having=having, limit=limit,
                              exists_rel=exists_rel, group_kind=group_kind,
-                             scalar_sub=scalar_sub, offset=offset)
+                             scalar_sub=scalar_sub, offset=offset,
+                             in_sub=in_sub)
 
         # projection query
         select = []
@@ -1061,7 +1139,7 @@ class FuzzGen:
                          distinct=bool(distinct), union_where=union_where,
                          setop=setop, limit=limit, exists_rel=exists_rel,
                          scalar_sub=scalar_sub, offset=offset,
-                         derived_join=derived_join)
+                         derived_join=derived_join, in_sub=in_sub)
 
     @staticmethod
     def _owner(colname: str) -> str:
