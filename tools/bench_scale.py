@@ -127,6 +127,10 @@ QUERIES = [
     # pair output under replication is the q83 quadratic worst case (each
     # base near-dup pair explodes into 400x400 doc pairs); its scale
     # witness is the fp-level candidate count in tools/exp_simhash_wide.py.
+    # q174 (r8) is excluded for the same reason: its output IS q150's
+    # doc-level pair set, quadratic under replication; its scale story is
+    # structural (O(batch) signatures + append + one bucket-join probe)
+    # and its correctness story is the hash-match against q150's oracle.
     "q168_shingle_neardup_full",
     "q89_stratified_sample",
     "q120_train_val_test_split",
