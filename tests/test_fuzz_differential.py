@@ -551,3 +551,18 @@ def test_ast_fuzz_not_in_null_trap(spark, tmp_path):
     assert res["fail"] == 0, [
         (f["seed"], f.get("problems")) for f in res["failures"]
     ]
+
+
+def test_ast_fuzz_expression_group_keys(spark):
+    """r8 production: expression GROUP BY keys (year/month/day, substr,
+    length, CASE buckets) — both renderings group by the expression and
+    alias it identically; plain-column seeds keep their pre-r8 aliases."""
+    from wikipediaetl_spark.plans.fuzz import FuzzGen, run_campaign
+
+    seeds = [s for s in range(9000, 10500)
+             if any(g.kind != "col" for g in FuzzGen(s).gen().group_by)][:40]
+    assert len(seeds) >= 30, "production stopped firing — generator drift"
+    res = run_campaign(spark, SF, n=0, seeds=seeds)
+    assert res["fail"] == 0, [
+        (f["seed"], f.get("problems")) for f in res["failures"]
+    ]

@@ -468,6 +468,15 @@ class FuzzQuery:
     # (sub_t, outer_col, sub_col, negated, sub_where Expr|None)
     in_sub: tuple | None = None
 
+    def _group_keys(self) -> list[tuple[str, Expr]]:
+        """(alias, expr) per group key.  Plain column refs keep their own
+        name (back-compat with every pre-r8 seed); expression keys (r8:
+        year/month/day, substr, length, CASE buckets) get positional g{i}
+        aliases — both renderings GROUP BY the expression and alias it
+        identically in the projection."""
+        return [(g.value if g.kind == "col" else f"g{i}", g)
+                for i, g in enumerate(self.group_by)]
+
     def spark_df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{self.tables[0]}.parquet")
         for i, t in enumerate(self.tables[1:]):
@@ -504,7 +513,11 @@ class FuzzQuery:
                 sub = sub.filter(to_spark(sub_where))
             if not neg:
                 # alias the sub column: oc and sc may be the SAME name
-                # (the random branch can pick sub_t from the join path)
+                # (the random branch can pick sub_t from the join path).
+                # When they are, Spark logs a "trivially true equals
+                # predicate" warning and applies its self-join resolution
+                # (left attr vs right attr) — the differential sweeps
+                # include same-name seeds precisely to check that rewrite.
                 df = df.join(sub.select(F.col(sc).alias("__inv")),
                              on=F.col(oc) == F.col("__inv"), how="left_semi")
             else:
@@ -568,7 +581,7 @@ class FuzzQuery:
                 out = out.limit(self.limit)
             return out
         if self.group_by:
-            keys = [to_spark(g).alias(g.value) for g in self.group_by]
+            keys = [to_spark(g).alias(a) for a, g in self._group_keys()]
             aggs = [to_spark(e).alias(a) for a, e in self.select
                     if e.kind == "agg"]
             grouped = {"group": df.groupBy, "rollup": df.rollup,
@@ -695,9 +708,11 @@ class FuzzQuery:
                        + (f" OFFSET {self.offset}" if self.offset else ""))
             return sql
         if self.group_by:
-            keys = [g.value for g in self.group_by]
-            sel = keys + [f"{to_sql(e)} AS {a}" for a, e in self.select
-                          if e.kind == "agg"]
+            gk = self._group_keys()
+            keys = [to_sql(g) for _, g in gk]
+            sel = ([f"{to_sql(g)} AS {a}" for a, g in gk]
+                   + [f"{to_sql(e)} AS {a}" for a, e in self.select
+                      if e.kind == "agg"])
             parts.append("SELECT " + ", ".join(sel))
             parts.append(f"FROM {frm}")
             wc = self._where_sql(rel)
@@ -747,7 +762,7 @@ class FuzzQuery:
         sql = "\n".join(parts)
         if self.limit is not None:
             cols = sorted(a for a, _ in self.select) if not self.group_by else \
-                sorted([g.value for g in self.group_by]
+                sorted([a for a, _ in self._group_keys()]
                        + [a for a, e in self.select if e.kind == "agg"])
             order = ", ".join(f"{c} ASC NULLS FIRST" for c in cols)
             sql = (f"SELECT * FROM (\n{sql}\n) q ORDER BY {order} "
@@ -1101,6 +1116,14 @@ class FuzzGen:
             pool = [c for t in tables for c in GROUPABLE[t]]
             for c in rng.sample(pool, k=min(len(pool), rng.randint(1, 2))):
                 gcols.append(col(c, TABLES[self._owner(c)][c]))
+            # r8: expression group keys — year/month/day(ts), substr,
+            # length, or a CASE bucket, grouped AS THE EXPRESSION in both
+            # renderings (NULL keys group together under the nullable
+            # fixture in both engines)
+            if rng.random() < 0.35:
+                e = self._group_key_expr(tables)
+                if e is not None:
+                    gcols.append(e)
             select = [(f"a{i}", self._agg_expr(tables))
                       for i in range(rng.randint(1, 3))]
             having = None
@@ -1140,6 +1163,33 @@ class FuzzGen:
                          setop=setop, limit=limit, exists_rel=exists_rel,
                          scalar_sub=scalar_sub, offset=offset,
                          derived_join=derived_join, in_sub=in_sub)
+
+    def _group_key_expr(self, tables: list[str]) -> Expr | None:
+        """A deterministic non-column grouping expression (int or str typed;
+        doubles are excluded from keys on purpose — exact-repr grouping of
+        derived floats is not a semantics we want to pin)."""
+        rng = self.rng
+        k = rng.choice(["ymd", "substr", "length", "case"])
+        if k == "ymd":
+            ts = self._cols_of(tables, ("ts",))
+            if not ts:
+                return None
+            return Expr("func", "int", op=rng.choice(["year", "month", "day"]),
+                        args=(rng.choice(ts),))
+        ss = self._cols_of(tables, ("str",))
+        if k == "substr":
+            if not ss:
+                return None
+            return Expr("func", "str", op="substr",
+                        args=(rng.choice(ss), lit(1, "int"),
+                              lit(rng.randint(1, 2), "int")))
+        if k == "length":
+            if not ss:
+                return None
+            return Expr("func", "int", op="length", args=(rng.choice(ss),))
+        cond = self._bool_expr(tables, depth=1)
+        return Expr("case", "str",
+                    args=(cond, lit("hi", "str"), lit("lo", "str")))
 
     @staticmethod
     def _owner(colname: str) -> str:
