@@ -110,6 +110,25 @@ SHOWCASE = {
     "pinned session confs can be restored), hence the plan below is the "
     "materialized RDD scan; the recursion itself plans as UnionLoop inside "
     "streaming/crawler.py:recursive_bfs_tree.",
+    # r8: serving ladder + maintained near-dup index
+    "q168_shingle_neardup_full": "UNCAPPED full-corpus exact shingle-Jaccard: "
+    "exact-dedup prepass collapses identical texts, q150's md5-minhash "
+    "banding blocks the pair space, exact Jaccard verifies CANDIDATES only "
+    "— the quadratic stage never sees the corpus (r8).",
+    "q169_simhash_wide": "64-bit SimHash, 4×16-bit pigeonhole bands over "
+    "DISTINCT fingerprints — the 1e9-doc-regime variant; candidate stage "
+    "bounded by band-bucket occupancy n/2^16 (r8, BENCH_SIMHASH_WIDE).",
+    "q173_shipmode_mv_serving": "TPC-H Q12 family from a (year, mode, "
+    "priority) answer-grain MV with 3-key incremental sum maintenance — "
+    "serve is an O(answer) scan + 2-group agg, 0.09x vs the comparator at "
+    "400x (r8; the top rung of the q170-q173 serving ladder).",
+    "q174_lsh_index_maintenance": "incrementally-MAINTAINED MinHash-LSH "
+    "band index: batch signatures O(batch tokens), APPEND into the "
+    "16-bucket layout, one equi-join probe for the batch's collisions — "
+    "result hash-matches q150's full-recompute oracle (r8). The fn "
+    "returns an eager localCheckpoint (the index table is dropped before "
+    "returning), so the plan below is the materialized scan — the bucketed "
+    "probe/self-join plans live pre-checkpoint in dedup.py.",
 }
 
 
