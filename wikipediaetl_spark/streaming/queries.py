@@ -311,7 +311,13 @@ def q100_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen/JIT warmup (addBatch 5.7 s → 2.9 s, queryPlanning
     0.76 s → 0.3 s), which a long-lived executor amortizes over its
     lifetime; irreducible per-query bootstrap (offset WAL, state-store
-    instances) is the remaining ~0.4 s."""
+    instances) is the remaining ~0.4 s. RocksDB state store (VERDICT r7 #3
+    alternative) measured NEGATIVE in this regime (tools/
+    exp_rocksdb_state.py → BENCH_ROCKSDB_STATE.json, interleaved
+    same-session A/B): steady 7.0-8.3 s/batch vs 4.0-4.7 s HDFS-backed —
+    the ~2M-row state fits in heap, so RocksDB's native-store
+    serialization only adds cost; it is the right provider when state
+    EXCEEDS executor memory (billions of keys), not here."""
     purchases = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
