@@ -102,3 +102,16 @@ def test_spread_if_starved(spark, sf_dir, tmp_path):
     assert spread_if_starved(wide, key="id") is wide
     # content is preserved either way
     assert out.count() == d.count()
+
+
+def test_q175_serving_matches_stock_q159(spark, sf_dir):
+    """The maintained doc-grain feature layout (frozen LM + incremental
+    batch scoring + append) must reproduce the full three-pass recompute."""
+    from wikipediaetl_spark.operators.text_analysis import (
+        q159_ccnet_buckets,
+        q175_ccnet_serving,
+    )
+
+    got = sorted(map(tuple, q175_ccnet_serving(spark, sf_dir).collect()))
+    want = sorted(map(tuple, q159_ccnet_buckets(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

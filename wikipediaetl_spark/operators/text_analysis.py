@@ -504,6 +504,17 @@ def perdoc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode measured 2-3× WORSE (tools/exp_q159.py) because the pair-grain
     shuffle dwarfs the explode saving."""
     d = load_table(spark, sf_dir, "documents")
+    lp, oov = unigram_lm(spark, sf_dir)
+    return score_docs(d, lp, oov)
+
+
+def unigram_lm(spark: SparkSession, sf_dir: str):
+    """The corpus-trained unigram LM as two small DataFrames:
+    (tok, lp micro-nats BIGINT) for the top-50k vocab, and the 1-row OOV
+    floor. This is the frozen model artifact of the q144/q159 family —
+    trained once, broadcast to every scoring pass (q175 maintains per-doc
+    scores under it incrementally, the CCNet pretrained-KenLM shape)."""
+    d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     # full (untruncated) per-token counts serve BOTH the vocabulary and the
     # corpus total: total = Σcnt folds over the same groupBy exchange the
@@ -519,6 +530,14 @@ def perdoc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     oov = total_df.select(
         micro(F.lit(1.0) / F.greatest(F.col("total"), F.lit(1))).alias("oov_lp")
     )
+    return lp, oov
+
+
+def score_docs(d: DataFrame, lp: DataFrame, oov: DataFrame) -> DataFrame:
+    """Per-doc exact integer log-prob features for ``d(doc_id, text)`` under
+    a frozen LM: (doc_id, n_tokens BIGINT, sum_lp_micro BIGINT).  O(tokens
+    of d) — the incremental-maintenance unit of the q175 serving layout."""
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     return (
         toks.join(F.broadcast(lp), "tok", "left")
         .crossJoin(F.broadcast(oov))
@@ -608,9 +627,9 @@ def q144_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q159_ccnet_buckets",
-    oracle="""
+# q159's full-recompute oracle, shared verbatim by q175: the maintained
+# doc-grain serving layout must reproduce the three-corpus-pass recompute.
+_Q159_ORACLE = """
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
@@ -653,8 +672,10 @@ def q144_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(nll_milli) AS max_nll_milli
     FROM buck
     GROUP BY lang, ppl_tercile
-    """,
-)
+    """
+
+
+@query("q159_ccnet_buckets", oracle=_Q159_ORACLE)
 def q159_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail corpus partitioning (Wenzek et al.,
     arXiv:1911.00359 §4.3): per language, rank documents by LM score and cut
@@ -682,6 +703,70 @@ def q159_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nll_milli").alias("min_nll_milli"),
         F.max("nll_milli").alias("max_nll_milli"),
     )
+
+
+@query("q175_ccnet_serving", oracle=_Q159_ORACLE)
+def q175_ccnet_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q159 served from a MAINTAINED doc-grain feature layout — the serving
+    treatment (q170-q174) applied to the last ≥5× family (the per-token
+    curation scalars; q144/q159 measured 4.8×/5.3× at 400× and are pinned
+    memory-bandwidth-bound in BENCH_NOTES r5). The production shape is
+    CCNet's own: the LM is a FROZEN artifact (Wenzek et al. use a
+    pretrained KenLM; here it is trained once at layout-build time —
+    unigram_lm), and each ingest batch pays ONLY its own token pass
+    (score_docs, O(batch tokens)), appending doc-grain rows (doc_id, lang,
+    n_tokens, sum_lp_micro) into a lang-bucketed table. Serve-time work is
+    then O(docs), not O(tokens): the ntile window rides the bucket layout's
+    lang partitioning and the three corpus passes of the recompute path
+    never happen. In-query exercise: 90/10 doc split, batch scored and
+    APPENDED (pure append — per-doc scalars never merge), result
+    hash-matched against q159's full-recompute oracle."""
+    from wikipediaetl_spark.operators.layout import _drop_table
+
+    table = "q175_doc_features"
+    d = load_table(spark, sf_dir, "documents")
+    lp, oov = unigram_lm(spark, sf_dir)
+    lp = lp.localCheckpoint(eager=True)  # freeze the model artifact once
+    oov = oov.localCheckpoint(eager=True)
+    is_batch = F.pmod(F.col("doc_id") * 13 + 5, F.lit(10)) == 7
+    lang = d.select("doc_id", "lang")
+    _drop_table(spark, table)
+    (
+        score_docs(d.filter(~is_batch), lp, oov)
+        .join(lang, "doc_id")
+        .write.bucketBy(4, "lang")
+        .sortBy("lang")
+        .saveAsTable(table)
+    )
+    (
+        score_docs(d.filter(is_batch), lp, oov)
+        .join(lang, "doc_id")
+        .write.mode("append")
+        .bucketBy(4, "lang")
+        .sortBy("lang")
+        .saveAsTable(table)
+    )
+    feats = spark.table(table)
+    scored = feats.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.expr("CAST((-sum_lp_micro * 1000) DIV n_tokens AS BIGINT)").alias("nll_milli"),
+    )
+    w = W.partitionBy("lang").orderBy("nll_milli", "doc_id")
+    buck = scored.withColumn("ppl_tercile", F.ntile(3).over(w))
+    res = (
+        buck.groupBy("lang", "ppl_tercile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("nll_milli").alias("min_nll_milli"),
+            F.max("nll_milli").alias("max_nll_milli"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _drop_table(spark, table)
+    return res
 
 
 def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
