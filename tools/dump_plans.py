@@ -122,6 +122,12 @@ SHOWCASE = {
     "priority) answer-grain MV with 3-key incremental sum maintenance — "
     "serve is an O(answer) scan + 2-group agg, 0.09x vs the comparator at "
     "400x (r8; the top rung of the q170-q173 serving ladder).",
+    "q175_ccnet_serving": "q159's CCNet terciles from a MAINTAINED doc-grain "
+    "feature layout under a frozen LM: O(batch tokens) maintenance, O(docs) "
+    "serve riding the lang-bucketed layout — 17.5 s stock -> 1.81 s serve "
+    "(0.66x) at 400x (r8, BENCH_CCNET_SERVING). Returns an eager "
+    "localCheckpoint (table dropped before returning), so the plan below is "
+    "the materialized scan.",
     "q174_lsh_index_maintenance": "incrementally-MAINTAINED MinHash-LSH "
     "band index: batch signatures O(batch tokens), APPEND into the "
     "16-bucket layout, one equi-join probe for the batch's collisions — "
