@@ -566,3 +566,19 @@ def test_ast_fuzz_expression_group_keys(spark):
     assert res["fail"] == 0, [
         (f["seed"], f.get("problems")) for f in res["failures"]
     ]
+
+
+def test_ast_fuzz_window_ntile_and_range_frames(spark):
+    """r8 window productions: ntile(k) over the total key order and a
+    RANGE 1000-PRECEDING frame over the key's value, differentially
+    checked against the SQL window rendering."""
+    from wikipediaetl_spark.plans.fuzz import FuzzGen, run_campaign
+
+    seeds = [s for s in range(12000, 14000)
+             if any(w[1] in ("ntile", "sum_range")
+                    for w in FuzzGen(s).gen().windows)][:30]
+    assert len(seeds) >= 20, "production stopped firing — generator drift"
+    res = run_campaign(spark, SF, n=0, seeds=seeds)
+    assert res["fail"] == 0, [
+        (f["seed"], f.get("problems")) for f in res["failures"]
+    ]

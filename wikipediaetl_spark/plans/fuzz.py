@@ -555,6 +555,10 @@ class FuzzQuery:
                 w = W.partitionBy(part).orderBy(F.col(key).asc())
                 if fn in ("sum", "min", "max", "count"):
                     w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+                if fn == "sum_range":
+                    # RANGE frame over the key's VALUE (tie-safe by ANSI
+                    # definition; key is unique anyway) — r8 production
+                    w = w.rangeBetween(-1000, 0)
                 if fn == "row_number":
                     e = F.row_number().over(w)
                 elif fn == "rank":
@@ -563,12 +567,14 @@ class FuzzQuery:
                     e = F.lag(to_spark(arg)).over(w)
                 elif fn == "lead":
                     e = F.lead(to_spark(arg), 2).over(w)
-                elif fn == "sum":
+                elif fn in ("sum", "sum_range"):
                     e = F.sum(to_spark(arg).cast("long")).over(w)
                 elif fn in ("min", "max"):
                     e = getattr(F, fn)(to_spark(arg)).over(w)
                 elif fn == "count":
                     e = F.count(F.lit(1)).over(w)
+                elif fn == "ntile":
+                    e = F.ntile(int(arg.value)).over(w)
                 else:
                     raise ValueError(fn)
                 cols.append(e.alias(alias))
@@ -677,7 +683,9 @@ class FuzzQuery:
             items = [key]
             for alias, fn, arg, part in self.windows:
                 frame = (" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-                         if fn in ("sum", "min", "max", "count") else "")
+                         if fn in ("sum", "min", "max", "count") else
+                         " RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW"
+                         if fn == "sum_range" else "")
                 over = f"OVER (PARTITION BY {part} ORDER BY {key} ASC{frame})"
                 if fn in ("row_number", "rank"):
                     ex = f"{fn}() {over}"
@@ -685,13 +693,15 @@ class FuzzQuery:
                     ex = f"lag({to_sql(arg)}) {over}"
                 elif fn == "lead":
                     ex = f"lead({to_sql(arg)}, 2) {over}"
-                elif fn == "sum":
+                elif fn in ("sum", "sum_range"):
                     # DuckDB window sum(BIGINT) is HUGEINT; pin to long
                     ex = f"CAST(sum(CAST({to_sql(arg)} AS BIGINT)) {over} AS BIGINT)"
                 elif fn in ("min", "max"):
                     ex = f"{fn}({to_sql(arg)}) {over}"
                 elif fn == "count":
                     ex = f"count(*) {over}"
+                elif fn == "ntile":
+                    ex = f"ntile({int(arg.value)}) {over}"
                 else:
                     raise ValueError(fn)
                 items.append(f"{ex} AS {alias}")
@@ -1100,12 +1110,15 @@ class FuzzGen:
             for i in range(rng.randint(1, 3)):
                 part = rng.choice(GROUPABLE[t0])
                 fn = rng.choice(["row_number", "rank", "lag", "lead",
-                                 "sum", "min", "max", "count"])
+                                 "sum", "min", "max", "count",
+                                 "ntile", "sum_range"])
                 arg = None
                 if fn in ("lag", "lead", "min", "max"):
                     arg = rng.choice(self._cols_of(tables, ("int", "long")))
-                elif fn == "sum":
+                elif fn in ("sum", "sum_range"):
                     arg = self._int_expr(tables)
+                elif fn == "ntile":
+                    arg = lit(rng.randint(2, 5), "int")
                 wins.append((f"w{i}", fn, arg, part))
             return FuzzQuery(self.seed, tables, hows, ons, where, [], [],
                              windows=wins, limit=limit, offset=offset)
