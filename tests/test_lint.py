@@ -59,3 +59,53 @@ def test_readme_headline_numbers_match_bench_full_artifact():
     # and no OTHER 'X s Spark vs Y s DuckDB' claim hides a stale number
     claims = re.findall(r"([\d.]+) s Spark vs ([\d.]+) s DuckDB", flat)
     assert claims == [(spark_s, duck_s)], claims
+
+
+def test_readme_idle_headline_matches_bench_idle_artifact():
+    """VERDICT r8 #2 (third sighting of the drift class): the README's idle
+    20-query headline seconds must be BENCH_IDLE.json's value and the q01
+    canary must be the artifact's q01 — regenerating the artifact without
+    updating the README paragraph turns this red."""
+    import json
+    import re
+
+    with open("/root/repo/BENCH_IDLE.json") as f:
+        idle = json.load(f)
+    want = f"{idle['value']:.2f}"
+    canary = idle["queries"]["q01_pricing_summary"]
+    with open("/root/repo/README.md") as f:
+        flat = f.read().replace("\n", " ")
+    m = re.search(r"\*\*([\d.]+) s\*\* for the 20-query sf0.1 headline", flat)
+    assert m, "README lost the idle-headline sentence"
+    assert m.group(1) == want, f"README idle headline {m.group(1)} != artifact {want}"
+    m = re.search(r"q01 canary ([\d.]+) s", flat)
+    assert m and float(m.group(1)) == canary, "README q01 canary drifted"
+
+
+def test_readme_under_comparator_count_matches_400x_artifact():
+    """VERDICT r8 #2: the README's 'N queries run UNDER the comparator'
+    claim and median must be recomputable from BENCH_SCALE_400x.json."""
+    import json
+    import re
+    import statistics
+
+    with open("/root/repo/BENCH_SCALE_400x.json") as f:
+        qs = json.load(f)["queries"]
+    ratios = [v["ratio"] for v in qs.values() if isinstance(v, dict) and "ratio" in v]
+    under = sum(1 for r in ratios if r < 1.0)
+    median = statistics.median(ratios)
+    words = "ZERO ONE TWO THREE FOUR FIVE SIX SEVEN EIGHT NINE TEN ELEVEN TWELVE".split()
+    with open("/root/repo/README.md") as f:
+        flat = f.read().replace("\n", " ")
+    m = re.search(r"(\w+) queries run UNDER the single-node DuckDB comparator", flat)
+    assert m, "README lost the under-comparator sentence"
+    assert m.group(1) == words[under], (
+        f"README says {m.group(1)}, artifact has {under} ratios < 1.0"
+    )
+    m = re.search(r"median of ([\d.]+)× across the (\d+) measured entries", flat)
+    assert m, "README lost the median sentence"
+    # exact-half medians (e.g. 2.845) round differently across tools;
+    # accept either side of the half-ulp, reject real drift
+    assert abs(float(m.group(1)) - median) < 0.006 and int(m.group(2)) == len(ratios), (
+        f"README median/count {m.groups()} != artifact ({median}, {len(ratios)})"
+    )

@@ -57,13 +57,21 @@ def main() -> None:
         f"reprs — the HUGEINT-vs-int64 divergence class that hid q111/q135 "
         f"for three rounds can no longer pass locally. "
         f"`tools/lint_oracles.py` additionally rejects any oracle emitting "
-        f"HUGEINT/DECIMAL(38,0) columns at type-inference time. Round 8: "
-        "30 early-sorting WINDOW ALIASES (catalog.py _WINDOW_ALIASES) pull "
-        "the previously never-externally-checked flagships — ETL/HTML core "
-        "q40-q47, BFS q38, portable MinHash/SimHash q150/q152, the "
-        "curation capstone q148, rollup serving q167/q170-q173, the "
-        "LLM-quality scalars — into that driver window as pure "
-        "re-registrations (same fn, same oracle)."
+        f"HUGEINT/DECIMAL(38,0) columns at type-inference time. The 30 "
+        "early-sorting WINDOW ALIASES (catalog.py _WINDOW_ALIASES) are a "
+        "ROTATION: each round they re-point at the oracle-carrying queries "
+        "never (or least recently) externally checked, so every oracle "
+        "query passes through the external window within ~5 rounds. Round "
+        "8 checked the flagships (q38, q40-q47, q57, q67, q83, q86, q90, "
+        "q142, q144, q148, q150, q152-q153, q159-q160, q163, q167-q173 — "
+        "all green, CORRECTNESS_r08.json); round 9 rotates onto 30 "
+        "first-time targets led by q174 (maintained LSH index) and q175 "
+        "(CCNet serving layout), then the iterative/storage/streaming "
+        "flagships q164-q166, q158, q161-q162, q149, q156, q154, "
+        "q138-q141, q147, q151, q155, q157, and the q11-q99 natives that "
+        "sorted outside every pre-alias window (q20, q36, q49-q51, q53, "
+        "q56, q66, q81, q85, q92). Each alias is a pure re-registration "
+        "(same fn, same oracle)."
     )
     print()
     print(

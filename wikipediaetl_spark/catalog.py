@@ -75,47 +75,63 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Driver-window aliases (round 8). The external CORRECTNESS harness verifies
-# only the 50 lexicographically-first catalog names; for two rounds that
-# window re-checked the same q01..q137 set, leaving the flagship operators
-# (ETL/HTML core q40-q47, BFS q38, portable MinHash/SimHash q150/q152, the
-# curation capstone q148, rollup serving q167, and the LLM-quality scalars)
-# never externally hash-checked. Each alias below sorts into the window
-# (``qNN_`` < ``qNNa_`` < ``qNN+1_`` because '_' 0x5f < 'a' 0x61) and is a
-# pure re-registration — same fn, same oracle; the original names stay.
+# Driver-window aliases — ROTATION POLICY (round 9 instance below).
+#
+# The external CORRECTNESS harness verifies only the 50 lexicographically
+# first catalog names; the catalog has 175 distinct operators. The 30 alias
+# slots below are a rotation: each round they are re-pointed at the
+# oracle-carrying queries that have never (or least recently) been
+# externally hash-checked, so every oracle query passes through the external
+# window within a bounded number of rounds (~5 at 30 slots/round for the
+# ~145 oracle-carrying natives). Rotation rules:
+#   1. Slots are pure re-registrations — same fn, same oracle; original
+#      names stay registered, so nothing is ever *removed* from the catalog.
+#   2. Alias names keep the qNNx_ prefix scheme (``qNN_`` < ``qNNa_`` <
+#      ``qNN+1_`` because '_' 0x5f < 'a' 0x61) so the window composition is
+#      always exactly: 20 early-sorting natives + these 30 slots.
+#   3. Priority order within a round: (a) operators new this round,
+#      (b) never-externally-checked flagships, (c) oldest last-check.
+#   4. Slots only carry oracle-backed targets (the dedicated test asserts
+#      this) — rows-only queries gain nothing from the window's hash check.
+# History: r8 slots checked q38/q40-q47/q57/q67/q83/q86/q90/q142/q144/
+# q148/q150/q152/q153/q159/q160/q163/q167-q173 (all green,
+# CORRECTNESS_r08.json). r9 slots (below) are 30 first-time targets, led by
+# the r8 flagships q174/q175 that sorted outside the r8 window.
 _WINDOW_ALIASES: dict[str, str] = {
-    "q01a_bfs_reachability": "q38_bfs_reachability",
-    "q01b_html_categories": "q40_html_categories",
-    "q02a_html_last_edited": "q41_html_last_edited",
-    "q02b_word_count": "q42_word_count",
-    "q03a_extract_text": "q43_extract_text",
-    "q03b_category_distribution": "q44_category_distribution",
-    "q04a_converter_output": "q45_converter_output",
-    "q04b_url_normalize": "q46_url_normalize",
-    "q05a_sanitize_filename": "q47_sanitize_filename",
-    "q05b_pipeline_capstone": "q148_pipeline_capstone",
-    "q06a_minhash_portable": "q150_minhash_portable",
-    "q06b_simhash_portable": "q152_simhash_portable",
-    "q07a_rollup_serving": "q167_rollup_serving",
-    "q07b_cosine_topk": "q57_cosine_topk",
-    "q08a_tfidf_top_terms": "q67_tfidf_top_terms",
-    "q08b_neardup_clusters": "q83_neardup_clusters",
-    "q09a_decontamination": "q86_decontamination",
-    "q09b_sequence_packing": "q90_sequence_packing",
-    "q10a_gopher_rules": "q142_gopher_rules",
-    "q10b_unigram_perplexity": "q144_unigram_perplexity",
-    "q02c_ccnet_buckets": "q159_ccnet_buckets",
-    "q03c_ivf_ann_oracle": "q163_ivf_ann_oracle",
-    "q04c_session_windows": "q153_session_windows",
-    "q05c_outlier_zscore": "q160_outlier_zscore",
-    # round-8 operators (VERDICT r7 #4/#5), aliased in so their first round
-    # in the tree is also their first external hash-check
-    "q06c_shingle_neardup_full": "q168_shingle_neardup_full",
-    "q06d_simhash_wide": "q169_simhash_wide",
-    "q07c_priority_rollup_serving": "q170_priority_rollup_serving",
-    "q07d_shipmode_rollup_serving": "q171_shipmode_rollup_serving",
-    "q08c_market_share_denorm": "q172_market_share_denorm",
-    "q07e_shipmode_mv_serving": "q173_shipmode_mv_serving",
+    # (a) newest operators, never externally checked (VERDICT r8 #1)
+    "q01a_lsh_index_maintenance": "q174_lsh_index_maintenance",
+    "q01b_ccnet_serving": "q175_ccnet_serving",
+    # (b) never-checked flagship block (iterative, storage, streaming state)
+    "q02a_pagerank_exact": "q165_pagerank_exact",
+    "q02b_storage_merge_roundtrip": "q166_storage_merge_roundtrip",
+    "q02c_stateful_stats_native": "q164_stateful_stats_native",
+    "q03a_upsert_snapshot": "q158_upsert_snapshot",
+    "q03b_funnel": "q161_funnel",
+    "q03c_cohort_retention": "q162_cohort_retention",
+    "q04a_stateful_running_stats": "q149_stateful_running_stats",
+    "q04b_variant_json": "q156_variant_json",
+    "q04c_sentence_udtf": "q154_sentence_udtf",
+    "q05a_duplicate_spans": "q141_duplicate_spans",
+    "q05b_data_mixing": "q139_data_mixing",
+    "q05c_waiting_suppliers": "q138_waiting_suppliers",
+    "q06a_frame_offsets": "q140_frame_offsets",
+    "q06b_stream_static_enrich": "q147_stream_static_enrich",
+    "q06c_content_hash_sample": "q151_content_hash_sample",
+    "q06d_bigram_lift": "q155_bigram_lift",
+    "q07a_unpivot_measures": "q157_unpivot_measures",
+    # (c) never-checked q11-q99 natives (sorted outside every pre-alias
+    # window, which lexicographically covered only q01-q10 + q100-q137)
+    "q07b_correlated_subquery": "q92_correlated_subquery",
+    "q07c_merge_upsert": "q85_merge_upsert",
+    "q07d_salted_join": "q81_salted_join",
+    "q07e_fuzzy_match": "q49_fuzzy_match",
+    "q08a_sessionize": "q36_sessionize",
+    "q08b_exact_dedup": "q50_exact_dedup",
+    "q08c_hash_dedup": "q51_hash_dedup",
+    "q09a_shingle_neardup": "q53_shingle_neardup",
+    "q09b_embedding_neardup": "q56_embedding_neardup",
+    "q10a_window_topk": "q20_window_topk",
+    "q10b_grouping_sets": "q66_grouping_sets",
 }
 
 
