@@ -408,3 +408,91 @@ def test_zscore_integer_threshold_adjusters_converge():
             d0 -= 1
         for seed in range(max(0, d0 - 2), d0 + 3):
             assert adjust(seed, n, m) == d0, (n, m, seed, d0)
+
+
+def test_keyed_rollup_replay_and_crash_window_idempotent(spark, sf_dir):
+    """ADVICE r8: the keyed-rollup merge must be replay-safe in EVERY crash
+    window. The hard case: batch N commits to staging, the process dies
+    after drop(table) but before rename — the next call auto-renames the
+    committed staging (which already contains batch N), and a caller
+    following the 'replay the batch' recovery story then re-merges batch N.
+    The batch-id watermark rides the staging TBLPROPERTIES through RENAME,
+    so the replay is a no-op, not a double-count under the sum algebra."""
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        merge_batch_into_keyed_rollup,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    t = "t_keyed_replay"
+    _drop_table(spark, t)
+    _drop_table(spark, f"{t}_staging")
+    o = load_table(spark, sf_dir, "orders")
+
+    def part(df):
+        return df.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    aggs = [F.sum("n").cast("long").alias("n")]
+
+    def merge(df, bid):
+        merge_batch_into_keyed_rollup(
+            spark, part(df), t, ["o_custkey"], aggs, "o_custkey",
+            n_buckets=4, batch_id=bid,
+        )
+
+    merge(o, 0)
+    base = spark.table(t).agg(F.sum("n")).first()[0]
+    assert base == o.count()
+    # plain replay of batch 0: no-op
+    merge(o, 0)
+    assert spark.table(t).agg(F.sum("n")).first()[0] == base
+    # batch 1 merges fully, then simulate the drop→rename crash window:
+    # the committed result (history + batch 1) sits in staging, main gone
+    merge(o.limit(10), 1)
+    spark.sql(f"ALTER TABLE {t} RENAME TO {t}_staging")
+    # recovery replays batch 1 — must fold exactly once overall
+    merge(o.limit(10), 1)
+    assert spark.table(t).agg(F.sum("n")).first()[0] == base + 10
+    # an unstamped maintenance merge carries the watermark forward
+    merge_batch_into_keyed_rollup(
+        spark, part(o.limit(5)), t, ["o_custkey"], aggs, "o_custkey",
+        n_buckets=4, batch_id=None,
+    )
+    assert spark.table(t).agg(F.sum("n")).first()[0] == base + 15
+    merge(o, 1)  # stale replay after the unstamped merge: still suppressed
+    assert spark.table(t).agg(F.sum("n")).first()[0] == base + 15
+    _drop_table(spark, t)
+
+
+def test_lineitem_rollup_merge_replay_idempotent(spark, sf_dir):
+    """Same replay contract on the lineitem-grain merge (ADVICE r8)."""
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        merge_batch_into_lineitem_rollup,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    t = "t_li_replay"
+    _drop_table(spark, t)
+    _drop_table(spark, f"{t}_staging")
+    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+    merge_batch_into_lineitem_rollup(spark, li, table=t, n_buckets=4, batch_id=0)
+    base = spark.table(t).agg(F.sum("n_lines")).first()[0]
+    merge_batch_into_lineitem_rollup(spark, li, table=t, n_buckets=4, batch_id=0)
+    assert spark.table(t).agg(F.sum("n_lines")).first()[0] == base
+    _drop_table(spark, t)
+
+
+def test_hadoop_delete_is_scheme_aware(spark, tmp_path):
+    """Staging/emptied-partition cleanup goes through the Hadoop FileSystem
+    API so it resolves the scheme from the path (ADVICE r8: driver-local
+    rmtree silently no-ops on HDFS/S3). Locally: both bare and file:-scheme
+    paths must delete recursively."""
+    from wikipediaetl_spark.operators.layout import _hadoop_delete
+
+    for scheme in ("", "file:"):
+        d = tmp_path / f"stage{scheme.rstrip(':') or 'bare'}"
+        (d / "sub").mkdir(parents=True)
+        (d / "sub" / "x.parquet").write_text("x")
+        _hadoop_delete(spark, f"{scheme}{d}")
+        assert not d.exists()

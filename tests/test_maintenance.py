@@ -346,7 +346,7 @@ class TestPartitionedUpsert:
             "o_orderkey long, o_orderstatus string, o_totalprice double",
         )
         # (b): the materialization helper's read-isolation invariant
-        df, staging = _materialize_merged(spark, batch, durable=True, fs_path=path)
+        df, staging = _materialize_merged(spark, batch, durable=True, path=path)
         assert staging is not None and staging.startswith(path)
         files = df.inputFiles()
         assert files and all("_upsert_staging_" in f for f in files)

@@ -43,6 +43,7 @@ from wikipediaetl_spark.sources import load_table
 # rename into place). Set after saveAsTable finishes, before the main table
 # is dropped — see merge_batch_into_rollup's crash-recovery contract.
 _COMMIT_PROP = "wikipediaetl.rollup.committed"
+_BATCH_PROP = "wikipediaetl.rollup.lastBatchId"
 
 
 def _staging_committed(spark: SparkSession, staging: str) -> bool:
@@ -56,14 +57,54 @@ def _staging_committed(spark: SparkSession, staging: str) -> bool:
     return any(r["key"] == _COMMIT_PROP and r["value"] == "true" for r in rows)
 
 
+def _table_batch_id(spark: SparkSession, table: str) -> int | None:
+    """The replay watermark stamped into ``table``'s TBLPROPERTIES by a
+    previous merge, or None for an unstamped/missing table. The property
+    rides the staging table through RENAME, so the watermark survives every
+    crash window — including the one ADVICE r8 flagged, where a crash
+    between drop and rename is recovered by auto-renaming a committed
+    staging that ALREADY contains batch N: the renamed table carries
+    lastBatchId=N, so a replay of batch N is skipped, not double-counted."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    except Exception:
+        return None
+    for r in rows:
+        if r["key"] == _BATCH_PROP:
+            try:
+                return int(r["value"])
+            except ValueError:
+                return None
+    return None
+
+
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` via the Hadoop FileSystem API, resolving
+    the filesystem from the path's own scheme (file:, hdfs:, s3a:, …), so
+    staging/emptied-partition cleanup works on any shared FS a real cluster
+    would use — a driver-local ``shutil.rmtree`` silently no-ops on
+    non-POSIX schemes and the temp dirs accumulate forever (ADVICE r8).
+    Best-effort like the rmtree it replaces: cleanup failure must never
+    fail a merge whose data commit already succeeded."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:
+        # last-ditch local fallback (e.g. a mocked session in tests)
+        shutil.rmtree(path.removeprefix("file:"), ignore_errors=True)
+
+
 def _drop_table(spark: SparkSession, table: str) -> None:
     """Drop a managed table AND its warehouse location. A location orphaned
     by a previous session (catalog entry gone, directory still on disk)
-    makes saveAsTable fail with LOCATION_ALREADY_EXISTS — remove it too."""
+    makes saveAsTable fail with LOCATION_ALREADY_EXISTS — remove it too
+    (scheme-aware: the warehouse may live on a shared non-POSIX FS)."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     try:
         wh = spark.conf.get("spark.sql.warehouse.dir")
-        shutil.rmtree(f"{wh.removeprefix('file:')}/{table}", ignore_errors=True)
+        _hadoop_delete(spark, f"{wh}/{table}")
     except Exception:
         pass
 
@@ -389,8 +430,7 @@ def upsert_partitioned(
     #     in the commit window itself.
     if durable is None:
         durable = spark.conf.get(_DURABLE_CONF, "false").lower() == "true"
-    fs_path = path.removeprefix("file:")
-    out, staging = _materialize_merged(spark, out, durable, fs_path)
+    out, staging = _materialize_merged(spark, out, durable, path)
     # COMMIT WINDOW (documented, not atomic): dynamic partition overwrite
     # commits per-partition directory swaps; a crash DURING job commit can
     # leave the touched set part-old/part-new. A table format's manifest
@@ -403,24 +443,26 @@ def upsert_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         if staging is not None:
-            shutil.rmtree(staging, ignore_errors=True)
+            _hadoop_delete(spark, staging)
     for p in emptied:
-        shutil.rmtree(f"{fs_path}/_pkey={p}", ignore_errors=True)
+        _hadoop_delete(spark, f"{path}/_pkey={p}")
 
 
 def _materialize_merged(
-    spark: SparkSession, out: DataFrame, durable: bool, fs_path: str
+    spark: SparkSession, out: DataFrame, durable: bool, path: str
 ) -> tuple[DataFrame, str | None]:
     """Materialize the merged result so the overwrite never reads the path
     it rewrites. Durable mode returns a DataFrame whose EVERY input file
     lives under the returned staging dir (asserted by the layout tests);
     the underscore prefix keeps partition discovery on the layout path from
-    ever listing the staging files."""
+    ever listing the staging files. ``path`` keeps its original scheme so
+    staging lands on the SAME filesystem as the layout (file:, hdfs:,
+    s3a:, …) and cleanup via the Hadoop FS API resolves correctly."""
     if not durable:
         return out.localCheckpoint(eager=True), None
     import uuid
 
-    staging = f"{fs_path}/_upsert_staging_{uuid.uuid4().hex[:12]}"
+    staging = f"{path}/_upsert_staging_{uuid.uuid4().hex[:12]}"
     out.write.mode("overwrite").parquet(staging)
     return spark.read.parquet(staging), staging
 
@@ -516,19 +558,21 @@ def merge_batch_into_lineitem_rollup(
     batch: DataFrame,
     table: str = "m_lineitem_by_orderkey",
     n_buckets: int = 32,
+    batch_id: int | None = None,
 ) -> None:
     """Incremental maintenance for the ORDERKEY-grain lineitem rollup
     (``materialize_lineitem_rollup``): fold one ingest batch's partial
     aggregates into the stored summary, preserving the bucketed layout.
 
-    Same associativity argument and staged-swap crash contract as
-    ``merge_batch_into_rollup`` (commit marker set after the staging write,
-    before the drop→rename window — see that docstring for the recovery
-    cases); per-term DECIMAL(18,6) revenue partials merge exactly in any
-    order, so the maintained rollup is bit-identical to rebuilding from
-    the full fact history. Cost per batch is O(batch + |grain|),
-    independent of history size. q167 drives this end-to-end against the
-    raw-lineitem oracle."""
+    Same associativity argument, staged-swap crash contract, AND replay
+    contract as ``merge_batch_into_keyed_rollup`` (commit marker + batch-id
+    watermark stamped into the staging TBLPROPERTIES in one ALTER before
+    the drop→rename window; a replayed ``batch_id`` ≤ the stored watermark
+    is a no-op — see that docstring for the recovery cases); per-term
+    DECIMAL(18,6) revenue partials merge exactly in any order, so the
+    maintained rollup is bit-identical to rebuilding from the full fact
+    history. Cost per batch is O(batch + |grain|), independent of history
+    size. q167 drives this end-to-end against the raw-lineitem oracle."""
     from pyspark.sql import functions as F
 
     staging = f"{table}_staging"
@@ -537,6 +581,9 @@ def merge_batch_into_lineitem_rollup(
             spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
         else:
             _drop_table(spark, staging)
+    stored_batch_id = _table_batch_id(spark, table)
+    if batch_id is not None and stored_batch_id is not None and batch_id <= stored_batch_id:
+        return  # replayed batch already folded into the rollup
     partial = batch.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(
@@ -570,7 +617,11 @@ def merge_batch_into_lineitem_rollup(
     merged.write.mode("overwrite").bucketBy(n_buckets, "l_orderkey").sortBy(
         "l_orderkey"
     ).saveAsTable(staging)
-    spark.sql(f"ALTER TABLE {staging} SET TBLPROPERTIES ('{_COMMIT_PROP}'='true')")
+    stamp = batch_id if batch_id is not None else stored_batch_id
+    props = f"'{_COMMIT_PROP}'='true'"
+    if stamp is not None:
+        props += f", '{_BATCH_PROP}'='{int(stamp)}'"
+    spark.sql(f"ALTER TABLE {staging} SET TBLPROPERTIES ({props})")
     _drop_table(spark, table)
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
 
@@ -584,6 +635,7 @@ def merge_batch_into_keyed_rollup(
     bucket_key: str,
     n_buckets: int = 8,
     partition_cols: tuple[str, ...] = (),
+    batch_id: int | None = None,
 ) -> None:
     """Generic incremental maintenance for ANY associatively-mergeable keyed
     rollup (VERDICT r7 #2 — the q167 pattern, factored so each serving
@@ -596,11 +648,18 @@ def merge_batch_into_keyed_rollup(
     needs anyway). Staged-swap crash contract identical to
     ``merge_batch_into_rollup``: commit marker after the staging write, so
     a crash in the drop→rename window recovers by rename, and an
-    uncommitted staging table is discarded. Cost per batch is
-    O(batch + |grain|) regardless of history size. ``partition_cols``
-    additionally partitions the stored rollup (e.g. by year/mode) so
-    serve-time filters become directory pruning on top of the bucketed
-    exchange-free join."""
+    uncommitted staging table is discarded. REPLAY contract (ADVICE r8):
+    when ``batch_id`` is given, it is stamped into the staging table's
+    TBLPROPERTIES in the same ALTER as the commit marker, BEFORE the main
+    table is dropped — the property rides the RENAME, so even the crash
+    window where a committed staging (already containing batch N) is
+    auto-renamed on the next call leaves a table stamped with N, and a
+    replayed ``batch_id <= N`` is a no-op rather than a double-count under
+    the sum algebra. Unstamped calls carry a stored watermark forward.
+    Cost per batch is O(batch + |grain|) regardless of history size.
+    ``partition_cols`` additionally partitions the stored rollup (e.g. by
+    year/mode) so serve-time filters become directory pruning on top of
+    the bucketed exchange-free join."""
     staging = f"{table}_staging"
 
     def _rename_into_place() -> None:
@@ -618,6 +677,9 @@ def merge_batch_into_keyed_rollup(
             _rename_into_place()
         else:
             _drop_table(spark, staging)
+    stored_batch_id = _table_batch_id(spark, table)
+    if batch_id is not None and stored_batch_id is not None and batch_id <= stored_batch_id:
+        return  # replayed batch already folded into the rollup
     cols = partial.columns
     if spark.catalog.tableExists(table):
         merged = (
@@ -635,7 +697,11 @@ def merge_batch_into_keyed_rollup(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.bucketBy(n_buckets, bucket_key).sortBy(bucket_key).saveAsTable(staging)
-    spark.sql(f"ALTER TABLE {staging} SET TBLPROPERTIES ('{_COMMIT_PROP}'='true')")
+    stamp = batch_id if batch_id is not None else stored_batch_id
+    props = f"'{_COMMIT_PROP}'='true'"
+    if stamp is not None:
+        props += f", '{_BATCH_PROP}'='{int(stamp)}'"
+    spark.sql(f"ALTER TABLE {staging} SET TBLPROPERTIES ({props})")
     _drop_table(spark, table)
     _rename_into_place()
 
