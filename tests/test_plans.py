@@ -252,3 +252,85 @@ def test_bfs_recursion_plans_as_union_loop(spark):
     )
     spark.catalog.dropTempView("ul_edges")
     assert "UnionLoop" in text, text[:500]
+
+
+def test_lsh_index_joins_reuse_bucketing(spark, sf_dir):
+    """VERDICT r8 #5: q174 returns a materialized checkpoint, so its catalog
+    plan shows only Scan ExistingRDD — the scale claim lives in the
+    PRE-checkpoint plans. With broadcast off (the 100 TB regime: a corpus
+    index never broadcasts), the base-base self-join over the
+    (band_idx, band_hash)-bucketed index must be exchange-FREE on both
+    sides, and the batch probe must shuffle ONLY the batch side — per-batch
+    maintenance cost O(batch), never O(index)."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.dedup import (
+        _shingles,
+        lsh_index_probe,
+        lsh_index_self_pairs,
+        portable_minhash_bands,
+    )
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.sources import load_table
+
+    t = "t_plans_lsh_index"
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id") * 31 + 7, F.lit(10)) == 3
+    _drop_table(spark, t)
+    (
+        portable_minhash_bands(_shingles(d.filter(~is_batch), n=2))
+        .write.bucketBy(16, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
+        .saveAsTable(t)
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = spark.table(t)
+        self_plan = explain_str(lsh_index_self_pairs(idx), mode="simple")
+        assert self_plan.count("Exchange hashpartitioning") == 0, self_plan[:800]
+        assert self_plan.count("Bucketed: true") == 2, self_plan[:800]
+        batch = portable_minhash_bands(
+            _shingles(d.filter(is_batch), n=2)
+        ).localCheckpoint(eager=True)
+        probe_plan = explain_str(lsh_index_probe(batch, idx), mode="simple")
+        # exactly ONE exchange — the batch side; the index scan stays bucketed
+        assert probe_plan.count("Exchange hashpartitioning") == 1, probe_plan[:800]
+        assert probe_plan.count("Bucketed: true") == 1, probe_plan[:800]
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        _drop_table(spark, t)
+
+
+def test_ccnet_serve_plan_scans_only_feature_layout(spark, sf_dir):
+    """VERDICT r8 #5 (q175 half): the serve stage must be O(docs) on the
+    feature table alone — a single bucketed scan, the ntile window and the
+    grain aggregate both riding the lang bucketing with ZERO exchanges, and
+    no token pass / documents scan anywhere in the plan."""
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.text_analysis import (
+        ccnet_serve_from_features,
+        score_docs,
+        unigram_lm,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    t = "t_plans_ccnet_feats"
+    d = load_table(spark, sf_dir, "documents")
+    lp, oov = unigram_lm(spark, sf_dir)
+    _drop_table(spark, t)
+    (
+        score_docs(d, lp, oov)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .write.bucketBy(4, "lang")
+        .sortBy("lang")
+        .saveAsTable(t)
+    )
+    try:
+        plan = explain_str(ccnet_serve_from_features(spark.table(t)), mode="simple")
+        assert plan.count("Exchange") == 0, plan[:900]
+        assert plan.count("FileScan") == 1 and "Bucketed: true" in plan, plan[:900]
+        assert "documents" not in plan  # no raw-corpus scan at serve time
+    finally:
+        _drop_table(spark, t)

@@ -127,15 +127,80 @@ SHOWCASE = {
     "serve riding the lang-bucketed layout — 17.5 s stock -> 1.81 s serve "
     "(0.66x) at 400x (r8, BENCH_CCNET_SERVING). Returns an eager "
     "localCheckpoint (table dropped before returning), so the plan below is "
-    "the materialized scan.",
+    "the materialized scan — the REAL serve plan (single bucketed scan, "
+    "zero exchanges) is printed beneath it and asserted by "
+    "tests/test_plans.py (r9).",
     "q174_lsh_index_maintenance": "incrementally-MAINTAINED MinHash-LSH "
     "band index: batch signatures O(batch tokens), APPEND into the "
     "16-bucket layout, one equi-join probe for the batch's collisions — "
     "result hash-matches q150's full-recompute oracle (r8). The fn "
     "returns an eager localCheckpoint (the index table is dropped before "
-    "returning), so the plan below is the materialized scan — the bucketed "
-    "probe/self-join plans live pre-checkpoint in dedup.py.",
+    "returning), so the plan below is the materialized scan — the REAL "
+    "scale-bearing plans (exchange-free self-join, batch-only-shuffle "
+    "probe) are printed beneath it and asserted by tests/test_plans.py "
+    "(r9).",
 }
+
+
+def _pre_checkpoint_plans(spark, sf_dir: str, name: str):
+    """(title, DataFrame) pairs for operators whose catalog fn returns a
+    materialized checkpoint (VERDICT r8 #5): the scale-bearing plans are the
+    PRE-checkpoint ones, rebuilt here exactly as the operator builds them —
+    broadcast disabled to show the 100 TB shape (a corpus index/layout never
+    broadcasts). Asserted by tests/test_plans.py."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.sources import load_table
+
+    if name == "q174_lsh_index_maintenance":
+        from wikipediaetl_spark.operators.dedup import (
+            _shingles,
+            lsh_index_probe,
+            lsh_index_self_pairs,
+            portable_minhash_bands,
+        )
+
+        t = "plans_q174_idx"
+        d = load_table(spark, sf_dir, "documents")
+        is_batch = F.pmod(F.col("doc_id") * 31 + 7, F.lit(10)) == 3
+        _drop_table(spark, t)
+        (
+            portable_minhash_bands(_shingles(d.filter(~is_batch), n=2))
+            .write.bucketBy(16, "band_idx", "band_hash")
+            .sortBy("band_idx", "band_hash")
+            .saveAsTable(t)
+        )
+        idx = spark.table(t)
+        batch = portable_minhash_bands(
+            _shingles(d.filter(is_batch), n=2)
+        ).localCheckpoint(eager=True)
+        return t, [
+            ("base-base self-join over the bucketed index", lsh_index_self_pairs(idx)),
+            ("batch probe (only the batch side shuffles)", lsh_index_probe(batch, idx)),
+        ]
+    if name == "q175_ccnet_serving":
+        from wikipediaetl_spark.operators.text_analysis import (
+            ccnet_serve_from_features,
+            score_docs,
+            unigram_lm,
+        )
+
+        t = "plans_q175_feats"
+        d = load_table(spark, sf_dir, "documents")
+        lp, oov = unigram_lm(spark, sf_dir)
+        _drop_table(spark, t)
+        (
+            score_docs(d, lp, oov)
+            .join(d.select("doc_id", "lang"), "doc_id")
+            .write.bucketBy(4, "lang")
+            .sortBy("lang")
+            .saveAsTable(t)
+        )
+        return t, [
+            ("serve from the lang-bucketed feature layout", ccnet_serve_from_features(spark.table(t))),
+        ]
+    return None, []
 
 
 def main() -> None:
@@ -168,6 +233,24 @@ def main() -> None:
         ]
         print("\n".join(keep + ["..."] + detail[:6]))
         print("```")
+        table, pres = _pre_checkpoint_plans(spark, sf_dir, name)
+        if pres:
+            from wikipediaetl_spark.operators.layout import _drop_table
+
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                for title, pdf in pres:
+                    print(f"\n**Pre-checkpoint plan — {title}** "
+                          f"(broadcast off = the at-scale shape; "
+                          f"exchanges: {count_exchanges(pdf)}):")
+                    print("\n```")
+                    plines = explain_str(pdf, "simple").splitlines()
+                    print("\n".join(ln.rstrip()[:160] for ln in plines[:24]))
+                    print("```")
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+                _drop_table(spark, table)
 
 
 if __name__ == "__main__":

@@ -432,6 +432,45 @@ def portable_minhash_bands(sh: DataFrame) -> DataFrame:
     )
 
 
+def lsh_index_self_pairs(idx: DataFrame) -> DataFrame:
+    """Base-base candidate pairs from the stored band index: a self-join on
+    (band_idx, band_hash). When ``idx`` is the (band_idx, band_hash)-bucketed
+    table,
+    BOTH join inputs arrive pre-partitioned on the join key's prefix, so
+    the plan has NO Exchange (asserted by tests/test_plans.py — this is the
+    plan q174 materializes before its localCheckpoint hides it)."""
+    return (
+        idx.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        .join(
+            idx.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "band_idx")
+    )
+
+
+def lsh_index_probe(batch_bands: DataFrame, idx: DataFrame) -> DataFrame:
+    """Batch→index collision probe: one equi-join of O(batch) band rows
+    against the bucketed index. Only the BATCH side shuffles (into the
+    index's bucket layout); the index side is exchange-free — the property
+    that makes per-batch maintenance O(batch) at 100 TB (asserted by
+    tests/test_plans.py on the pre-checkpoint plan)."""
+    return (
+        batch_bands.select(F.col("doc_id").alias("id_n"), "band_idx", "band_hash")
+        .join(
+            idx.select(F.col("doc_id").alias("id_c"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("id_n") != F.col("id_c"))
+        .select(
+            F.least("id_n", "id_c").alias("doc_a"),
+            F.greatest("id_n", "id_c").alias("doc_b"),
+            "band_idx",
+        )
+    )
+
+
 @query("q174_lsh_index_maintenance", oracle=_Q150_ORACLE)
 def q174_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-MAINTAINED MinHash-LSH band index — the serving-layout
@@ -444,7 +483,7 @@ def q174_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketed index.
 
     In-query exercise: documents split 90/10 on a deterministic doc_id hash;
-    the 90% build the index (bucketed by band_hash, the q11/q12 stored-
+    the 90% build the index (bucketed by (band_idx, band_hash), the q11/q12 stored-
     layout discipline — the self-join and every future probe reuse the
     bucketing instead of shuffling the index); base-base pairs are read
     from the index by a bucketed self-join; the 10% batch gets signatures
@@ -465,26 +504,22 @@ def q174_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     is_batch = F.pmod(F.col("doc_id") * 31 + 7, F.lit(10)) == 3
     _drop_table(spark, table)
+    # bucketed on BOTH probe-join keys: hashpartitioning(band_idx, band_hash)
+    # matches the joins' required distribution exactly, so the self-join is
+    # exchange-free on both sides and a probe shuffles only the batch
+    # (band_hash alone measured as "Bucketed: false (disabled by query
+    # planner)" — Spark 4.1 does not exploit subset bucketing for joins)
     (
         portable_minhash_bands(_shingles(d.filter(~is_batch), n=2))
-        .write.bucketBy(16, "band_hash")
-        .sortBy("band_hash")
+        .write.bucketBy(16, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
         .saveAsTable(table)
     )
     idx = spark.table(table)
-    base_rows = (
-        idx.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
-        .join(
-            idx.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"),
-            ["band_idx", "band_hash"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "band_idx")
-        # snapshot BEFORE the append below: base-base pairs must come from
-        # the pre-batch index state, exactly as an online system would have
-        # already emitted them in earlier batches
-        .localCheckpoint(eager=True)
-    )
+    # snapshot BEFORE the append below: base-base pairs must come from
+    # the pre-batch index state, exactly as an online system would have
+    # already emitted them in earlier batches
+    base_rows = lsh_index_self_pairs(idx).localCheckpoint(eager=True)
     batch_bands = portable_minhash_bands(
         _shingles(d.filter(is_batch), n=2)
     ).localCheckpoint(eager=True)  # computed once, used for append AND probe
@@ -492,25 +527,11 @@ def q174_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16-bucket layout, so post-append probes still reuse the bucketing
     (
         batch_bands.write.mode("append")
-        .bucketBy(16, "band_hash")
-        .sortBy("band_hash")
+        .bucketBy(16, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
         .saveAsTable(table)
     )
-    new_rows = (
-        batch_bands.select(F.col("doc_id").alias("id_n"), "band_idx", "band_hash")
-        .join(
-            spark.table(table).select(
-                F.col("doc_id").alias("id_c"), "band_idx", "band_hash"
-            ),
-            ["band_idx", "band_hash"],
-        )
-        .filter(F.col("id_n") != F.col("id_c"))
-        .select(
-            F.least("id_n", "id_c").alias("doc_a"),
-            F.greatest("id_n", "id_c").alias("doc_b"),
-            "band_idx",
-        )
-    )
+    new_rows = lsh_index_probe(batch_bands, spark.table(table))
     res = (
         base_rows.unionByName(new_rows)
         .groupBy("doc_a", "doc_b")

@@ -746,7 +746,17 @@ def q175_ccnet_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortBy("lang")
         .saveAsTable(table)
     )
-    feats = spark.table(table)
+    res = ccnet_serve_from_features(spark.table(table)).localCheckpoint(eager=True)
+    _drop_table(spark, table)
+    return res
+
+
+def ccnet_serve_from_features(feats: DataFrame) -> DataFrame:
+    """Serve q159's tercile buckets from the doc-grain feature layout:
+    O(docs) work — one ntile window over lang + the grain aggregate, no
+    token pass, no documents scan (asserted on this pre-checkpoint plan by
+    tests/test_plans.py, since q175 itself returns a materialized
+    checkpoint whose plan shows only Scan ExistingRDD)."""
     scored = feats.select(
         "lang",
         "doc_id",
@@ -755,18 +765,12 @@ def q175_ccnet_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("lang").orderBy("nll_milli", "doc_id")
     buck = scored.withColumn("ppl_tercile", F.ntile(3).over(w))
-    res = (
-        buck.groupBy("lang", "ppl_tercile")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.min("nll_milli").alias("min_nll_milli"),
-            F.max("nll_milli").alias("max_nll_milli"),
-        )
-        .localCheckpoint(eager=True)
+    return buck.groupBy("lang", "ppl_tercile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("nll_milli").alias("min_nll_milli"),
+        F.max("nll_milli").alias("max_nll_milli"),
     )
-    _drop_table(spark, table)
-    return res
 
 
 def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
