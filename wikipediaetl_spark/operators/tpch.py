@@ -865,11 +865,24 @@ def q136_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFr
     original excludes complaint suppliers; the stand-in predicate excludes
     low-balance ones).
 
-    Scale plan: the part filter broadcasts onto partsupp; the NOT IN is a
-    broadcast anti-join against the (tiny) excluded-supplier set — never a
-    shuffled subquery; count(DISTINCT) shuffles once on the (brand, type,
-    size, suppkey) expanded key (Spark's two-phase distinct aggregate)."""
-    ps = _partsupp(spark, sf_dir)
+    Scale plan (r9, VERDICT r8 #3 — was 6.33× at 400×): the synthesized
+    partsupp's (l_partkey, l_suppkey) groupBy was a FULL-fact-width shuffle
+    (240M rows at 400×) computing supplycost/availqty columns this query
+    never reads. count(DISTINCT suppkey) per (brand, type, size) is
+    row-multiplicity-insensitive, so the partkey-grain dedup partsupp
+    performs is algebraically redundant here — the query computes the same
+    answer straight off lineitem: the part filter broadcasts onto the raw
+    (l_partkey, l_suppkey) projection FIRST (only ~16% of parts survive,
+    pruning the fact stream before anything shuffles), the NOT IN is a
+    broadcast anti-join against the tiny excluded-supplier set, and the
+    single remaining exchange is Spark's two-phase distinct aggregate on
+    the (brand, type, size, suppkey) expanded key — map-side partial dedup
+    collapses the fact stream to near-|distinct| before bytes move.
+    Measured at 400× (same-session A/B, tools/exp_q136_q130.py): old plan
+    3.411 s → new 2.07 s, 9.27× → 5.62× on a 2.3×-slow epoch (q01 canary
+    0.994 s vs r8's 0.428); epoch-normalized ≈0.9 s ≈ 2× vs the r8
+    denominator."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = (
         _t(spark, sf_dir, "part")
         .filter(
@@ -885,14 +898,14 @@ def q136_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFr
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(
             F.broadcast(excluded),
-            F.col("ps_suppkey") == F.col("s_suppkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
 
 

@@ -41,9 +41,13 @@ production below):
     sum(BIGINT) is HUGEINT so the SQL rendering wraps every sum in
     CAST(... AS BIGINT) to match Spark's long (the q111/q135 family
     divergence, see tools/lint_oracles.py),
-  * inner/left equi-joins along the real FK edges of the test schema
-    (each table at most once per query, so the globally-unique TPC-H
-    column prefixes guarantee no name collisions),
+  * inner/left/FULL OUTER equi-joins along the real FK edges of the test
+    schema (each table at most once per query, so the globally-unique
+    TPC-H column prefixes guarantee no name collisions), optionally with
+    an extra ON-clause conjunct over the newly joined table — equivalent
+    to WHERE under inner joins, NULL-EXTENDING under outer joins (the
+    ON-vs-WHERE trap; r9) — so null-extended rows feed the WHERE/
+    aggregate/group-key/window 3VL downstream,
   * WHERE with 3-valued AND/OR/NOT logic (identical in both),
   * SELECT DISTINCT, HAVING on a long-typed aggregate, UNION ALL of two
     filtered branches (DISTINCT and UNION ALL never compose — the two
@@ -53,7 +57,9 @@ production below):
     LIMIT boundary are whole-row duplicates, interchangeable under the
     multiset compare),
   * window functions (row_number/rank/lag/lead/framed sum/min/max/count)
-    on single-table shapes ordered by the table's single-column unique key
+    on single-table shapes — or, r9, over an N:1 LEFT JOIN whose
+    null-extended dim columns feed window partitions and arguments —
+    ordered by the base table's single-column unique key
     — a total order, so both engines agree row-for-row; frames render as
     explicit ROWS BETWEEN on both sides, and window sums pin DuckDB's
     HUGEINT back to BIGINT outside the OVER,
@@ -413,11 +419,19 @@ def to_sql(e: Expr) -> str:
 class FuzzQuery:
     seed: int
     tables: list[str]                       # join path, len>=1
-    join_how: list[str]                     # len == len(tables)-1, inner|left
+    join_how: list[str]                     # len == len(tables)-1, inner|left|full
     join_on: list[tuple[str, str]]          # (left_col, right_col) per join
     where: Expr | None
     group_by: list[Expr]                    # column refs
     select: list[tuple[str, Expr]]          # (alias, expr)
+    # r9 production: extra ON-clause conjunct per join (Expr over the newly
+    # joined table, or None; shorter-than-joins lists pad with None).  For
+    # INNER joins this is equivalent to WHERE; for LEFT/FULL OUTER joins it
+    # changes which rows NULL-EXTEND instead of which rows survive — the
+    # classic ON-vs-WHERE outer-join 3VL trap, rendered independently
+    # (Spark: `(lc == rc) & pred` join condition; SQL: `ON lc = rc AND
+    # (pred)`).
+    join_extra: list = field(default_factory=list)
     distinct: bool = False                  # SELECT DISTINCT (projection only)
     having: tuple[str, int] | None = None   # (agg alias, threshold): alias > k
     union_where: Expr | None = None         # UNION ALL twin with this filter
@@ -482,7 +496,11 @@ class FuzzQuery:
         for i, t in enumerate(self.tables[1:]):
             right = spark.read.parquet(f"{sf_dir}/{t}.parquet")
             lc, rc = self.join_on[i]
-            df = df.join(right, on=F.col(lc) == F.col(rc), how=self.join_how[i])
+            cond = F.col(lc) == F.col(rc)
+            extra = self.join_extra[i] if i < len(self.join_extra) else None
+            if extra is not None:
+                cond = cond & to_spark(extra)
+            df = df.join(right, on=cond, how=self.join_how[i])
         if self.derived_join is not None:
             sub_t, sk, agg_op, agg_col, oc, how, sub_where = self.derived_join
             sub = spark.read.parquet(f"{sf_dir}/{sub_t}.parquet")
@@ -659,9 +677,13 @@ class FuzzQuery:
 
         frm = rel(self.tables[0])
         for i, t in enumerate(self.tables[1:]):
-            kw = {"inner": "JOIN", "left": "LEFT JOIN"}[self.join_how[i]]
+            kw = {"inner": "JOIN", "left": "LEFT JOIN",
+                  "full": "FULL JOIN"}[self.join_how[i]]
             lc, rc = self.join_on[i]
             frm += f" {kw} {rel(t)} ON {lc} = {rc}"
+            extra = self.join_extra[i] if i < len(self.join_extra) else None
+            if extra is not None:
+                frm += f" AND ({to_sql(extra)})"
         if self.derived_join is not None:
             sub_t, sk, agg_op, agg_col, oc, how, sub_where = self.derived_join
             if agg_op == "count_star":
@@ -985,7 +1007,7 @@ class FuzzGen:
         rng = self.rng
         # Walk a simple path through the FK graph.
         start = rng.choice(list(TABLES))
-        tables, hows, ons = [start], [], []
+        tables, hows, ons, extras = [start], [], [], []
         while len(tables) < 3 and rng.random() < 0.55:
             frontier = []
             for (lt, lc, rt, rc) in FK_EDGES:
@@ -997,8 +1019,18 @@ class FuzzGen:
                 break
             lc, nt, rc = rng.choice(frontier)
             tables.append(nt)
-            hows.append(rng.choice(["inner", "inner", "left"]))
+            # r9: FULL OUTER joins added — null-extended rows (from EITHER
+            # side) feed the downstream WHERE/aggregate/grouping-key 3VL
+            how = rng.choice(["inner", "inner", "inner", "left", "left", "full"])
+            hows.append(how)
             ons.append((lc, rc))
+            # r9: extra ON-clause conjunct over the newly joined table —
+            # equivalent to WHERE under inner, null-extending under outer
+            # (the ON-vs-WHERE trap); higher odds on outer joins where the
+            # semantics actually differ
+            p_extra = 0.4 if how != "inner" else 0.12
+            extras.append(self._bool_expr([nt]) if rng.random() < p_extra
+                          else None)
 
         where = self._bool_expr(tables) if rng.random() < 0.8 else None
         limit = rng.randint(1, 200) if rng.random() < 0.15 else None
@@ -1106,22 +1138,42 @@ class FuzzGen:
             # windowed shape: ORDER BY the unique key makes every window's
             # row order total, so lag/lead/rank/frames agree row-for-row
             t0 = tables[0]
+            wtables = [t0]
+            # r9: optionally LEFT JOIN a dim along an N:1 FK edge out of t0
+            # (the joined key is the dim's PK, so t0's unique key STAYS
+            # unique and the window order stays total) — null-extended
+            # right-side columns then feed window PARTITIONS (NULL
+            # partitions group together in both engines) and window
+            # ARGUMENTS (NULL propagation through lag/frames).  An ON-extra
+            # conjunct makes unmatched rows live even on the non-nullable
+            # fixture (referential integrity would otherwise match every FK).
+            if rng.random() < 0.45:
+                n1 = [(lc, rt, rc) for (lt, lc, rt, rc) in FK_EDGES
+                      if lt == t0]
+                if n1:
+                    lc, rt, rc = rng.choice(n1)
+                    wtables.append(rt)
+                    hows.append("left")
+                    ons.append((lc, rc))
+                    extras.append(self._bool_expr([rt])
+                                  if rng.random() < 0.6 else None)
             wins = []
             for i in range(rng.randint(1, 3)):
-                part = rng.choice(GROUPABLE[t0])
+                part = rng.choice([c for t in wtables for c in GROUPABLE[t]])
                 fn = rng.choice(["row_number", "rank", "lag", "lead",
                                  "sum", "min", "max", "count",
                                  "ntile", "sum_range"])
                 arg = None
                 if fn in ("lag", "lead", "min", "max"):
-                    arg = rng.choice(self._cols_of(tables, ("int", "long")))
+                    arg = rng.choice(self._cols_of(wtables, ("int", "long")))
                 elif fn in ("sum", "sum_range"):
-                    arg = self._int_expr(tables)
+                    arg = self._int_expr(wtables)
                 elif fn == "ntile":
                     arg = lit(rng.randint(2, 5), "int")
                 wins.append((f"w{i}", fn, arg, part))
-            return FuzzQuery(self.seed, tables, hows, ons, where, [], [],
-                             windows=wins, limit=limit, offset=offset)
+            return FuzzQuery(self.seed, wtables, hows, ons, where, [], [],
+                             join_extra=extras, windows=wins, limit=limit,
+                             offset=offset)
 
         if rng.random() < 0.55:
             # grouped query
@@ -1145,10 +1197,10 @@ class FuzzGen:
                 having = (rng.choice(long_aggs), rng.randint(0, 20))
             group_kind = rng.choice(["group"] * 4 + ["rollup", "cube"])
             return FuzzQuery(self.seed, tables, hows, ons, where, gcols,
-                             select, having=having, limit=limit,
-                             exists_rel=exists_rel, group_kind=group_kind,
-                             scalar_sub=scalar_sub, offset=offset,
-                             in_sub=in_sub)
+                             select, join_extra=extras, having=having,
+                             limit=limit, exists_rel=exists_rel,
+                             group_kind=group_kind, scalar_sub=scalar_sub,
+                             offset=offset, in_sub=in_sub)
 
         # projection query
         select = []
@@ -1172,10 +1224,11 @@ class FuzzGen:
                                  "except", "except_all"]),
                      self._bool_expr(tables))
         return FuzzQuery(self.seed, tables, hows, ons, where, [], select,
-                         distinct=bool(distinct), union_where=union_where,
-                         setop=setop, limit=limit, exists_rel=exists_rel,
-                         scalar_sub=scalar_sub, offset=offset,
-                         derived_join=derived_join, in_sub=in_sub)
+                         join_extra=extras, distinct=bool(distinct),
+                         union_where=union_where, setop=setop, limit=limit,
+                         exists_rel=exists_rel, scalar_sub=scalar_sub,
+                         offset=offset, derived_join=derived_join,
+                         in_sub=in_sub)
 
     def _group_key_expr(self, tables: list[str]) -> Expr | None:
         """A deterministic non-column grouping expression (int or str typed;
