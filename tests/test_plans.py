@@ -334,3 +334,86 @@ def test_ccnet_serve_plan_scans_only_feature_layout(spark, sf_dir):
         assert "documents" not in plan  # no raw-corpus scan at serve time
     finally:
         _drop_table(spark, t)
+
+
+def test_star_mv_serve_plan_is_single_scan(spark, sf_dir):
+    """q176's serve stage must be O(answer family): one scan of the MV
+    table + an aggregate — no join operator, no orders/customer scan. The
+    agg rides a tiny (~175-row) input, so the plan containing exchanges is
+    immaterial; what matters is that NO fact table appears."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import _drop_table, star_mv_serve
+    from wikipediaetl_spark.operators.relational import _t
+    from wikipediaetl_spark.sources import load_table
+
+    t = "t_plans_star_mv"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("o_cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    _drop_table(spark, t)
+    (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name", "o_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("o_cents").alias("cents"),
+        )
+        .write.bucketBy(4, "o_year")
+        .sortBy("o_year")
+        .saveAsTable(t)
+    )
+    try:
+        plan = explain_str(star_mv_serve(spark, t), mode="simple")
+        assert "Join" not in plan, plan[:900]
+        assert plan.count("FileScan") == 1, plan[:900]
+        # the single scan is the MV table — no raw-fact parquet anywhere
+        assert "t_plans_star_mv" in plan and "testdata" not in plan, plan[:900]
+    finally:
+        _drop_table(spark, t)
+
+
+def test_ivf_probe_plan_prunes_partitions_and_broadcasts(spark, sf_dir):
+    """q177's probe must never shuffle or fully scan the index: the cell-
+    partitioned scan carries a PartitionFilters entry on the probed cells
+    (directory pruning) and the probe side reaches it as a broadcast hash
+    join — zero Exchange hashpartitioning on the index path up to the
+    per-query top-k window (whose input is candidates only)."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.similarity import _vectors, ivf_index_probe
+
+    t = "t_plans_ivf_index"
+    e = _vectors(spark, sf_dir)
+    _drop_table(spark, t)
+    (
+        e.select("vec_id", "v", F.col("label").alias("cell"))
+        .write.partitionBy("cell")
+        .saveAsTable(t)
+    )
+    try:
+        probes = (
+            e.filter(F.col("vec_id") < 10)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("label").alias("cell"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        idx = spark.table(t).filter(F.col("cell").isin([0, 1, 2]))
+        plan = explain_str(ivf_index_probe(probes, idx), mode="formatted")
+        assert "BroadcastHashJoin" in plan, plan[:900]
+        assert "SortMergeJoin" not in plan, plan[:900]
+        # the scan itself prunes to the probed cells' directories
+        assert "PartitionFilters" in plan and "cell" in plan, plan[:900]
+    finally:
+        _drop_table(spark, t)

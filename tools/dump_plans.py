@@ -139,6 +139,20 @@ SHOWCASE = {
     "scale-bearing plans (exchange-free self-join, batch-only-shuffle "
     "probe) are printed beneath it and asserted by tests/test_plans.py "
     "(r9).",
+    # r9 flagships
+    "q176_star_mv_serving": "q11's star family from a (region, nation, "
+    "year) answer-grain MV: dims attached at ingest, exact integer-cents "
+    "partials, 3-key incremental sum merge — serve is ONE ~175-row MV scan "
+    "+ a 2-key agg, NO join, no fact scan (r9). Returns an eager "
+    "localCheckpoint (table dropped before returning); the REAL serve plan "
+    "is printed beneath and asserted by tests/test_plans.py.",
+    "q177_ivf_index_maintenance": "incrementally-MAINTAINED IVF ANN index: "
+    "frozen medoid coarse quantizer, O(batch x k) assignment, APPEND into "
+    "a cell-PARTITIONED layout; probe = directory-pruned scan of the "
+    "probed cells + broadcast probe join + exact cosine on candidates "
+    "only — hash-matches the full-recompute oracle (r9). Returns an eager "
+    "localCheckpoint; the REAL probe plan is printed beneath and asserted "
+    "by tests/test_plans.py.",
 }
 
 
@@ -199,6 +213,68 @@ def _pre_checkpoint_plans(spark, sf_dir: str, name: str):
         )
         return t, [
             ("serve from the lang-bucketed feature layout", ccnet_serve_from_features(spark.table(t))),
+        ]
+    if name == "q176_star_mv_serving":
+        from wikipediaetl_spark.operators.layout import star_mv_serve
+        from wikipediaetl_spark.operators.relational import _t
+
+        t = "plans_q176_mv"
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            F.year("o_orderdate").alias("o_year"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("o_cents"),
+        )
+        c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+        r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+        _drop_table(spark, t)
+        (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name", "o_year")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("o_cents").alias("cents"),
+            )
+            .write.bucketBy(4, "o_year")
+            .sortBy("o_year")
+            .saveAsTable(t)
+        )
+        return t, [
+            ("serve: one MV scan + 2-key agg, no join", star_mv_serve(spark, t)),
+        ]
+    if name == "q177_ivf_index_maintenance":
+        from wikipediaetl_spark.operators.similarity import (
+            _vectors,
+            ivf_index_probe,
+        )
+
+        t = "plans_q177_idx"
+        e = _vectors(spark, sf_dir)
+        _drop_table(spark, t)
+        (
+            e.select("vec_id", "v", F.col("label").alias("cell"))
+            .write.partitionBy("cell")
+            .saveAsTable(t)
+        )
+        probes = (
+            e.filter(F.col("vec_id") < 10)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("label").alias("cell"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        idx = spark.table(t).filter(F.col("cell").isin([0, 1, 2]))
+        return t, [
+            (
+                "batch probe: partition-pruned cell scan + broadcast probe join",
+                ivf_index_probe(probes, idx),
+            ),
         ]
     return None, []
 

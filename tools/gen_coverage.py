@@ -17,7 +17,7 @@ MAPPING = """## SURVEY §2 row mapping
 |---|---|
 | §2.1 scans/sources/sinks | q02 (parquet scan+pushdown), sources/tables.py (wholetext+provenance), sources/formats.py (JSON/CSV/partitioned parquet/JDBC/archival), sources/http.py (HTTP source), sources/pyds.py (registered Spark 4 Python DataSource "wikihtml": byte-balanced corpus splits, per-page landing sink, and an exactly-once streaming reader for the landing directory, tests/test_pyds.py), streaming/queries.foreach_batch_parquet_sink, tests/test_sources.py |
 | §2.2 projections/filters/predicates | q02, q03, q79 (null predicates), q46 (domain filter) |
-| §2.3 joins | q11 (star/broadcast), q12 (fact-fact), q13 (left), q14 (semi), q15 (anti = insert-if-absent), q16 (full), q17 (cross), q18 (range), q19 (as-of via max_by), q81 (salted skew), q85 (MERGE upsert), q92 (correlated subquery decorrelated), q44/etl.categorizer_tables (bridge M2M), bucketed co-located join (tests/test_scale_patterns.py); maintained serving layouts for the >5x fact-shuffle shapes (r8): q170 (Q4 from a max-shipdate orderkey rollup), q171 (Q12 from a year/mode-partitioned bucketed rollup), q172 (Q8 from a year-partitioned denormalized lineitem⋈orders fact), q173 (Q12 family from a (year, mode, priority) answer-grain MV — O(answer) serve, 3-key incremental sum merge) — each hash-matched against its raw-fact oracle with incremental maintenance exercised in-query; TPC-H shapes: Q1=q01 Q3=q98 Q4=q116 Q5=q99 Q6=q115 Q7=q123 Q8=q124 Q10=q112 Q13=q125 Q14=q126 Q15=q127 Q17=q128 Q18=q117 Q19=q129 Q22=q130 Q2=q132 Q9=q133 Q11=q134 Q12=q135 Q16=q136 Q20=q137 Q21=q138 (22 of 22; Q2/Q9/Q11/Q16/Q20 run on a derived partsupp view and Q12/Q21 on derived shipmode/commit/receipt columns — both derivations declared identically in the oracles, see operators/tpch.py docstring) |
+| §2.3 joins | q11 (star/broadcast), q12 (fact-fact), q13 (left), q14 (semi), q15 (anti = insert-if-absent), q16 (full), q17 (cross), q18 (range), q19 (as-of via max_by), q81 (salted skew), q85 (MERGE upsert), q92 (correlated subquery decorrelated), q44/etl.categorizer_tables (bridge M2M), bucketed co-located join (tests/test_scale_patterns.py); maintained serving layouts for the >5x fact-shuffle shapes (r8): q170 (Q4 from a max-shipdate orderkey rollup), q171 (Q12 from a year/mode-partitioned bucketed rollup), q172 (Q8 from a year-partitioned denormalized lineitem⋈orders fact), q173 (Q12 family from a (year, mode, priority) answer-grain MV — O(answer) serve, 3-key incremental sum merge), q176 (q11's star family from a (region, nation, year) answer-grain MV — exact integer-cents partials, 3-key incremental sum merge, O(answer-family) serve with NO join, r9) — each hash-matched against its raw-fact oracle with incremental maintenance exercised in-query; TPC-H shapes: Q1=q01 Q3=q98 Q4=q116 Q5=q99 Q6=q115 Q7=q123 Q8=q124 Q10=q112 Q13=q125 Q14=q126 Q15=q127 Q17=q128 Q18=q117 Q19=q129 Q22=q130 Q2=q132 Q9=q133 Q11=q134 Q12=q135 Q16=q136 Q20=q137 Q21=q138 (22 of 22; Q2/Q9/Q11/Q16/Q20 run on a derived partsupp view and Q12/Q21 on derived shipmode/commit/receipt columns — both derivations declared identically in the oracles, see operators/tpch.py docstring) |
 | §2.4 aggregations | q01, q05, q06, q07, q08 (approx), q09 (rollup), q10 (cube), q66 (grouping sets), q39 (percentiles), q75 (argmin/max), q76 (conditional), q77 (string_agg), q42 (word count) |
 | §2.5 windows | q20 (top-k), q21 (running frame), q22 (lag), q23 (rank/dense_rank), q24 (ntile), q25 (surrogate keys), q93 (first/last/nth_value), q94 (percent_rank/cume_dist) |
 | §2.6 sorts/limits | q04 (TakeOrderedAndProject top-N) |
@@ -25,7 +25,7 @@ MAPPING = """## SURVEY §2 row mapping
 | §2.8 scalar functions | q29/q84 (JSON/map), q30 (CASE), q31 (strings), q32/q78 (dates), q33 (scalar subquery), q34/q35 (pivot/unpivot), q47 (sanitize), q46 (URL normalize), q48 (arrays), q49 (levenshtein), q80 (histogram), q95 (regex groups), q96 (explode_outer), q97 (structs), q41 (date parse 'd MMMM yyyy') |
 | §2.9 streaming | q70 (tumbling+watermark), q71 (keyed dedup = Redis set), q72 (fan-out), q73 (sliding), q74 (session windows), q147 (stream-static enrichment join), q36 (batch sessionize), q37 (batch tumbling), q38 (BFS — Spark 4 recursive CTE on the forest instance; cyclic graphs via the bfs_fixpoint driver loop), q165 (integer-state PageRank, hash-verified against an unrolled 5-iteration SQL oracle — the iterative class entering the exact-checked set), q149 (applyInPandasWithState running stats, oracle-checked), q164 (same semantics on the JVM-native streaming-agg state path — the engine-speed pairing for q149's Python extensibility axis), streaming/queries.retry_queue_step (DLQ/TTL), streaming/queries.foreach_batch_parquet_sink (ack/idempotent sink), streaming/crawler.crawl (full loop), watermark-guarantee + checkpoint-recovery tests |
 | §2.10 UDF surface | functions/html.parse_page_udf (pandas UDF), similarity.ivf_centroids (applyInPandas UDAF), similarity.q91 (mapInPandas BLAS), multimodal.extract_features (mapInPandas), sources/http.fetch_urls (mapInPandas), q154 (Python UDTF in LATERAL join — Spark-4 table-function surface) |
-| §2.11 LLM-pipeline extensions | q50/q51 (exact/hash dedup), q52/q53 (Jaccard), q54 (MinHash LSH), q150 (portable md5-MinHash, oracle-verified end-to-end), q55 (SimHash), q152 (portable md5-SimHash, oracle-verified end-to-end), q151 (content-keyed consistent sampling), q56 (embedding near-dup), q83 (near-dup clustering), q57/q91 (cosine top-k), q58 (IVF), q163 (IVF with medoid-seeded centroids, oracle-verified end-to-end), q59 (LSH ANN), q60 (lang-ID), q61 (quality), q62 (token count), q63 (fingerprint), q67 (TF-IDF), q68 (stopwords), q69 (sentiment), q82 (heavy hitters), q86 (decontamination), q87 (repetition), q88 (PII redaction), q89 (stratified sampling), q90 (sequence packing), q122 (containment), q131 (blocked near-dup, full table), q139 (temperature data mixing), q141 (duplicate spans, Lee et al.), q142 (Gopher quality rules), q143 (PQ ANN), q144 (unigram-LM perplexity filter), q145 (SemDeDup), q146 (BPE encode), q148 (full curation-funnel capstone), q64/q65 (multimodal binary; decode resolved call-time per modality — image real iff Pillow, audio real via soundfile-or-stdlib-wave in EVERY environment and exercised on synthesized WAV in tests, video real iff PyAV else declared stub), q140 (frame-offset sampling), q155 (bigram collocation lift / PMI), q159 (CCNet head/middle/tail perplexity terciles), q168 (UNCAPPED full-corpus exact shingle-Jaccard: exact-dedup prepass → q150 banding → exact verify on candidates, r8), q169 (64-bit/16-bit-band wide portable SimHash — the 1e9-doc-regime variant, r8), q174 (incrementally-MAINTAINED MinHash-LSH band index: append-only bucketed maintenance + batch-vs-index probe, hash-verified against q150's full recompute, r8), q175 (q159's CCNet terciles served from a maintained doc-grain feature layout under a frozen LM — O(batch tokens) maintenance, O(docs) serve, hash-verified against the full recompute, r8) |
+| §2.11 LLM-pipeline extensions | q50/q51 (exact/hash dedup), q52/q53 (Jaccard), q54 (MinHash LSH), q150 (portable md5-MinHash, oracle-verified end-to-end), q55 (SimHash), q152 (portable md5-SimHash, oracle-verified end-to-end), q151 (content-keyed consistent sampling), q56 (embedding near-dup), q83 (near-dup clustering), q57/q91 (cosine top-k), q58 (IVF), q163 (IVF with medoid-seeded centroids, oracle-verified end-to-end), q59 (LSH ANN), q60 (lang-ID), q61 (quality), q62 (token count), q63 (fingerprint), q67 (TF-IDF), q68 (stopwords), q69 (sentiment), q82 (heavy hitters), q86 (decontamination), q87 (repetition), q88 (PII redaction), q89 (stratified sampling), q90 (sequence packing), q122 (containment), q131 (blocked near-dup, full table), q139 (temperature data mixing), q141 (duplicate spans, Lee et al.), q142 (Gopher quality rules), q143 (PQ ANN), q144 (unigram-LM perplexity filter), q145 (SemDeDup), q146 (BPE encode), q148 (full curation-funnel capstone), q64/q65 (multimodal binary; decode resolved call-time per modality — image real iff Pillow, audio real via soundfile-or-stdlib-wave in EVERY environment and exercised on synthesized WAV in tests, video real iff PyAV else declared stub), q140 (frame-offset sampling), q155 (bigram collocation lift / PMI), q159 (CCNet head/middle/tail perplexity terciles), q168 (UNCAPPED full-corpus exact shingle-Jaccard: exact-dedup prepass → q150 banding → exact verify on candidates, r8), q169 (64-bit/16-bit-band wide portable SimHash — the 1e9-doc-regime variant, r8), q174 (incrementally-MAINTAINED MinHash-LSH band index: append-only bucketed maintenance + batch-vs-index probe, hash-verified against q150's full recompute, r8), q175 (q159's CCNet terciles served from a maintained doc-grain feature layout under a frozen LM — O(batch tokens) maintenance, O(docs) serve, hash-verified against the full recompute, r8), q177 (incrementally-MAINTAINED IVF ANN index: frozen medoid coarse quantizer, O(batch×k) assignment, append into a cell-PARTITIONED layout, probe = directory-pruned broadcast join + exact cosine inside probed cells only, hash-verified against the full-recompute q163-style oracle, r9) |
 | §2 round-3 Spark-4 surface (operators/advanced.py) | q153 (native session_window per-session rows), q154 (Python UDTF), q156 (VariantType parse_json/variant_get), q157 (DataFrame.unpivot melt), q158 (set-based SCD1 upsert merge — the reference ORM bulk-write pattern at scale) |
 | §2 round-3 event analytics (operators/advanced.py) | q160 (exact-integer z-score outliers — cross-multiplied DECIMAL(38,0) test, no float threshold), q161 (ordered view→click→purchase funnel), q162 (cohort retention triangle) |
 | §3.1 orchestration control flow (orchestration.py) | run_dag (per-task retries=N, XCom result handoff, upstream_failed propagation, cycle detection — ETL/dags/pipeline.py:19-93 semantics), process_html_dag (transform group → archival via XCom), tests/test_orchestration.py |
@@ -69,9 +69,13 @@ def main() -> None:
         "(CCNet serving layout), then the iterative/storage/streaming "
         "flagships q164-q166, q158, q161-q162, q149, q156, q154, "
         "q138-q141, q147, q151, q155, q157, and the q11-q99 natives that "
-        "sorted outside every pre-alias window (q20, q36, q49-q51, q53, "
-        "q56, q66, q81, q85, q92). Each alias is a pure re-registration "
-        "(same fn, same oracle)."
+        "sorted outside every pre-alias window (q36, q49-q51, q53, "
+        "q56, q81, q85, q92) — plus, per ADVICE r8 (new operators must not "
+        "ship a round unchecked), this round's own flagships q176 (star "
+        "answer-grain MV) and q177 (maintained IVF ANN index) in their "
+        "first round; q20 and q66 rotated out to make room (both are "
+        "headline-benched and double-swept) and re-enter next rotation. "
+        "Each alias is a pure re-registration (same fn, same oracle)."
     )
     print()
     print(

@@ -130,8 +130,12 @@ _WINDOW_ALIASES: dict[str, str] = {
     "q08c_hash_dedup": "q51_hash_dedup",
     "q09a_shingle_neardup": "q53_shingle_neardup",
     "q09b_embedding_neardup": "q56_embedding_neardup",
-    "q10a_window_topk": "q20_window_topk",
-    "q10b_grouping_sets": "q66_grouping_sets",
+    # (d) r9 flagships, aliased in their FIRST round (ADVICE r8: a new
+    # operator should not ship a round without an external hash-check).
+    # q20/q66 rotate out — both are headline-benched and double-swept; they
+    # re-enter on the next rotation (COVERAGE.md documents the schedule).
+    "q10a_star_mv_serving": "q176_star_mv_serving",
+    "q10b_ivf_index_maintenance": "q177_ivf_index_maintenance",
 }
 
 

@@ -1248,3 +1248,107 @@ def q166_storage_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
     return snap
+
+
+# ------------------------------------------------------- star answer-grain MV
+
+
+def star_mv_serve(spark: SparkSession, table: str) -> DataFrame:
+    """q176's serve plan, factored for plan-assertion (the q174/q175
+    pattern): ONE scan of the answer-family MV + a two-key aggregate. No
+    joins, no fact scan — the at-scale serve cost is O(regions × nations ×
+    years), independent of the orders table entirely."""
+    mv = spark.table(table)
+    return mv.groupBy("r_name", "n_name").agg(
+        F.sum("n_orders").alias("n_orders"),
+        (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+    )
+
+
+@query(
+    "q176_star_mv_serving",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q176_star_mv_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11's star join served from an ANSWER-GRAIN materialized aggregate —
+    the q173 discipline applied to the star family (VERDICT r8 #6: q11's
+    orderkey-rollup rung plateaued at 2.22×; the remaining serve cost was
+    the |customer|-grain join, which this rung moves to ingest).
+
+    Grain: (r_name, n_name, o_year) → order count + exact integer-CENTS
+    revenue partial. The dims are attached to each orders batch AT INGEST
+    (customer via SHUFFLE_HASH — it is fact-sized relative to a batch;
+    nation/region broadcast), so both measures are additive at this grain
+    and incremental maintenance is a 3-key sum merge
+    (merge_batch_into_keyed_rollup, exercised with a 90/10 orders split).
+    Keeping o_year IN the grain (rather than collapsing to the 25-row
+    answer) is the family trade: the MV answers revenue-per-region/nation
+    for ANY year window with a ~175-row scan, the same contract q173
+    states for the Q12 family.
+
+    Serve is O(answer family): one scan of the MV + a 2-key aggregate —
+    no join, no fact scan (star_mv_serve, plan-asserted). Cents partials
+    are exact longs (the q11 argument: 2-decimal fixture money makes
+    floor(x·100+0.5) lossless and a long sum order-independent), so the
+    maintained MV reproduces q11's bits and hash-matches its raw-fact
+    oracle. Reference tie: the categorizer's category-distribution summary
+    (ETL/tasks/categorizer.py:178-191) maintained instead of recomputed."""
+    table = "q176_mv_orders_by_region_nation_year"
+    from wikipediaetl_spark.operators.relational import _t
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("o_cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    enrich = lambda orders: (  # noqa: E731
+        orders.join(c.hint("shuffle_hash"), orders.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    grain = ["r_name", "n_name", "o_year"]
+    partial = lambda orders: (  # noqa: E731
+        enrich(orders)
+        .groupBy(*grain)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("o_cents").alias("cents"),
+        )
+    )
+    is_batch = F.pmod(F.col("o_orderkey") * 13 + 5, F.lit(10)) == 3
+    _drop_table(spark, table)
+    (
+        partial(o.filter(~is_batch))
+        .write.bucketBy(4, "o_year")
+        .sortBy("o_year")
+        .saveAsTable(table)
+    )
+    merge_batch_into_keyed_rollup(
+        spark,
+        partial(o.filter(is_batch)),
+        table,
+        keys=grain,
+        merge_aggs=[
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        ],
+        bucket_key="o_year",
+        n_buckets=4,
+    )
+    res = star_mv_serve(spark, table).localCheckpoint(eager=True)
+    _drop_table(spark, table)
+    return res

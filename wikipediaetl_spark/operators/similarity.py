@@ -600,3 +600,158 @@ def q143_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ------------------------------------------------- maintained IVF cell index
+
+
+def ivf_index_probe(probes: DataFrame, idx: DataFrame) -> DataFrame:
+    """q177's probe plan, factored for plan-assertion (the q174/q175
+    pattern): the query batch broadcasts onto the cell-PARTITIONED index —
+    the scan reads only the probed cells' directories (static partition
+    pruning from the bounded `isin`), the join is broadcast (no shuffle of
+    the index side ever), and exact scoring touches only candidate rows."""
+    cos = F.round(cosine_expr(F.col("qv"), F.col("v")), 6)
+    scored = (
+        F.broadcast(probes)
+        .join(idx, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@query(
+    "q177_ivf_index_maintenance",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    base AS (SELECT * FROM e WHERE (vec_id * 31 + 7) % 10 <> 3),
+    c AS (
+      SELECT label AS cell, v AS centroid FROM base
+      QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id ASC) = 1
+    ),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.v, c.centroid)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+                 c.cell ASC) AS rn
+        FROM e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, c.centroid)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+                 c.cell ASC) AS rn
+        FROM q CROSS JOIN c
+      ) WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(p.qv, a.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(a.v, a.v))), 6) AS cos_sim
+      FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q177_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED IVF ANN index — the q174 discipline (append-
+    only index maintenance under ingest) applied to the embedding family. A
+    100 TB vector store cannot re-cluster per batch; the IVF layout is
+    maintained instead: the coarse quantizer is FROZEN from the base corpus
+    (q163's medoid seeds — deterministic, SQL-reproducible), each ingest
+    batch is assigned to its nearest cell in O(batch × k) with the k-row
+    centroid table broadcast, and new vectors APPEND into the cell-
+    partitioned index — no rewrite of history, no re-assignment of existing
+    rows (real IVF systems re-train the quantizer offline and rebuild; the
+    online path is exactly this append).
+
+    In-query exercise: embeddings split 90/10 on a deterministic vec_id
+    hash; the 90% build the index (saveAsTable PARTITIONED BY cell — each
+    cell is a directory, so probes become directory pruning); the 10% batch
+    is quantized and appended through the same assignment path. A 10-query
+    batch then probes its top-3 cells against the POST-APPEND index: the
+    probed cell ids are collected (bounded: ≤ 3 × |queries| ints,
+    documented) into a static `isin` partition filter, the index side never
+    shuffles (broadcast probe join, plan-asserted via ivf_index_probe), and
+    exact cosine runs only inside probed cells. Hash-verified against the
+    full-recompute oracle: frozen quantizer + assignment + probe are
+    reproduced in ANSI SQL over the whole corpus, and the maintained index
+    must return byte-identical top-5s (round-6 sims, q57's reassociation
+    guard; all ties broken by cell/neighbor id).
+
+    Note the assignment window: at ingest it runs over O(batch × k) rows
+    only — the base-corpus assignment here is the one-time bootstrap a real
+    deployment also pays once, not a per-batch cost."""
+    from wikipediaetl_spark.operators.layout import _drop_table
+
+    table = "q177_ivf_cell_index"
+    e = _vectors(spark, sf_dir)
+    is_batch = F.pmod(F.col("vec_id") * 31 + 7, F.lit(10)) == 3
+    base = e.filter(~is_batch)
+    wc = W.partitionBy("label").orderBy(F.col("vec_id").asc())
+    cents = (
+        base.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("cell"), F.col("v").alias("centroid"))
+    )
+    a_sim = F.round(cosine_expr(F.col("v"), F.col("centroid")), 6)
+    wa = W.partitionBy("vec_id").orderBy(F.col("a_sim").desc(), F.col("cell").asc())
+
+    def assign(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .select("vec_id", "v", a_sim.alias("a_sim"), "cell")
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cell")
+        )
+
+    _drop_table(spark, table)
+    assign(base).write.partitionBy("cell").saveAsTable(table)
+    assign(e.filter(is_batch)).write.mode("append").partitionBy("cell").saveAsTable(
+        table
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c_sim = F.round(cosine_expr(F.col("qv"), F.col("centroid")), 6)
+    wq = W.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("cell").asc())
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cell", c_sim.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "qv", "cell")
+    )
+    # bounded collect: ≤ 3 cells per query over a 10-query batch — the probe
+    # set IS the serve-time parameter, same class as q57's query list
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    idx = spark.table(table).filter(F.col("cell").isin(cells))
+    res = ivf_index_probe(probes, idx).localCheckpoint(eager=True)
+    _drop_table(spark, table)
+    return res
