@@ -417,3 +417,53 @@ def test_ivf_probe_plan_prunes_partitions_and_broadcasts(spark, sf_dir):
         assert "PartitionFilters" in plan and "cell" in plan, plan[:900]
     finally:
         _drop_table(spark, t)
+
+
+def test_dedup_ledger_probe_reuses_bucketing(spark, sf_dir):
+    """q178's downstream probe shape — "which batch contents are NEW?" as an
+    anti-join against the md5-keyed ledger — must be exchange-free on the
+    ledger side (the batch alone shuffles into the 16-bucket layout), with
+    broadcast off to show the at-scale form: a corpus-sized ledger never
+    broadcasts."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.sources import load_table
+
+    t = "t_plans_dedup_ledger"
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id") * 17 + 3, F.lit(10)) == 6
+    _drop_table(spark, t)
+    (
+        d.filter(~is_batch)
+        .groupBy(F.md5(F.col("text")).alias("content_key"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .write.bucketBy(16, "content_key")
+        .sortBy("content_key")
+        .saveAsTable(t)
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch_keys = (
+            d.filter(is_batch)
+            .select(F.md5(F.col("text")).alias("content_key"))
+            .distinct()
+        )
+        new_keys = batch_keys.join(spark.table(t), "content_key", "left_anti")
+        plan = explain_str(new_keys, mode="simple")
+        # both exchanges are BATCH-side (the distinct's partial agg, then
+        # alignment into the 16-bucket hashing); the ledger side must stay
+        # a bucketed scan feeding the anti-join with no exchange of its own
+        assert plan.count("Exchange hashpartitioning") <= 2, plan[:900]
+        assert plan.count("Bucketed: true") == 1, plan[:900]
+        ledger_side = plan.split("FileScan parquet spark_catalog.default." + t, 1)
+        assert len(ledger_side) == 2, plan[:900]
+        assert new_keys.count() >= 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        _drop_table(spark, t)

@@ -127,7 +127,10 @@ _WINDOW_ALIASES: dict[str, str] = {
     "q07e_fuzzy_match": "q49_fuzzy_match",
     "q08a_sessionize": "q36_sessionize",
     "q08b_exact_dedup": "q50_exact_dedup",
-    "q08c_hash_dedup": "q51_hash_dedup",
+    # q178 subsumes q51's content-hash grouping end-to-end (same algebra,
+    # maintained); q51 stays headline-benched + double-swept and re-enters
+    # next rotation.
+    "q08c_dedup_ledger": "q178_dedup_ledger_maintenance",
     "q09a_shingle_neardup": "q53_shingle_neardup",
     "q09b_embedding_neardup": "q56_embedding_neardup",
     # (d) r9 flagships, aliased in their FIRST round (ADVICE r8: a new

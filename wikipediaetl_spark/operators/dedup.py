@@ -1489,3 +1489,79 @@ def q145_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ------------------------------------------------ maintained exact-dedup ledger
+
+
+@query(
+    "q178_dedup_ledger_maintenance",
+    oracle="""
+    SELECT md5(text) AS content_key,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q178_dedup_ledger_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED exact-dedup content ledger — the third
+    maintained index of the family (q174 LSH near-dup, q177 IVF ANN): a
+    100 TB ingest decides "have I seen this exact content?" against a
+    LEDGER keyed by content hash, not by re-grouping the corpus (q50/q51's
+    full-recompute shape is the bootstrap). This is the batch-at-scale
+    analog of the reference's Redis seen-set (D6 dedup,
+    filter/app/main.py:16-24; q71/q109 are its streaming row-level form).
+
+    Ledger grain: md5(text) → (keeper_doc_id, n_docs). Both measures are
+    associative — keeper merges by MIN, the copy count by SUM — so
+    maintenance is merge_batch_into_keyed_rollup with a MIN+SUM algebra:
+    the batch aggregates to its content keys in O(batch), and the merge
+    touches O(batch + |ledger grain|) rows regardless of history, keeping
+    the staged-swap + batch-id replay contract. A batch keeper BELOW the
+    stored keeper correctly takes over (the global-min invariant), which
+    is exactly what the full-recompute oracle checks: the maintained
+    ledger state must equal GROUP BY md5(text) over the whole corpus,
+    byte-for-byte. In-query exercise: documents split 90/10 on a
+    deterministic doc_id hash; 90% bootstrap the bucketed ledger, the 10%
+    batch folds in through the merge.
+
+    Scale: the 16-byte key shuffles instead of document bodies (the q51
+    argument); the ledger is bucketed on content_key so downstream probes
+    (anti-join "is this new?") ride the layout exchange-free."""
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        merge_batch_into_keyed_rollup,
+    )
+
+    table = "q178_dedup_ledger"
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id") * 17 + 3, F.lit(10)) == 6
+    partial = lambda docs: docs.groupBy(  # noqa: E731
+        F.md5(F.col("text")).alias("content_key")
+    ).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    _drop_table(spark, table)
+    (
+        partial(d.filter(~is_batch))
+        .write.bucketBy(16, "content_key")
+        .sortBy("content_key")
+        .saveAsTable(table)
+    )
+    merge_batch_into_keyed_rollup(
+        spark,
+        partial(d.filter(is_batch)),
+        table,
+        keys=["content_key"],
+        merge_aggs=[
+            F.min("keeper_doc_id").alias("keeper_doc_id"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        ],
+        bucket_key="content_key",
+        n_buckets=16,
+    )
+    res = spark.table(table).localCheckpoint(eager=True)
+    _drop_table(spark, table)
+    return res
