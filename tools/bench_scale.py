@@ -131,6 +131,14 @@ QUERIES = [
     # doc-level pair set, quadratic under replication; its scale story is
     # structural (O(batch) signatures + append + one bucket-join probe)
     # and its correctness story is the hash-match against q150's oracle.
+    # r9 maintained structures: q176's 400x row lives in
+    # BENCH_BUCKETED_400x.json (tools/exp_q176.py — serve 0.48x, the
+    # serving-ladder artifact where all rungs are recorded); q177 is
+    # excluded because embeddings is copied unchanged (the q57
+    # scale-invariant-input caveat); q178's scaled behavior is q51's
+    # (same content-hash aggregate, already measured at 1.72x) plus the
+    # O(batch + grain) merge, which BENCH_BUCKETED's maintenance timings
+    # already characterize.
     "q168_shingle_neardup_full",
     "q89_stratified_sample",
     "q120_train_val_test_split",

@@ -1128,8 +1128,16 @@ def q169_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-fp count (2,685/3,858) is far below 2^band_bits, so bucket
     occupancy is set by real near-dup structure, not hash collisions — the
     full ~2^8× candidate shrink needs a diffuse corpus with n ≫ 2^16 fps
-    (the 1e9-doc regime). The honest rule: q152 is the right width until
-    the fp space saturates; q169 is the one that still works after."""
+    (the 1e9-doc regime). That regime is now DEMONSTRATED (r9,
+    exp_simhash_wide.py --diffuse; BENCH_SIMHASH_WIDE.json "diffuse"): a
+    synthesized 1M-doc high-entropy corpus (distinct fps ≈ 1M ≫ 2^16)
+    saturates all 256 8-bit buckets at ~3,906 fps each — candidate stage
+    7.81e9 pairs, unmaterializable — while the 16-bit bands hold ~15.3
+    fps/bucket: 30.5M candidates, a measured 256.0× = 2^8 drop (the
+    analytic per-band ΣC(m,2) count matches the materialized 64-bit join
+    to 0.002%), with ZERO hamming≤3 survivors on random fps. The honest
+    rule, now regime-tested both sides: q152 is the right width until the
+    fp space saturates; q169 is the one that still works after."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_wide_pairs(d, bits=64, n_bands=4)
 
