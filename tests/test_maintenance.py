@@ -470,6 +470,49 @@ def test_keyed_rollup_merge_incremental_equals_rebuild(spark, tmp_path):
     _drop_table(spark, t)
 
 
+def test_ledger_min_sum_algebra_replay_idempotent(spark, tmp_path):
+    """q178's MIN-keeper + SUM-count ledger algebra through
+    merge_batch_into_keyed_rollup: a batch keeper BELOW the stored keeper
+    takes over (global-min invariant), and replaying the same batch_id is
+    a no-op under BOTH algebras (no double-counted n_docs, keeper stable)
+    — the r9 extension of the replay watermark to a MIN merge."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        merge_batch_into_keyed_rollup,
+    )
+
+    t = "t_ledger_min_sum"
+    _drop_table(spark, t)
+    base = spark.createDataFrame(
+        [("h1", 10, 3), ("h2", 5, 1)], "content_key string, keeper long, n long"
+    )
+    base.write.bucketBy(4, "content_key").sortBy("content_key").saveAsTable(t)
+    batch = spark.createDataFrame(
+        [("h1", 2, 2), ("h3", 9, 1)], "content_key string, keeper long, n long"
+    )
+    aggs = [
+        F.min("keeper").alias("keeper"),
+        F.sum("n").cast("long").alias("n"),
+    ]
+    merge_batch_into_keyed_rollup(
+        spark, batch, t, keys=["content_key"], merge_aggs=aggs,
+        bucket_key="content_key", n_buckets=4, batch_id=1,
+    )
+    want = {("h1"): (2, 5), ("h2"): (5, 1), ("h3"): (9, 1)}
+    got = {r.content_key: (r.keeper, r.n) for r in spark.table(t).collect()}
+    assert got == want
+    # replay of batch 1: watermark makes it a no-op, not a double-merge
+    merge_batch_into_keyed_rollup(
+        spark, batch, t, keys=["content_key"], merge_aggs=aggs,
+        bucket_key="content_key", n_buckets=4, batch_id=1,
+    )
+    got = {r.content_key: (r.keeper, r.n) for r in spark.table(t).collect()}
+    assert got == want, "replayed batch must not double-count or move keepers"
+    _drop_table(spark, t)
+
+
 def test_serving_layout_queries_match_stock_plans(spark, sf_dir):
     """q170/q171/q172 must return byte-identical results to the stock
     q116/q135/q124 plans they re-found on maintained layouts."""
