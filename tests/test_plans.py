@@ -467,3 +467,45 @@ def test_dedup_ledger_probe_reuses_bucketing(spark, sf_dir):
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
         _drop_table(spark, t)
+
+
+def test_bm25_probe_bucket_prunes_and_never_scans_corpus(spark, sf_dir):
+    """q179's keyword probe must read only the query terms' buckets of the
+    postings layout (SelectedBucketsCount < total in the scan), attach df/
+    N/L from the probed rows + the doc-grain layout (one O(docs) scan),
+    and never touch the raw documents table."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.text_analysis import bm25_index_probe
+    from wikipediaetl_spark.sources import load_table
+
+    pt, lt = "t_plans_bm25_postings", "t_plans_bm25_doclen"
+    d = load_table(spark, sf_dir, "documents")
+    _drop_table(spark, pt)
+    _drop_table(spark, lt)
+    (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .write.bucketBy(8, "tok")
+        .sortBy("tok")
+        .saveAsTable(pt)
+    )
+    (
+        d.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("dl")
+        ).write.saveAsTable(lt)
+    )
+    try:
+        plan = explain_str(
+            bm25_index_probe(spark.table(pt), spark.table(lt)), mode="simple"
+        )
+        m = [ln for ln in plan.splitlines() if "SelectedBucketsCount" in ln]
+        assert m, plan[:900]
+        assert "out of 8" in m[0] and "8 out of 8" not in m[0], m[0]
+        assert "documents" not in plan  # layouts only, no corpus text scan
+        assert "BroadcastHashJoin" in plan, plan[:900]
+    finally:
+        _drop_table(spark, pt)
+        _drop_table(spark, lt)

@@ -146,6 +146,14 @@ SHOWCASE = {
     "+ a 2-key agg, NO join, no fact scan (r9). Returns an eager "
     "localCheckpoint (table dropped before returning); the REAL serve plan "
     "is printed beneath and asserted by tests/test_plans.py.",
+    "q179_bm25_index_maintenance": "incrementally-MAINTAINED BM25 lexical "
+    "search: append-only tok-bucketed postings + doc-grain length layout; "
+    "keyword probe BUCKET-PRUNES to the query terms' buckets, df/N/L "
+    "derived at serve (always consistent as-of the last append), integer "
+    "micro-nat idf + analytically-cleared tf normalization hash-match the "
+    "full-recompute oracle (r9). Returns an eager localCheckpoint; the "
+    "REAL probe plan is printed beneath and asserted by "
+    "tests/test_plans.py.",
     "q177_ivf_index_maintenance": "incrementally-MAINTAINED IVF ANN index: "
     "frozen medoid coarse quantizer, O(batch x k) assignment, APPEND into "
     "a cell-PARTITIONED layout; probe = directory-pruned scan of the "
@@ -276,6 +284,32 @@ def _pre_checkpoint_plans(spark, sf_dir: str, name: str):
                 ivf_index_probe(probes, idx),
             ),
         ]
+    if name == "q179_bm25_index_maintenance":
+        from wikipediaetl_spark.operators.text_analysis import bm25_index_probe
+
+        t = "plans_q179_postings"
+        lt = "plans_q179_doclen"
+        d = load_table(spark, sf_dir, "documents")
+        _drop_table(spark, t)
+        _drop_table(spark, lt)
+        (
+            d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+            .groupBy("tok", "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .write.bucketBy(8, "tok")
+            .sortBy("tok")
+            .saveAsTable(t)
+        )
+        (
+            d.select(
+                "doc_id",
+                F.size(F.split(F.col("text"), " ")).cast("long").alias("dl"),
+            ).write.saveAsTable(lt)
+        )
+        probe_df = bm25_index_probe(spark.table(t), spark.table(lt))
+        return [t, lt], [
+            ("keyword probe: bucket-pruned postings + doc-grain stats", probe_df),
+        ]
     return None, []
 
 
@@ -326,7 +360,8 @@ def main() -> None:
                     print("```")
             finally:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-                _drop_table(spark, table)
+                for tbl in table if isinstance(table, list) else [table]:
+                    _drop_table(spark, tbl)
 
 
 if __name__ == "__main__":

@@ -124,7 +124,9 @@ _WINDOW_ALIASES: dict[str, str] = {
     "q07b_correlated_subquery": "q92_correlated_subquery",
     "q07c_merge_upsert": "q85_merge_upsert",
     "q07d_salted_join": "q81_salted_join",
-    "q07e_fuzzy_match": "q49_fuzzy_match",
+    # q49 rotates out for the r9 BM25 flagship (q49 is the simplest scalar-
+    # function query of the rotation list, double-swept; re-enters next).
+    "q07e_bm25_index": "q179_bm25_index_maintenance",
     "q08a_sessionize": "q36_sessionize",
     "q08b_exact_dedup": "q50_exact_dedup",
     # q178 subsumes q51's content-hash grouping end-to-end (same algebra,

@@ -848,3 +848,169 @@ def q146_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compression",
         F.round(F.col("n_char_tokens") * 1.0 / F.col("n_bpe_tokens"), 6),
     )
+
+
+# ------------------------------------------------ maintained BM25 search index
+
+_BM25_TERMS = ("hash", "window", "spark")  # fixed query set, the q57 pattern
+
+
+def bm25_index_probe(
+    postings: DataFrame, doclen: DataFrame, terms: tuple[str, ...] = _BM25_TERMS
+) -> DataFrame:
+    """q179's serve plan, factored for plan-assertion: keyword top-k from
+    the maintained layouts alone. The postings scan BUCKET-PRUNES on the
+    query terms (tok is the bucket key, so `tok IN (...)` reads only those
+    terms' buckets — SelectedBucketsCount < total in the plan); df per term
+    comes from the probed rows themselves (a window over O(Σdf) rows);
+    corpus stats (N, total length) aggregate the doc-grain doclen layout —
+    one O(docs) scan, the q175 serve class — and attach as a broadcast
+    1-row scalar. No full postings scan, no corpus text scan, anywhere.
+
+    Exactness (the q144 recipe): the only engine-divergent op is ln, so
+    idf quantizes ONCE per term to integer micro-nats; the BM25 tf
+    normalization (k1=1.2, b=0.75) is cleared of decimals analytically —
+    tf_norm = 22·tf·L / (10·tf·L + 3·L + 9·dl·N) with L=total corpus
+    tokens, N=docs — so both engines divide identical exactly-representable
+    integer-valued doubles (IEEE-deterministic); each per-term score is
+    grid-rounded to micro-units and the per-doc total is an exact BIGINT
+    sum, order-independent under any partitioning. (Products stay under
+    2^53 up to ~10^12 corpus tokens; re-derive the scaling for bigger.)"""
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    probe = postings.filter(F.col("tok").isin(*terms))
+    probe = probe.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("tok")).cast("long")
+    )
+    scored = (
+        F.broadcast(probe)
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf_u = F.floor(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * 1e6
+        + 0.5
+    ).cast("long")
+    ratio = (22.0 * F.col("tf") * F.col("total_len")) / (
+        10.0 * F.col("tf") * F.col("total_len")
+        + 3.0 * F.col("total_len")
+        + 9.0 * F.col("dl") * F.col("n_docs")
+    )
+    per_term = scored.select(
+        "doc_id",
+        F.floor(idf_u.cast("double") * ratio + 0.5).cast("long").alias("st_u"),
+    )
+    agg = per_term.groupBy("doc_id").agg(
+        F.sum("st_u").cast("long").alias("score_micro")
+    )
+    w = W.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "score_micro", "rnk")
+    )
+
+
+@query(
+    "q179_bm25_index_maintenance",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok IN ('hash', 'window', 'spark')
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    per_term AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               CAST(floor(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * 1000000 + 0.5) AS BIGINT)
+               * (22.0 * tf.tf * s.total_len)
+               / (10.0 * tf.tf * s.total_len + 3.0 * s.total_len
+                  + 9.0 * dl.dl * s.n_docs)
+               + 0.5) AS BIGINT) AS st_u
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(st_u) AS BIGINT) AS score_micro
+      FROM per_term GROUP BY doc_id
+    )
+    SELECT doc_id, score_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rnk
+      FROM agg
+    ) WHERE rnk <= 10
+    """,
+)
+def q179_bm25_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED BM25 lexical search — the retrieval sibling
+    of q177's embedding ANN: a training-data pipeline's keyword search
+    (targeted audits, decontamination spot-checks, corpus QA) served from
+    maintained layouts instead of re-tokenizing the corpus per query.
+    Completes the maintained-index family: q174 (near-dup), q177 (ANN),
+    q178 (exact dedup), q179 (lexical relevance).
+
+    Two layouts, both APPEND-ONLY under ingest (a new doc's postings and
+    length touch no existing rows): POSTINGS (tok, doc_id, tf), bucketed
+    by tok so a keyword probe bucket-prunes to the query terms' buckets;
+    DOCLEN (doc_id, dl), the doc-grain scalar layout. The corpus-global
+    quantities BM25 needs — df per term, N, total length — are NOT stored
+    denormalized (they change with every append): df falls out of the
+    probed postings themselves, N/L from one doc-grain aggregate, so
+    serving is always consistent with the index as-of the last append
+    with zero read-modify-write maintenance. In-query exercise: documents
+    split 90/10 on a deterministic doc_id hash, both layouts bootstrapped
+    from the 90% and appended with the batch through the same tokenize
+    path; the top-10 for a fixed 3-term query must then hash-match the
+    full-recompute oracle (BM25 k1=1.2, b=0.75; exactness argument in
+    bm25_index_probe's docstring). Reference tie: the planned text-search
+    analysis the reference never built (README.md:24,41) — and the q67
+    TF-IDF scalars are this operator's per-doc form."""
+    from wikipediaetl_spark.operators.layout import _drop_table
+
+    pt, lt = "q179_bm25_postings", "q179_bm25_doclen"
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id") * 23 + 1, F.lit(10)) == 4
+
+    def postings(docs: DataFrame) -> DataFrame:
+        toks = docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        return toks.groupBy("tok", "doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+
+    def doclen(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("dl")
+        )
+
+    _drop_table(spark, pt)
+    _drop_table(spark, lt)
+    base, batch = d.filter(~is_batch), d.filter(is_batch)
+    postings(base).write.bucketBy(8, "tok").sortBy("tok").saveAsTable(pt)
+    doclen(base).write.saveAsTable(lt)
+    # append-only maintenance: O(batch tokens), bucket layout preserved
+    postings(batch).write.mode("append").bucketBy(8, "tok").sortBy("tok").saveAsTable(pt)
+    doclen(batch).write.mode("append").saveAsTable(lt)
+    res = bm25_index_probe(spark.table(pt), spark.table(lt)).localCheckpoint(
+        eager=True
+    )
+    _drop_table(spark, pt)
+    _drop_table(spark, lt)
+    return res
