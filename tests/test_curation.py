@@ -119,3 +119,20 @@ def test_content_hash_sample_is_content_keyed(spark, tmp_path):
         1 for t in texts if hashlib.md5(("s1|" + t).encode()).hexdigest()[:4] < "2900"
     )
     assert s1[0].n_sampled == expect
+
+
+def test_q181_ledger_matches_full_recompute(spark, sf_dir):
+    """q181's maintained postings+df ledger (bootstrap 90% -> append 10%
+    batch postings -> merge df/count partials -> serve) must reproduce
+    q86's full-recompute contamination result exactly — the maintenance
+    contract applied to the decontamination family. Also pins the global-
+    statistic rule: the df cap is applied at serve time from the maintained
+    rollup, so the post-append n_docs matches the full corpus count."""
+    from wikipediaetl_spark.operators.pipeline_ops import (
+        q86_decontamination,
+        q181_decontam_ledger_maintenance,
+    )
+
+    inc = sorted(map(tuple, q181_decontam_ledger_maintenance(spark, sf_dir).collect()))
+    full = sorted(map(tuple, q86_decontamination(spark, sf_dir).collect()))
+    assert inc == full and len(inc) > 0

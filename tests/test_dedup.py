@@ -466,3 +466,18 @@ def test_q174_incremental_index_matches_full_recompute(spark, sf_dir):
     inc = sorted(map(tuple, q174_lsh_index_maintenance(spark, sf_dir).collect()))
     full = sorted(map(tuple, q150_minhash_portable(spark, sf_dir).collect()))
     assert inc == full and len(inc) > 0
+
+
+def test_q180_incremental_index_matches_full_recompute(spark, sf_dir):
+    """q180's maintained block index (build 90% -> bucketed self-join ->
+    append 10% batch with precomputed norms -> batch-vs-index probe) must
+    reproduce q131's full-recompute blocked near-dup pair set exactly —
+    the maintenance contract, embedding-family edition."""
+    from wikipediaetl_spark.operators.dedup import (
+        q131_blocked_neardup,
+        q180_semdedup_index_maintenance,
+    )
+
+    inc = sorted(map(tuple, q180_semdedup_index_maintenance(spark, sf_dir).collect()))
+    full = sorted(map(tuple, q131_blocked_neardup(spark, sf_dir).collect()))
+    assert inc == full and len(inc) > 0

@@ -582,3 +582,28 @@ def test_ast_fuzz_window_ntile_and_range_frames(spark):
     assert res["fail"] == 0, [
         (f["seed"], f.get("problems")) for f in res["failures"]
     ]
+
+
+def test_ast_fuzz_post_aggregation_windows(spark):
+    """r9 production: window functions over the GROUPED result (the
+    serving-rollup / rank-the-aggregates shape) — row_number, lag,
+    running sum, and ntile over ORDER BY all group keys NULLS FIRST,
+    which is total because plain GROUP BY makes the key combination
+    unique per row. Spark's withColumn-over-Window rendering is checked
+    against the SQL subselect-with-OVER rendering, every fn covered."""
+    from wikipediaetl_spark.plans.fuzz import FuzzGen, run_campaign
+
+    picked, fns = [], set()
+    for s in range(15000, 19000):
+        q = FuzzGen(s).gen()
+        if q.post_window is not None:
+            picked.append(s)
+            fns.add(q.post_window[0])
+        if len(picked) >= 40:
+            break
+    assert len(picked) >= 30, "production stopped firing — generator drift"
+    assert fns >= {"row_number", "lag", "sum_running", "ntile"}, fns
+    res = run_campaign(spark, SF, n=0, seeds=picked)
+    assert res["fail"] == 0, [
+        (f["seed"], f.get("problems")) for f in res["failures"]
+    ]

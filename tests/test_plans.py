@@ -303,6 +303,95 @@ def test_lsh_index_joins_reuse_bucketing(spark, sf_dir):
         _drop_table(spark, t)
 
 
+def test_semdedup_index_joins_reuse_bucketing(spark, sf_dir):
+    """q180's scale claim, on the pre-checkpoint plans (the q174 test's
+    embedding-family sibling): with broadcast off (a 100 TB vector index
+    never broadcasts), the base-base self-join over the label-bucketed
+    index must be exchange-FREE on both sides; the batch probe must carry
+    exactly two exchanges — the batch side shuffling INTO the index's
+    layout, and the O(survivors) pair-canonicalization aggregate — never a
+    shuffle of the index itself."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.dedup import (
+        semdedup_index_probe,
+        semdedup_index_self_pairs,
+    )
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.similarity import dot_expr
+    from wikipediaetl_spark.sources import load_table
+
+    t = "t_plans_semdedup_index"
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    is_batch = F.pmod(F.col("vec_id") * 31 + 7, F.lit(10)) == 3
+    _drop_table(spark, t)
+    e.filter(~is_batch).write.bucketBy(8, "label").sortBy("label").saveAsTable(t)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = spark.table(t)
+        self_plan = explain_str(semdedup_index_self_pairs(idx), mode="simple")
+        assert self_plan.count("Exchange hashpartitioning") == 0, self_plan[:800]
+        assert self_plan.count("Bucketed: true") == 2, self_plan[:800]
+        batch = e.filter(is_batch).localCheckpoint(eager=True)
+        probe_plan = explain_str(semdedup_index_probe(batch, idx), mode="simple")
+        assert probe_plan.count("Exchange hashpartitioning") == 2, probe_plan[:800]
+        assert probe_plan.count("Bucketed: true") == 1, probe_plan[:800]
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        _drop_table(spark, t)
+
+
+def test_decontam_ledger_serve_plan(spark, sf_dir):
+    """q181's serve-plan contract: the postings⋈df cap join rides the shared
+    tok bucketing with NO exchange (even with auto-broadcast disabled — the
+    explicit broadcasts in the serve are the bench-set prunes only), the
+    benchmark prune reaches the postings scan as a pushed doc_id filter,
+    and the only exchanges are the two O(survivors) aggregations."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.pipeline_ops import (
+        _trigram_occurrences,
+        decontam_ledger_serve,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    pt, dt = "t_plans_decontam_post", "t_plans_decontam_df"
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id") * 31 + 7, F.lit(10)) == 3
+    _drop_table(spark, pt)
+    _drop_table(spark, dt)
+    base = _trigram_occurrences(d.filter(~is_batch)).distinct()
+    base.write.bucketBy(8, "tok").sortBy("tok").saveAsTable(pt)
+    (
+        spark.table(pt)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.bucketBy(8, "tok")
+        .sortBy("tok")
+        .saveAsTable(dt)
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(
+            decontam_ledger_serve(spark.table(pt), spark.table(dt), 500),
+            mode="simple",
+        )
+        assert plan.count("Exchange hashpartitioning") == 2, plan[:1200]
+        assert "LessThan(doc_id,50)" in plan, plan[:1200]
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        _drop_table(spark, pt)
+        _drop_table(spark, dt)
+
+
 def test_ccnet_serve_plan_scans_only_feature_layout(spark, sf_dir):
     """VERDICT r8 #5 (q175 half): the serve stage must be O(docs) on the
     feature table alone — a single bucketed scan, the ntile window and the

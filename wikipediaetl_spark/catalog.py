@@ -128,13 +128,19 @@ _WINDOW_ALIASES: dict[str, str] = {
     # function query of the rotation list, double-swept; re-enters next).
     "q07e_bm25_index": "q179_bm25_index_maintenance",
     "q08a_sessionize": "q36_sessionize",
-    "q08b_exact_dedup": "q50_exact_dedup",
+    # q50 rotates out for the q181 flagship (its normalized-content grouping
+    # is subsumed end-to-end by q178's maintained ledger, in-window at
+    # q08c); q50 stays double-swept and re-enters next rotation.
+    "q08b_decontam_ledger": "q181_decontam_ledger_maintenance",
     # q178 subsumes q51's content-hash grouping end-to-end (same algebra,
     # maintained); q51 stays headline-benched + double-swept and re-enters
     # next rotation.
     "q08c_dedup_ledger": "q178_dedup_ledger_maintenance",
     "q09a_shingle_neardup": "q53_shingle_neardup",
-    "q09b_embedding_neardup": "q56_embedding_neardup",
+    # q56 rotates out for the q180 flagship (same embedding-cosine near-dup
+    # algebra, maintained and uncapped at q131's full-table grain — q180's
+    # oracle IS q131's); q56 stays double-swept and re-enters next rotation.
+    "q09b_semdedup_index": "q180_semdedup_index_maintenance",
     # (d) r9 flagships, aliased in their FIRST round (ADVICE r8: a new
     # operator should not ship a round without an external hash-check).
     # q20/q66 rotate out — both are headline-benched and double-swept; they

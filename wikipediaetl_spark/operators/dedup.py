@@ -1252,9 +1252,10 @@ def q122_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q131_blocked_neardup",
-    oracle="""
+# Shared full-recompute oracle for blocked embedding near-dup: q131 computes
+# it batch-style, q180 must reproduce it byte-for-byte from a maintained
+# block index (the q150/q174 oracle-sharing contract).
+_Q131_ORACLE = """
     WITH e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
     )
@@ -1266,8 +1267,10 @@ def q122_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                 6) >= 0.35
-    """,
-)
+    """
+
+
+@query("q131_blocked_neardup", oracle=_Q131_ORACLE)
 def q131_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact embedding near-dup over the FULL embeddings table — no
     subset cap, unlike q56: the blocking key (label = the coarse cluster
@@ -1303,6 +1306,142 @@ def q131_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.35)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+def semdedup_index_self_pairs(idx: DataFrame) -> DataFrame:
+    """Base-base embedding near-dup pairs from the stored block index: a
+    self-join on the block key. When ``idx`` is the label-bucketed table,
+    BOTH join inputs arrive pre-partitioned on the key, so the plan has NO
+    Exchange (asserted by tests/test_plans.py — the plan q180 materializes
+    before its localCheckpoint hides it). The cosine verify runs inside the
+    co-located block, on the index's PRECOMPUTED norms (the q179 Lucene-
+    norms lesson: store serve-time per-row statistics IN the index row)."""
+    from wikipediaetl_spark.operators.similarity import dot_expr
+
+    a = idx.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = idx.select(
+        "label",
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+def semdedup_index_probe(batch: DataFrame, idx: DataFrame) -> DataFrame:
+    """Batch→index block probe: one equi-join of O(batch) vectors against
+    the label-bucketed index. Only the BATCH side shuffles (into the index's
+    bucket layout); the index side is exchange-free (plan-asserted) — the
+    property that makes per-batch near-dup admission O(batch × block) at
+    100 TB, never O(history²). Batch-batch pairs surface in both join
+    orientations post-append; least/greatest canonicalization + the pair
+    groupBy collapse them (cos is orientation-invariant: the positional
+    product sum is commutative per element)."""
+    from wikipediaetl_spark.operators.similarity import dot_expr
+
+    n = batch.select(
+        "label",
+        F.col("vec_id").alias("id_n"),
+        F.col("v").alias("vn"),
+        F.col("nrm").alias("nn"),
+    )
+    c = idx.select(
+        "label",
+        F.col("vec_id").alias("id_c"),
+        F.col("v").alias("vc"),
+        F.col("nrm").alias("nc"),
+    )
+    cos = F.round(dot_expr(F.col("vn"), F.col("vc")) / (F.col("nn") * F.col("nc")), 6)
+    return (
+        n.join(c, "label")
+        .filter(F.col("id_n") != F.col("id_c"))
+        .select(
+            F.least("id_n", "id_c").alias("vec_a"),
+            F.greatest("id_n", "id_c").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+
+
+@query("q180_semdedup_index_maintenance", oracle=_Q131_ORACLE)
+def q180_semdedup_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED SemDeDup block index — the q174/q177
+    discipline (append-only index maintenance under ingest) applied to the
+    EXACT embedding near-dup family (SemDeDup, Abbas et al.
+    arXiv:2303.09540: semantic dedup = cosine near-dup within coarse
+    clusters). A 100 TB vector corpus cannot re-pair history per ingest
+    batch; the block index is maintained instead: vectors stored bucketed
+    by their coarse block key with PRECOMPUTED norms (the q179 norms
+    lesson), new vectors appended into the same bucket layout, and the
+    per-batch admission question ("which corpus vectors is this new vector
+    a semantic duplicate of?") is one equi-join of O(batch) rows against
+    the bucketed index — cosine verify runs only inside the collided block.
+
+    In-query exercise: embeddings split 90/10 on a deterministic vec_id
+    hash; the 90% build the index (bucketed by label — self-join and every
+    probe reuse the bucketing, no Exchange on either side); base-base pairs
+    come from the pre-append index snapshot (an online system emitted them
+    in earlier batches); the 10% batch is norm-computed for ITS rows only,
+    APPENDED (new files land in the same bucket layout), and its pairs come
+    from one batch⋈post-append-index join. The union is hash-verified
+    against q131's FULL-RECOMPUTE oracle — maintenance must reproduce the
+    batch pipeline byte-for-byte.
+
+    Scale: the append is O(batch) with no read-modify-write; block sizes
+    bound the pair space exactly as in q131 (Σ|block|² not n²); the one
+    quadratic step is per-block and the blocks are the knob (more/finer
+    centroids → q177's IVF assignment path feeds this same layout). Unlike
+    q174's banded candidates, this family is EXACT within blocks — the
+    right tool for the loose thresholds where sign-LSH cannot prune (q56's
+    note). Extends the reference's whole-page Redis admission check
+    (filter/app/main.py:16-24) to semantic near-dup admission."""
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.similarity import dot_expr
+
+    table = "q180_semdedup_block_index"
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.withColumn("nrm", F.sqrt(dot_expr(F.col("v"), F.col("v"))))
+    is_batch = F.pmod(F.col("vec_id") * 31 + 7, F.lit(10)) == 3
+    _drop_table(spark, table)
+    (
+        e.filter(~is_batch)
+        .write.bucketBy(8, "label")
+        .sortBy("label")
+        .saveAsTable(table)
+    )
+    # snapshot BEFORE the append: base-base pairs must come from the
+    # pre-batch index state, exactly as an online system would have
+    # already emitted them in earlier batches
+    base_rows = semdedup_index_self_pairs(spark.table(table)).localCheckpoint(
+        eager=True
+    )
+    batch = e.filter(is_batch).localCheckpoint(eager=True)  # norms once
+    (
+        batch.write.mode("append")
+        .bucketBy(8, "label")
+        .sortBy("label")
+        .saveAsTable(table)
+    )
+    new_rows = semdedup_index_probe(batch, spark.table(table))
+    res = base_rows.unionByName(new_rows).localCheckpoint(eager=True)
+    _drop_table(spark, table)
+    return res
 
 
 @query(

@@ -91,9 +91,10 @@ def _bench_overlap(d: DataFrame, n_docs: int, bench_max_id: int = 50) -> DataFra
     )
 
 
-@query(
-    "q86_decontamination",
-    oracle="""
+# Shared full-recompute oracle for benchmark decontamination: q86 computes it
+# batch-style, q181 must reproduce it byte-for-byte from a maintained postings
+# ledger (the q150/q174/q131/q180 oracle-sharing contract).
+_Q86_ORACLE = """
     WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     tri AS (
       SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tok
@@ -117,8 +118,10 @@ def _bench_overlap(d: DataFrame, n_docs: int, bench_max_id: int = 50) -> DataFra
     FROM overlap
     WHERE n_shared >= 5
     GROUP BY doc_id
-    """,
-)
+    """
+
+
+@query("q86_decontamination", oracle=_Q86_ORACLE)
 def q86_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing ≥5 distinct word
     3-grams with any held-out benchmark doc (doc_id < 50 plays the
@@ -140,6 +143,157 @@ def q86_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_shared").alias("max_shared"),
         )
     )
+
+
+def decontam_ledger_serve(
+    postings: DataFrame, df_tbl: DataFrame, n_docs: int, bench_max_id: int = 50
+) -> DataFrame:
+    """Serve the q86 contamination answer from the maintained ledger —
+    O(bench-touching postings) per serve, zero corpus re-tokenization:
+
+    1. The benchmark trigram set comes from a pushdown-pruned postings scan
+       (doc_id < bench_max_id) and broadcasts — q86's discipline, but over
+       stored postings instead of a fresh explode of the corpus text.
+    2. Both the postings probe and the df probe semi-join that broadcast
+       set in the scan stage; the ledger sides never shuffle.
+    3. The df cap joins postings⋈df on tok — BOTH tables are tok-bucketed
+       with the same bucket count, so the join is exchange-free
+       (plan-asserted by tests/test_plans.py).
+    4. The overlap count is one aggregation over the survivors; postings
+       are per-doc DISTINCT, so count(*) per (doc, bench) IS the distinct
+       shared-shingle overlap.
+    """
+    bench_toks = (
+        postings.filter(F.col("doc_id") < bench_max_id).select("tok").distinct()
+    )
+    hits = postings.join(F.broadcast(bench_toks), "tok")
+    dfh = df_tbl.join(F.broadcast(bench_toks), "tok")
+    kept = hits.join(dfh, "tok").filter(F.col("df") <= n_docs // 2)
+    bench = kept.filter(F.col("doc_id") < bench_max_id).select(
+        F.col("doc_id").alias("bench_id"), "tok"
+    )
+    overlap = (
+        kept.filter(F.col("doc_id") >= bench_max_id)
+        .join(F.broadcast(bench), "tok")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    rank = F.col("n_shared") * F.lit(10_000_000_000) + F.col("bench_id")
+    return (
+        overlap.filter(F.col("n_shared") >= 5)
+        .groupBy("doc_id")
+        .agg(
+            F.max_by("bench_id", rank).alias("worst_benchmark"),
+            F.max("n_shared").alias("max_shared"),
+        )
+    )
+
+
+@query("q181_decontam_ledger_maintenance", oracle=_Q86_ORACLE)
+def q181_decontam_ledger_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED decontamination ledger — the q174/q177/q180
+    append-only-index discipline applied to benchmark decontamination. At
+    100 TB the corpus cannot be re-tokenized per contamination audit (every
+    new benchmark suite, every eval refresh triggers one); the maintained
+    structure is the corpus's distinct trigram POSTINGS (doc_id, tok) plus
+    a per-tok document-frequency ROLLUP:
+
+    - postings are pure APPEND under doc ingest (per-doc-distinct rows of
+      new docs are additive; history never changes) — stored bucketed by
+      tok, so every probe and the df join reuse the layout;
+    - df is associative-sum mergeable (per-doc-distinct rows over disjoint
+      doc sets) — maintained through merge_batch_into_keyed_rollup, the
+      q170-q173 staged-swap machinery, replay-safe batch-id stamped;
+    - the corpus doc COUNT rides the same keyed-rollup merge as a
+      single-row grain — the global statistic the df cap needs.
+
+    The design point the docstring exists to state: the df CAP
+    (df ≤ n_docs/2) is a GLOBAL statistic that changes retroactively as the
+    corpus grows, so it must live OUTSIDE the append-only ledger and be
+    applied at serve time from the maintained df/count tables — bake it
+    into the postings and every ingest batch invalidates history.
+
+    In-query exercise: documents split 90/10 on the deterministic doc_id
+    hash; the 90% bootstrap all three tables; the 10% batch appends
+    postings (trigrams computed for ITS rows only, O(batch tokens)) and
+    merges df/count partials; the serve (decontam_ledger_serve) is
+    hash-verified against q86's FULL-RECOMPUTE oracle. Trigram keys are
+    xxhash64 like q86 (collision budget in _trigram_occurrences); the
+    output carries no shingle column, so results match the string oracle.
+    The one collect is the 1-row stats table (bounded, documented).
+    Extends the reference's planned 'Filter (validate content)' stage
+    (README.md:24) to the eval-leakage audit a pretraining pipeline runs."""
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        merge_batch_into_keyed_rollup,
+    )
+
+    post_t = "q181_trigram_postings"
+    df_t = "q181_trigram_df"
+    st_t = "q181_corpus_stats"
+    for t in (post_t, df_t, st_t, f"{df_t}_staging", f"{st_t}_staging"):
+        _drop_table(spark, t)
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id") * 31 + 7, F.lit(10)) == 3
+    base_post = _trigram_occurrences(d.filter(~is_batch)).distinct()
+    base_post.write.bucketBy(8, "tok").sortBy("tok").saveAsTable(post_t)
+    # df bootstrap from the STORED postings: tok-bucketed scan → the groupBy
+    # is exchange-free; count(*) = distinct-doc df because postings are
+    # per-doc distinct
+    (
+        spark.table(post_t)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.bucketBy(8, "tok")
+        .sortBy("tok")
+        .saveAsTable(df_t)
+    )
+    (
+        d.filter(~is_batch)
+        .select(F.lit(0).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .write.bucketBy(1, "k")
+        .sortBy("k")
+        .saveAsTable(st_t)
+    )
+    # ingest batch: trigrams for ITS docs only — postings append keeps the
+    # bucket layout; df/count partials merge through the staged-swap path
+    batch_post = (
+        _trigram_occurrences(d.filter(is_batch)).distinct().localCheckpoint(eager=True)
+    )
+    batch_post.write.mode("append").bucketBy(8, "tok").sortBy("tok").saveAsTable(
+        post_t
+    )
+    merge_batch_into_keyed_rollup(
+        spark,
+        batch_post.groupBy("tok").agg(F.count(F.lit(1)).alias("df")),
+        df_t,
+        keys=["tok"],
+        merge_aggs=[F.sum("df").alias("df")],
+        bucket_key="tok",
+        batch_id=1,
+    )
+    merge_batch_into_keyed_rollup(
+        spark,
+        d.filter(is_batch)
+        .select(F.lit(0).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_docs")),
+        st_t,
+        keys=["k"],
+        merge_aggs=[F.sum("n_docs").alias("n_docs")],
+        bucket_key="k",
+        n_buckets=1,
+        batch_id=1,
+    )
+    n_docs = spark.table(st_t).collect()[0]["n_docs"]  # bounded: 1 stats row
+    res = decontam_ledger_serve(
+        spark.table(post_t), spark.table(df_t), int(n_docs)
+    ).localCheckpoint(eager=True)
+    for t in (post_t, df_t, st_t):
+        _drop_table(spark, t)
+    return res
 
 
 @query(

@@ -472,6 +472,18 @@ class FuzzQuery:
     # outer_col, how in {inner,left}, sub_where Expr|None); projection
     # shape only, the derived value surfaces as output column ``dj``.
     derived_join: tuple | None = None
+    # window-over-aggregate (r9): a window function evaluated over the
+    # GROUPED result — the serving-rollup / "rank the aggregates" shape
+    # (TPC-H Q2/Q17 class).  Restricted to group_kind == "group": plain
+    # grouping makes the key combination UNIQUE per output row, so ORDER BY
+    # all group keys (NULLS FIRST both sides) is a total order and
+    # row_number/lag/running-sum/ntile agree row-for-row across engines.
+    # Spark renders withColumn over Window.orderBy(keys); SQL wraps the
+    # grouped query in a subselect with OVER (ORDER BY keys) — independent
+    # encodings, including the RANGE-default-frame-with-unique-keys
+    # equivalence and NULL group keys sorting first.
+    # (fn in {row_number, lag, sum_running, ntile}, long-agg alias|None, k|None)
+    post_window: tuple | None = None
     # [NOT] IN (SELECT col ...) with full ANSI 3VL (r8): SQL renders the
     # subquery predicate; Spark renders it from first principles — IN is a
     # left-semi join; NOT IN is a left join against the DISTINCT non-NULL
@@ -614,6 +626,25 @@ class FuzzQuery:
             if self.having is not None:
                 alias, k = self.having
                 out = out.filter(F.col(alias) > k)
+            if self.post_window is not None:
+                from pyspark.sql import Window as W
+
+                fn, arg, k = self.post_window
+                w = W.orderBy(*[F.col(a).asc_nulls_first()
+                                for a, _ in self._group_keys()])
+                if fn == "row_number":
+                    e = F.row_number().over(w)
+                elif fn == "lag":
+                    e = F.lag(F.col(arg)).over(w)
+                elif fn == "sum_running":
+                    # default ORDER BY frame (RANGE UNBOUNDED..CURRENT);
+                    # key-tie-free by group-key uniqueness, so ≡ ROWS
+                    e = F.sum(F.col(arg)).over(w)
+                elif fn == "ntile":
+                    e = F.ntile(int(k)).over(w)
+                else:
+                    raise ValueError(fn)
+                out = out.withColumn("pw", e)
         else:
             proj = [to_spark(e).alias(a) for a, e in self.select]
             out = df.select(*proj)
@@ -769,6 +800,23 @@ class FuzzQuery:
                 having_conds.append("count(*) > 0")
             if having_conds:
                 parts.append("HAVING " + " AND ".join(having_conds))
+            if self.post_window is not None:
+                fn, arg, k = self.post_window
+                order = ", ".join(f"{a} ASC NULLS FIRST" for a, _ in gk)
+                over = f"OVER (ORDER BY {order})"
+                if fn == "row_number":
+                    ex = f"row_number() {over}"
+                elif fn == "lag":
+                    ex = f"lag({arg}) {over}"
+                elif fn == "sum_running":
+                    # DuckDB window sum(BIGINT) is HUGEINT; pin to long
+                    ex = f"CAST(sum(CAST({arg} AS BIGINT)) {over} AS BIGINT)"
+                elif fn == "ntile":
+                    ex = f"ntile({int(k)}) {over}"
+                else:
+                    raise ValueError(fn)
+                inner = "\n".join(parts)
+                parts = [f"SELECT *, {ex} AS pw FROM (\n{inner}\n) __pw"]
         else:
             sel = ", ".join(f"{to_sql(e)} AS {a}" for a, e in self.select)
             kw = "SELECT DISTINCT " if self.distinct else "SELECT "
@@ -795,7 +843,8 @@ class FuzzQuery:
         if self.limit is not None:
             cols = sorted(a for a, _ in self.select) if not self.group_by else \
                 sorted([a for a, _ in self._group_keys()]
-                       + [a for a, e in self.select if e.kind == "agg"])
+                       + [a for a, e in self.select if e.kind == "agg"]
+                       + (["pw"] if self.post_window is not None else []))
             order = ", ".join(f"{c} ASC NULLS FIRST" for c in cols)
             sql = (f"SELECT * FROM (\n{sql}\n) q ORDER BY {order} "
                    f"LIMIT {self.limit}"
@@ -1196,11 +1245,26 @@ class FuzzGen:
             if long_aggs and rng.random() < 0.3:
                 having = (rng.choice(long_aggs), rng.randint(0, 20))
             group_kind = rng.choice(["group"] * 4 + ["rollup", "cube"])
+            # r9: window over the grouped result — only under plain GROUP
+            # BY (rollup/cube subtotal rows duplicate key combinations, so
+            # ORDER BY keys would not be total there)
+            post_window = None
+            if group_kind == "group" and gcols and rng.random() < 0.3:
+                fn = rng.choice(["row_number", "lag", "sum_running", "ntile"])
+                if fn in ("lag", "sum_running") and not long_aggs:
+                    fn = "row_number"
+                post_window = (
+                    fn,
+                    rng.choice(long_aggs) if fn in ("lag", "sum_running")
+                    else None,
+                    rng.randint(2, 5) if fn == "ntile" else None,
+                )
             return FuzzQuery(self.seed, tables, hows, ons, where, gcols,
                              select, join_extra=extras, having=having,
                              limit=limit, exists_rel=exists_rel,
                              group_kind=group_kind, scalar_sub=scalar_sub,
-                             offset=offset, in_sub=in_sub)
+                             offset=offset, in_sub=in_sub,
+                             post_window=post_window)
 
         # projection query
         select = []
