@@ -481,3 +481,44 @@ def test_q180_incremental_index_matches_full_recompute(spark, sf_dir):
     inc = sorted(map(tuple, q180_semdedup_index_maintenance(spark, sf_dir).collect()))
     full = sorted(map(tuple, q131_blocked_neardup(spark, sf_dir).collect()))
     assert inc == full and len(inc) > 0
+
+
+def test_q184_incremental_merge_unites_components(spark):
+    """The case the fixture graph is too sparse to produce: one batch edge
+    MERGING two existing multi-doc components (plus a brand-new pair and a
+    late-entering node), applied through merge_pairs_into_cluster_ledger,
+    must equal full connected components over the union of all edges —
+    including the min-label flowing through the contracted label graph.
+    A replay of the same batch_id must be a no-op."""
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.relational_ext import (
+        connected_components,
+        merge_pairs_into_cluster_ledger,
+    )
+
+    table = "t_q184_synth_ledger"
+    _drop_table(spark, table)
+    _drop_table(spark, f"{table}_staging")
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    connected_components(base).write.bucketBy(4, "doc_id").sortBy(
+        "doc_id"
+    ).saveAsTable(table)
+    # (3,10) merges {1,2,3} with {10,11}; (20,21) is a fresh component;
+    # (11,30) pulls a never-seen node into the merged component
+    batch = spark.createDataFrame(
+        [(3, 10), (20, 21), (11, 30)], "doc_a long, doc_b long"
+    )
+    merge_pairs_into_cluster_ledger(spark, batch, table, batch_id=1)
+    got = sorted(map(tuple, spark.table(table).collect()))
+    want = sorted(
+        map(tuple, connected_components(base.unionByName(batch)).collect())
+    )
+    assert got == want
+    assert {r for r in got if r[0] in (10, 11, 30)} == {(10, 1), (11, 1), (30, 1)}
+    assert (20, 20) in got and (21, 20) in got
+    # replay: watermark makes it a no-op (and must not corrupt labels)
+    merge_pairs_into_cluster_ledger(spark, batch, table, batch_id=1)
+    assert sorted(map(tuple, spark.table(table).collect())) == want
+    _drop_table(spark, table)

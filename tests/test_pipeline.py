@@ -45,3 +45,43 @@ def test_manifest_observation_matches_readback(spark, sf_dir, tmp_path):
     manifest = run_pipeline(spark, sf_dir, out)
     for name, n in manifest.items():
         assert spark.read.parquet(f"{out}/{name}").count() == n
+
+
+def test_dsir_selection_enriches_target_slice(spark, sf_dir):
+    """q183's whole point: top-k selection by target/source importance must
+    over-represent the target ('en') slice relative to its corpus share —
+    Σ log-ratio is maximized by target-like documents (KL ≥ 0)."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.pipeline_ops import (
+        q183_dsir_importance_selection,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    res = q183_dsir_importance_selection(spark, sf_dir)
+    rows = res.collect()
+    assert rows and [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    weights = [r.weight_micro for r in rows]
+    assert weights == sorted(weights, reverse=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n_docs = d.count()
+    en_share = d.filter(F.col("lang") == "en").count() / n_docs
+    sel = {r.doc_id for r in rows}
+    sel_langs = [r.lang for r in d.collect() if r.doc_id in sel]
+    sel_en_share = sum(1 for lang in sel_langs if lang == "en") / len(sel_langs)
+    if len(sel_langs) < n_docs:  # selection actually selects a subset
+        assert sel_en_share >= en_share, (sel_en_share, en_share)
+
+
+def test_q185_maintained_layouts_match_full_recompute(spark, sf_dir):
+    """q185's maintained histogram+count layouts (bootstrap 90% -> append/
+    merge 10% batch -> serve) must reproduce q183's full recompute exactly
+    — the maintenance contract, selection-family edition."""
+    from wikipediaetl_spark.operators.pipeline_ops import (
+        q183_dsir_importance_selection,
+        q185_dsir_layout_maintenance,
+    )
+
+    inc = sorted(map(tuple, q185_dsir_layout_maintenance(spark, sf_dir).collect()))
+    full = sorted(map(tuple, q183_dsir_importance_selection(spark, sf_dir).collect()))
+    assert inc == full and len(inc) > 0

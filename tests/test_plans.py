@@ -604,3 +604,87 @@ def test_bm25_probe_bucket_prunes_and_never_scans_corpus(spark, sf_dir):
     finally:
         _drop_table(spark, pt)
         _drop_table(spark, lt)
+
+
+def test_cluster_ledger_relabel_plan_broadcasts_mapping(spark):
+    """q184's scale claim: applying a batch to the cluster ledger relabels
+    history through a BROADCAST hash join on cluster_id — the ledger side
+    must not shuffle (no Exchange feeding its scan side), because at 100 TB
+    the ledger is corpus-sized while the touched-label map is O(batch)."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import _drop_table
+
+    t = "t_plans_q184_ledger"
+    _drop_table(spark, t)
+    spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    ).write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(t)
+    try:
+        mapping = spark.createDataFrame(
+            [(1, 1), (10, 1)], "old_label long, new_label long"
+        )
+        old = spark.table(t)
+        relabel = old.join(
+            F.broadcast(mapping), old.cluster_id == mapping.old_label, "left"
+        ).select(
+            "doc_id", F.coalesce("new_label", "cluster_id").alias("cluster_id")
+        )
+        plan = explain_str(relabel, mode="simple")
+        assert "BroadcastHashJoin" in plan, plan[:900]
+        # the only exchange allowed is the broadcast of the mapping side
+        assert "Exchange hashpartitioning" not in plan, plan[:900]
+    finally:
+        _drop_table(spark, t)
+
+
+def test_dsir_serve_plan_rides_histogram_bucketing(spark, sf_dir):
+    """q185's serve stage must be O(stored histograms): the doc-grain
+    weight sum rides the hist table's doc_id bucketing (no Exchange
+    before the aggregate on the hist side — broadcast of the 64-row ratio
+    table is the only data movement), and no documents/text scan appears
+    anywhere in the serve plan."""
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.pipeline_ops import (
+        _dsir_buckets,
+        dsir_serve,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    ht, ct_t = "t_plans_dsir_hist", "t_plans_dsir_counts"
+    d = load_table(spark, sf_dir, "documents")
+    for t in (ht, ct_t):
+        _drop_table(spark, t)
+    toks = _dsir_buckets(d)
+    from pyspark.sql import functions as F
+
+    (
+        toks.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .write.bucketBy(8, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(ht)
+    )
+    (
+        toks.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+            F.count(F.lit(1)).cast("long").alias("cs"),
+        )
+        .write.bucketBy(8, "b")
+        .sortBy("b")
+        .saveAsTable(ct_t)
+    )
+    try:
+        plan = explain_str(dsir_serve(spark.table(ht), spark.table(ct_t)), mode="simple")
+        assert "documents" not in plan  # no raw-corpus scan at serve time
+        # the doc-grain agg must consume the bucketed scan directly: no
+        # hash-partitioning exchange keyed on doc_id anywhere
+        assert "Exchange hashpartitioning(doc_id" not in plan, plan[:1200]
+        assert "BroadcastExchange" in plan, plan[:1200]
+    finally:
+        for t in (ht, ct_t):
+            _drop_table(spark, t)

@@ -128,3 +128,29 @@ def test_pq_codebooks_deterministic(spark, sf_dir):
     b2 = pq_codebooks(rng_free.copy())
     assert (b1 == b2).all()
     assert b1.shape == (8, 16, 8)
+
+
+def test_rrf_fusion_is_exact_integer_combination(spark, sf_dir):
+    """q182's fused score must equal ⌊10⁶/(60+lex)⌋ + ⌊10⁶/(60+sem)⌋
+    recomputed from the returned source ranks, and the rank order must be
+    (score desc, doc_id asc)."""
+    from wikipediaetl_spark.operators.similarity import q182_rrf_hybrid_search
+
+    rows = q182_rrf_hybrid_search(spark, sf_dir).collect()
+    assert rows, "fusion returned nothing on the fixture"
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    prev = None
+    for r in rows:
+        expect = 0
+        if r.lex_rnk is not None:
+            expect += 1_000_000 // (60 + r.lex_rnk)
+        if r.sem_rnk is not None:
+            expect += 1_000_000 // (60 + r.sem_rnk)
+        assert r.rrf_micro == expect, (r.doc_id, r.rrf_micro, expect)
+        assert r.lex_rnk is not None or r.sem_rnk is not None
+        if prev is not None:
+            assert (prev.rrf_micro, prev.doc_id) > (r.rrf_micro, -1) and (
+                prev.rrf_micro > r.rrf_micro
+                or (prev.rrf_micro == r.rrf_micro and prev.doc_id < r.doc_id)
+            )
+        prev = r

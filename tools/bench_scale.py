@@ -139,6 +139,19 @@ QUERIES = [
     # (same content-hash aggregate, already measured at 1.72x) plus the
     # O(batch + grain) merge, which BENCH_BUCKETED's maintenance timings
     # already characterize.
+    # r9 (late): q183 is INCLUDED below (per-doc token-stream scalars over
+    # the replicated corpus — the q142/q144 work-dominated regime; the
+    # 64-row ratio table is corpus-global but O(buckets)). q182 is excluded:
+    # its semantic list runs over the copied embeddings (scale-invariant
+    # input) and its lexical list is exactly q179's measured probe — the
+    # fusion itself is O(k). q184 is excluded for q83/q174's reason: doc
+    # replication makes every replica an exact near-dup of its base, so the
+    # pair graph (its input) grows quadratically in FACTOR — adversarial,
+    # not representative; its scale story is structural (O(batch) contracted
+    # label graph + broadcast relabel) and is plan-asserted instead. q185's
+    # scaled behavior is q183's (same token pass at build; the serve is a
+    # strict subset of q183's work) plus the O(batch + 64) merge — the
+    # q178 reasoning.
     "q168_shingle_neardup_full",
     "q89_stratified_sample",
     "q120_train_val_test_split",
@@ -147,6 +160,7 @@ QUERIES = [
     "q142_gopher_rules",
     "q144_unigram_perplexity",
     "q151_content_hash_sample",
+    "q183_dsir_importance_selection",
 ]
 
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "embeddings")

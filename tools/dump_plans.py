@@ -161,6 +161,32 @@ SHOWCASE = {
     "only — hash-matches the full-recompute oracle (r9). Returns an eager "
     "localCheckpoint; the REAL probe plan is printed beneath and asserted "
     "by tests/test_plans.py.",
+    # r9 late flagships
+    "q182_rrf_hybrid_search": "hybrid retrieval: BM25 top-20 and cosine "
+    "top-20 each end in a WindowGroupLimit (only ~k rows cross the final "
+    "exchange); the RRF fusion is a full-outer join of two <=20-row lists "
+    "with exact integer contributions — driver-scale regardless of corpus "
+    "size (r9).",
+    "q183_dsir_importance_selection": "DSIR data selection: ONE token-stream "
+    "aggregation to the (doc, bucket) histogram grain (map-side partials "
+    "absorb the explode), the 64-row log-ratio table BROADCAST back, one "
+    "doc-grain exact BIGINT sum, WindowGroupLimit top-k — the corpus "
+    "shuffles once, at the histogram grain, not the token grain (r9).",
+    "q185_dsir_layout_maintenance": "maintained DSIR layouts: per-doc "
+    "bucket histograms append-only (doc_id-bucketed), the 64-row count "
+    "rollup sum-merged per batch; the globally-retroactive ratio table is "
+    "recomputed O(buckets) at serve and BROADCAST over the stored "
+    "histograms — the doc-grain sum rides the bucketing, exchange-free "
+    "(r9). Returns an eager localCheckpoint; the REAL serve plan is "
+    "printed beneath and asserted by tests/test_plans.py.",
+    "q184_cluster_ledger_maintenance": "incrementally-MAINTAINED near-dup "
+    "cluster ledger: a batch's edges contract to an O(batch) LABEL graph "
+    "(old components are closed — new edges only merge), components run on "
+    "the contracted graph only, and history is relabeled via a BROADCAST "
+    "join on cluster_id — the ledger side never shuffles; hash-matches "
+    "q83's full-recompute closure (r9). Returns an eager localCheckpoint; "
+    "the REAL relabel plan is printed beneath and asserted by "
+    "tests/test_plans.py.",
 }
 
 
@@ -315,6 +341,64 @@ def _pre_checkpoint_plans(spark, sf_dir: str, name: str):
         probe_df = bm25_index_probe(spark.table(t), spark.table(lt))
         return [t, lt], [
             ("keyword probe: bucket-pruned postings + doc-grain stats", probe_df),
+        ]
+    if name == "q185_dsir_layout_maintenance":
+        from wikipediaetl_spark.operators.pipeline_ops import (
+            _dsir_buckets,
+            dsir_serve,
+        )
+
+        ht, ct_t = "plans_q185_hist", "plans_q185_counts"
+        d = load_table(spark, sf_dir, "documents")
+        for t in (ht, ct_t):
+            _drop_table(spark, t)
+        toks = _dsir_buckets(d)
+        (
+            toks.groupBy("doc_id", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .write.bucketBy(8, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(ht)
+        )
+        (
+            toks.groupBy("b")
+            .agg(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                .cast("long")
+                .alias("ct"),
+                F.count(F.lit(1)).cast("long").alias("cs"),
+            )
+            .write.bucketBy(8, "b")
+            .sortBy("b")
+            .saveAsTable(ct_t)
+        )
+        return [ht, ct_t], [
+            (
+                "selection serve: broadcast O(buckets) ratio over bucketed "
+                "histograms, exchange-free doc-grain sum",
+                dsir_serve(spark.table(ht), spark.table(ct_t)),
+            ),
+        ]
+    if name == "q184_cluster_ledger_maintenance":
+        t = "plans_q184_ledger"
+        _drop_table(spark, t)
+        spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+            "doc_id long, cluster_id long",
+        ).write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(t)
+        mapping = spark.createDataFrame(
+            [(1, 1), (10, 1)], "old_label long, new_label long"
+        )
+        old = spark.table(t)
+        relabel = old.join(
+            F.broadcast(mapping), old.cluster_id == mapping.old_label, "left"
+        ).select("doc_id", F.coalesce("new_label", "cluster_id").alias("cluster_id"))
+        return t, [
+            (
+                "batch apply: history relabel via broadcast touched-label map "
+                "(ledger side never shuffles)",
+                relabel,
+            ),
         ]
     return None, []
 

@@ -660,6 +660,59 @@ def merge_batch_into_keyed_rollup(
     ``partition_cols`` additionally partitions the stored rollup (e.g. by
     year/mode) so serve-time filters become directory pruning on top of
     the bucketed exchange-free join."""
+
+    def build() -> DataFrame:
+        cols = partial.columns
+        if spark.catalog.tableExists(table):
+            return (
+                spark.table(table)
+                .select(*cols)
+                .unionByName(partial.select(*cols))
+                .groupBy(*keys)
+                .agg(*merge_aggs)
+                .select(*cols)
+            )
+        return partial
+
+    staged_swap_write(
+        spark,
+        build,
+        table,
+        bucket_key=bucket_key,
+        n_buckets=n_buckets,
+        partition_cols=partition_cols,
+        batch_id=batch_id,
+    )
+
+
+def staged_swap_write(
+    spark: SparkSession,
+    build,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 8,
+    partition_cols: tuple[str, ...] = (),
+    batch_id: int | None = None,
+) -> bool:
+    """The staged-swap crash contract, factored out of
+    ``merge_batch_into_keyed_rollup`` (which now delegates here) so that
+    NON-aggregate maintenance — q184's cluster-ledger relabel is a
+    join-merge, not a keyed agg — shares byte-identical recovery and
+    replay semantics with the keyed rollups:
+
+    1. interrupted-swap recovery: a committed staging left by a crash in
+       the drop→rename window is renamed into place; an uncommitted one
+       is discarded;
+    2. replay watermark: with ``batch_id`` given, a batch at or below the
+       stored watermark is a NO-OP (returns False) — ``build`` is never
+       invoked, so replays cannot double-apply;
+    3. ``build()`` runs only after recovery/replay checks and may lazily
+       reference ``spark.table(table)``: the staging write executes while
+       the old table still exists, then the swap happens;
+    4. the commit marker (+ batch stamp) lands in ONE ALTER on the staging
+       table before the old table drops, and rides the rename.
+
+    Returns True iff the swap was applied."""
     staging = f"{table}_staging"
 
     def _rename_into_place() -> None:
@@ -679,19 +732,8 @@ def merge_batch_into_keyed_rollup(
             _drop_table(spark, staging)
     stored_batch_id = _table_batch_id(spark, table)
     if batch_id is not None and stored_batch_id is not None and batch_id <= stored_batch_id:
-        return  # replayed batch already folded into the rollup
-    cols = partial.columns
-    if spark.catalog.tableExists(table):
-        merged = (
-            spark.table(table)
-            .select(*cols)
-            .unionByName(partial.select(*cols))
-            .groupBy(*keys)
-            .agg(*merge_aggs)
-            .select(*cols)
-        )
-    else:
-        merged = partial
+        return False  # replayed batch already folded in
+    merged = build()
     _drop_table(spark, staging)
     w = merged.write.mode("overwrite")
     if partition_cols:
@@ -704,6 +746,7 @@ def merge_batch_into_keyed_rollup(
     spark.sql(f"ALTER TABLE {staging} SET TBLPROPERTIES ({props})")
     _drop_table(spark, table)
     _rename_into_place()
+    return True
 
 
 @query(

@@ -287,7 +287,10 @@ def q181_decontam_ledger_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         n_buckets=1,
         batch_id=1,
     )
-    n_docs = spark.table(st_t).collect()[0]["n_docs"]  # bounded: 1 stats row
+    stat_rows = spark.table(st_t).collect()  # bounded: ≤1 stats row
+    # empty corpus → the count rollup has no grain row; serve with n_docs=0
+    # (df cap 0 keeps nothing, result is the empty ledger answer)
+    n_docs = stat_rows[0]["n_docs"] if stat_rows else 0
     res = decontam_ledger_serve(
         spark.table(post_t), spark.table(df_t), int(n_docs)
     ).localCheckpoint(eager=True)
@@ -775,3 +778,216 @@ def q148_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_final"),
     )
+
+
+# Shared full-recompute oracle for DSIR selection: q183 computes it
+# batch-style, q185 must reproduce it byte-for-byte from maintained
+# histogram + bucket-count layouts (the q86/q181, q83/q184 contract).
+_Q183_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             (ascii(substr(tok, 1, 1)) * 31 + len(tok)) % 64 AS b
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    tgt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS ct
+      FROM toks WHERE lang = 'en' GROUP BY b
+    ),
+    src AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM toks GROUP BY b),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+             CAST(count(*) AS BIGINT) AS ts
+      FROM toks
+    ),
+    lr AS (
+      SELECT s.b,
+             CAST(floor(
+               ln(CAST((COALESCE(t.ct, 0) + 1) * (tot.ts + 64) AS DOUBLE)
+                  / CAST((s.cs + 1) * (tot.tt + 64) AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS lr_u
+      FROM src s LEFT JOIN tgt t USING (b) CROSS JOIN tot
+    ),
+    hist AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY doc_id, b
+    ),
+    wts AS (
+      SELECT doc_id, CAST(sum(n * lr_u) AS BIGINT) AS weight_micro
+      FROM hist JOIN lr USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, weight_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY weight_micro DESC, doc_id ASC) AS rnk
+      FROM wts
+    ) WHERE rnk <= 100
+    """
+
+
+@query("q183_dsir_importance_selection", oracle=_Q183_ORACLE)
+def q183_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus document
+    by the log importance ratio of a TARGET distribution over a SOURCE
+    distribution, both estimated as Laplace-smoothed hashed-unigram bag
+    models, and keep the top-k. The target here is the fixture's 'en' slice
+    (the "looks like my high-quality corpus" proxy); the source is the whole
+    corpus — exactly the framing DSIR uses with Wikipedia/books as target
+    and Common Crawl as source.
+
+    log w(doc) = Σ_tok [ log p_tgt(b(tok)) − log p_src(b(tok)) ] with
+    b(tok) a 64-bucket feature hash. Deterministic + portable by the q144/
+    q179 recipe: the per-bucket log-ratio quantizes ONCE to integer
+    micro-nats — ln of a ratio of exactly-representable integer-valued
+    doubles ((ct+1)(ts+64)) / ((cs+1)(tt+64)), products < 2^53 up to ~10^8
+    tokens per side (re-derive the scaling beyond) — and each document's
+    weight is then an exact BIGINT dot product of its bucket histogram with
+    the 64-row ratio table, order-independent under any partitioning. The
+    bucket hash is arithmetic (first-char codepoint ×31 + length, mod 64)
+    so both engines compute it natively; selection ranks by (weight desc,
+    doc_id asc), a pure top-k.
+
+    Scale shape: one token-stream aggregation to the (doc, bucket)
+    histogram grain (map-side partials absorb the explode), a BROADCAST of
+    the 64-row ratio table onto it, one doc-grain sum, and a WindowGroupLimit
+    top-k — no self-joins, no collect. The ratio table is the only global
+    state and it is O(buckets), not O(corpus): at 100 TB the target/source
+    estimation pass is the same single scan, and scoring any new ingest
+    batch reuses the frozen ratio table as a broadcast (the DSIR paper's
+    own two-phase structure). Extends the reference's planned quality-filter
+    stage (README.md:24) to distribution-targeted selection."""
+    toks = _dsir_buckets(load_table(spark, sf_dir, "documents"))
+    hist = toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    counts = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("ct"),
+        F.count(F.lit(1)).cast("long").alias("cs"),
+    )
+    return dsir_serve(hist, counts)
+
+
+def _dsir_buckets(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, b): the hashed-unigram feature stream — one narrow
+    explode + arithmetic bucket, the only pass that ever touches text."""
+    return (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                F.ascii(F.substring("tok", 1, 1)) * 31 + F.length("tok"), F.lit(64)
+            ).alias("b"),
+        )
+    )
+
+
+def dsir_serve(hist: DataFrame, counts: DataFrame) -> DataFrame:
+    """DSIR selection from the two layouts alone (q183's algebra, factored
+    for q185 and plan-assertion): the 64-row (b, ct, cs) bucket-count table
+    yields the corpus totals by its OWN O(buckets) aggregate (tt = Σct,
+    ts = Σcs — no separate totals state), quantizes the per-bucket
+    log-ratio to integer micro-nats, and BROADCASTS onto the stored
+    histograms; the doc-grain exact BIGINT sum rides the histogram table's
+    doc_id bucketing (exchange-free when hist is a bucketed layout), and
+    the top-k is a WindowGroupLimit. Exactness argument in q183's
+    docstring; this function is the shared serve path that makes
+    q183 ≡ q185 by construction."""
+    tot = counts.agg(
+        F.sum("ct").cast("long").alias("tt"), F.sum("cs").cast("long").alias("ts")
+    )
+    lr_u = F.floor(
+        F.log(
+            ((F.col("ct") + 1) * (F.col("ts") + 64)).cast("double")
+            / ((F.col("cs") + 1) * (F.col("tt") + 64)).cast("double")
+        )
+        * 1000000
+        + 0.5
+    ).cast("long")
+    lr = counts.crossJoin(F.broadcast(tot)).select("b", lr_u.alias("lr_u"))
+    wts = (
+        hist.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("lr_u")).cast("long").alias("weight_micro"))
+    )
+    w = W.orderBy(F.col("weight_micro").desc(), F.col("doc_id").asc())
+    return (
+        wts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 100)
+        .select("doc_id", "weight_micro", "rnk")
+    )
+
+
+@query("q185_dsir_layout_maintenance", oracle=_Q183_ORACLE)
+def q185_dsir_layout_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED DSIR selection layouts — the maintained-index
+    discipline (q174/q177-q181/q184) applied to distribution-targeted data
+    selection. The design point mirrors q181's df cap: DSIR's importance
+    weights are GLOBALLY RETROACTIVE — every ingest batch shifts p_src (and
+    possibly p_tgt), re-weighting ALL history — so weights must never be
+    baked into storage. What IS stored is exactly the invariant part:
+
+    - HIST (doc_id, b, n), the per-doc bucket histograms — pure APPEND
+      under doc ingest (a new doc's rows touch nothing), bucketed by
+      doc_id so the serve-time doc-grain sum is exchange-free;
+    - BUCKET COUNTS (b, ct, cs), a 64-row keyed rollup with associative
+      sum merge — maintained through merge_batch_into_keyed_rollup
+      (staged-swap, replay-safe batch-id stamped).
+
+    The serve (``dsir_serve``) recomputes the O(buckets) ratio table from
+    the rollup and broadcasts it over the stored histograms — always
+    consistent as-of the last append, zero text re-tokenization, O(corpus
+    histogram) per selection sweep instead of O(corpus tokens). In-query
+    exercise: documents split 90/10 on a deterministic doc_id hash, both
+    layouts bootstrapped from the 90%, the batch appended/merged through
+    the same bucket path, and the selection hash-verified against q183's
+    FULL-RECOMPUTE oracle."""
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        merge_batch_into_keyed_rollup,
+    )
+
+    ht, ct_t = "q185_dsir_hist", "q185_dsir_bucket_counts"
+    for t in (ht, ct_t, f"{ct_t}_staging"):
+        _drop_table(spark, t)
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id") * 17 + 3, F.lit(10)) == 6
+
+    def hist_of(docs: DataFrame) -> DataFrame:
+        return (
+            _dsir_buckets(docs)
+            .groupBy("doc_id", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    def counts_of(docs: DataFrame) -> DataFrame:
+        return _dsir_buckets(docs).groupBy("b").agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+            F.count(F.lit(1)).cast("long").alias("cs"),
+        )
+
+    base, batch = d.filter(~is_batch), d.filter(is_batch)
+    hist_of(base).write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(ht)
+    counts_of(base).write.bucketBy(8, "b").sortBy("b").saveAsTable(ct_t)
+    # append-only histogram maintenance: O(batch tokens), layout preserved
+    hist_of(batch).write.mode("append").bucketBy(8, "doc_id").sortBy(
+        "doc_id"
+    ).saveAsTable(ht)
+    merge_batch_into_keyed_rollup(
+        spark,
+        counts_of(batch),
+        ct_t,
+        keys=["b"],
+        merge_aggs=[
+            F.sum("ct").cast("long").alias("ct"),
+            F.sum("cs").cast("long").alias("cs"),
+        ],
+        bucket_key="b",
+        batch_id=1,
+    )
+    res = dsir_serve(spark.table(ht), spark.table(ct_t)).localCheckpoint(eager=True)
+    for t in (ht, ct_t):
+        _drop_table(spark, t)
+    return res

@@ -318,9 +318,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
 
 
-@query(
-    "q83_neardup_clusters",
-    oracle="""
+# Shared full-recompute oracle for near-dup clustering: q83 computes it
+# batch-style, q184 must reproduce it byte-for-byte from an incrementally
+# maintained cluster ledger (the q86/q181 oracle-sharing contract).
+_Q83_ORACLE = """
     WITH RECURSIVE words AS (
       SELECT doc_id, string_split(text, ' ') AS w
       FROM documents WHERE doc_id < 200
@@ -355,8 +356,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
            min(dst) AS cluster_id,
            (src = min(dst)) AS keep
     FROM reach GROUP BY src
-    """,
-)
+    """
+
+
+@query("q83_neardup_clusters", oracle=_Q83_ORACLE)
 def q83_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: pairwise shingle-Jaccard pairs (q53) → connected
     components → keep-one-per-cluster flag. The full dedup decision a
@@ -369,6 +372,172 @@ def q83_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
     )
+
+
+def merge_pairs_into_cluster_ledger(
+    spark: SparkSession, new_edges: DataFrame, ledger_table: str, batch_id: int | None = None
+) -> None:
+    """Incremental union-find: fold a batch of new near-dup pairs into a
+    persistent (doc_id, cluster_id) ledger WITHOUT recomputing history's
+    transitive closure — the missing maintenance rung between candidate
+    generation (q174's maintained LSH index) and the dedup decision (q83's
+    batch clustering). At 100 TB the pair graph's closure cannot be re-run
+    per ingest batch; what CAN run per batch is this:
+
+    1. label the new edges' endpoints with their CURRENT component labels
+       (two ledger lookups; unledgered endpoints label as themselves);
+    2. contract: edges whose endpoints already share a label are redundant
+       (old components are closed under old edges — new edges can only
+       MERGE whole components, never split them); the survivors form a
+       LABEL graph whose size is O(batch), independent of history;
+    3. run connected components on that contracted graph only — the
+       min-label result is exact because every old label IS the min doc_id
+       of its component, so min-over-labels = min-over-members;
+    4. apply: history is relabeled via a BROADCAST join on cluster_id
+       (the touched-label mapping is O(batch) rows — the ledger side never
+       shuffles and only rows in touched components change), and the new
+       endpoints insert with their final labels.
+
+    The swap goes through ``staged_swap_write`` — the same crash-recovery +
+    replay-watermark contract as every other maintained layout."""
+    from wikipediaetl_spark.operators.layout import staged_swap_write
+
+    ledger = spark.table(ledger_table)
+    la = ledger.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("la0"))
+    lb = ledger.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("lb0"))
+    labeled = (
+        new_edges.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("la0", F.col("doc_a")).alias("la"),
+            F.coalesce("lb0", F.col("doc_b")).alias("lb"),
+        )
+    )
+    contracted = (
+        labeled.filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
+        .distinct()
+    )
+    mapping = (
+        connected_components(contracted)
+        .select(F.col("doc_id").alias("old_label"), F.col("cluster_id").alias("new_label"))
+        .localCheckpoint(eager=True)  # O(batch) touched labels, reused twice
+    )
+    nodes = (
+        new_edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(new_edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)  # O(batch); read after the old table drops
+    )
+
+    def build() -> DataFrame:
+        old = spark.table(ledger_table)
+        updated = old.join(
+            F.broadcast(mapping), old.cluster_id == mapping.old_label, "left"
+        ).select("doc_id", F.coalesce("new_label", "cluster_id").alias("cluster_id"))
+        fresh = nodes.join(old.select("doc_id"), "doc_id", "left_anti")
+        fresh_rows = fresh.join(
+            F.broadcast(mapping), fresh.doc_id == mapping.old_label, "left"
+        ).select("doc_id", F.coalesce("new_label", F.col("doc_id")).alias("cluster_id"))
+        return updated.unionByName(fresh_rows)
+
+    staged_swap_write(
+        spark, build, ledger_table, bucket_key="doc_id", batch_id=batch_id
+    )
+
+
+@query("q184_cluster_ledger_maintenance", oracle=_Q83_ORACLE)
+def q184_cluster_ledger_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED near-dup cluster ledger — the q174/q177/
+    q178/q179/q180/q181 maintained-index discipline applied to the dedup
+    DECISION itself. q83 answers "which docs are transitive near-dups of
+    which" by closing the whole pair graph; a 100 TB pipeline cannot replay
+    that closure per ingest batch, because the closure is global while the
+    batch is not. The maintained structure is the CLUSTER LEDGER
+    (doc_id, cluster_id), and the insight that makes it maintainable is
+    monotonicity: ingest only ADDS edges, and added edges only MERGE
+    existing components — so a batch's effect on history is exactly a
+    relabeling of O(touched components), computed from an O(batch)
+    contracted label graph (``merge_pairs_into_cluster_ledger``; exactness
+    argument in its docstring).
+
+    In-query exercise: q53's pair domain (doc_id < 200, bigram Jaccard
+    ≥ 0.5) splits 90/10 on doc_id % 10 ∈ {4, 5} — chosen so the fixture
+    batch contains pair-participating docs at sf0.001/sf0.01 (merge paths
+    actually exercised: batch↔base edges and base docs entering the ledger
+    late). The bootstrap closes base↔base pairs only; the batch step
+    computes pairs touching ≥ 1 batch doc (batch shingles against the
+    corpus — in production this probe comes from q174's maintained band
+    index; q53's hot-shingle guard is deliberately OFF here because the
+    split-phase pair universe must equal the oracle's unguarded one), then
+    folds them through the incremental merge. The ledger must then
+    hash-match q83's FULL-RECOMPUTE oracle exactly — same rows, same
+    min-doc_id labels, same keep flags. The transitive-merge case (one
+    batch edge uniting two multi-doc components) is unit-tested
+    synthetically in tests/test_dedup.py since the fixture graph is too
+    sparse to produce it."""
+    from wikipediaetl_spark.operators.dedup import _shingles, jaccard_pairs
+    from wikipediaetl_spark.operators.layout import _drop_table
+
+    table = "q184_cluster_ledger"
+    _drop_table(spark, table)
+    _drop_table(spark, f"{table}_staging")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    isb = F.pmod(F.col("doc_id"), F.lit(10)).isin(4, 5)
+    base, batch = d.filter(~isb), d.filter(isb)
+
+    # bootstrap: the one-time closure over history (base↔base pairs only)
+    base_pairs = jaccard_pairs(_shingles(base, n=2), threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    connected_components(base_pairs).write.bucketBy(8, "doc_id").sortBy(
+        "doc_id"
+    ).saveAsTable(table)
+
+    # ingest batch: exact Jaccard pairs touching >= 1 batch doc. The shingle
+    # probe joins batch shingles against the corpus posting stream — one
+    # corpus scan here (stand-in for a q174 index probe), never a corpus
+    # self-join; batch-batch pairs are kept once via the (not-batch OR
+    # greater-id) guard on the right side.
+    sh_all = _shingles(d, n=2)
+    sh_batch = _shingles(batch, n=2)
+    isb_b = F.pmod(F.col("db"), F.lit(10)).isin(4, 5)
+    cand = (
+        sh_batch.select(F.col("doc_id").alias("da"), "tok")
+        .join(sh_all.select(F.col("doc_id").alias("db"), "tok"), "tok")
+        .filter((F.col("db") != F.col("da")) & (~isb_b | (F.col("db") > F.col("da"))))
+    )
+    inter = (
+        cand.select(
+            F.least("da", "db").alias("doc_a"), F.greatest("da", "db").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    batch_pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("i") * 1.0 / (F.col("sza") + F.col("szb") - F.col("i")) >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    merge_pairs_into_cluster_ledger(spark, batch_pairs, table, batch_id=1)
+
+    res = (
+        spark.table(table)
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _drop_table(spark, table)
+    return res
 
 
 @query(

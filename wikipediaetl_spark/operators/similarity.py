@@ -755,3 +755,157 @@ def q177_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = ivf_index_probe(probes, idx).localCheckpoint(eager=True)
     _drop_table(spark, table)
     return res
+
+
+# ------------------------------------------------------ hybrid retrieval (RRF)
+
+
+@query(
+    "q182_rrf_hybrid_search",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok IN ('hash', 'window', 'spark')
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    per_term AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               CAST(floor(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * 1000000 + 0.5) AS BIGINT)
+               * (22.0 * tf.tf * s.total_len)
+               / (10.0 * tf.tf * s.total_len + 3.0 * s.total_len
+                  + 9.0 * dl.dl * s.n_docs)
+               + 0.5) AS BIGINT) AS st_u
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s
+    ),
+    bm AS (
+      SELECT doc_id, CAST(sum(st_u) AS BIGINT) AS score_micro
+      FROM per_term GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, CAST(rnk AS BIGINT) AS lex_rnk
+      FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rnk
+        FROM bm
+      ) WHERE rnk <= 20
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v FROM e WHERE vec_id = 7),
+    sem AS (
+      SELECT doc_id, CAST(rnk AS BIGINT) AS sem_rnk
+      FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY round(list_dot_product(e.v, q.v)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.v, q.v))), 6) DESC,
+                 e.vec_id ASC) AS rnk
+        FROM e CROSS JOIN qv q WHERE e.vec_id <> 7
+      ) WHERE rnk <= 20
+    ),
+    fused AS (
+      SELECT doc_id, lex_rnk, sem_rnk,
+             COALESCE(CAST(floor(1000000.0 / (60 + lex_rnk)) AS BIGINT), 0)
+             + COALESCE(CAST(floor(1000000.0 / (60 + sem_rnk)) AS BIGINT), 0)
+               AS rrf_micro
+      FROM lex FULL JOIN sem USING (doc_id)
+    )
+    SELECT doc_id, rrf_micro, lex_rnk, sem_rnk, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS rnk
+      FROM fused
+    ) WHERE rnk <= 10
+    """,
+)
+def q182_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical top-20
+    (q179's integer micro-nat scoring over the same fixed 3-term query) and
+    the embedding cosine top-20 (query vector = doc 7's embedding, q57's
+    round-6 + id-tiebreak determinism) fused by RRF —
+    score(d) = Σ_lists ⌊10⁶ / (60 + rank_list(d))⌋, the standard k=60 rule —
+    and the fused top-10 returned with both source ranks. This is the
+    retrieval shape corpus-QA and RAG-audit tooling actually serves: lexical
+    recall for rare exact terms, semantic recall for paraphrase, fusion
+    robust to either list's score scale because only RANKS cross the
+    boundary.
+
+    Exactness: both input lists are already integer-ranked by engine-stable
+    keys (BM25 micro-units, round-6 cosine, id tiebreaks), and the RRF
+    contribution ⌊10⁶/(60+r)⌋ for r ≤ 20 divides two small exact integers —
+    identical floor on both engines — so the fused score is an exact BIGINT
+    sum and the final order (score desc, doc_id asc) is deterministic.
+
+    Scale shape: each list is a top-k under a row_number filter
+    (WindowGroupLimit prunes per-partition before the single-partition
+    rank, the q57/q179 pattern), so only ~k rows per list ever cross a
+    shuffle; the fusion is a full-outer join of two ≤20-row lists —
+    driver-scale by construction, regardless of corpus size. The doc/vector
+    correspondence is positional (doc_id = vec_id), the fixture's contract.
+    Reference tie: the planned search/analysis stage the reference never
+    built (README.md:24,41)."""
+    from wikipediaetl_spark.operators.text_analysis import bm25_index_probe
+
+    d = load_table(spark, sf_dir, "documents")
+    # split ONCE (the q179 hoist lesson) — size+explode both reference `w`
+    arr = d.select("doc_id", F.split(F.col("text"), " ").alias("w")).localCheckpoint(
+        eager=False
+    )
+    toks = arr.select(
+        "doc_id", F.size("w").cast("long").alias("dl"), F.explode("w").alias("tok")
+    )
+    postings = toks.groupBy("tok", "doc_id", "dl").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    doclen = arr.select("doc_id", F.size("w").cast("long").alias("dl"))
+    lex = bm25_index_probe(postings, doclen, k=20).select(
+        "doc_id", F.col("rnk").alias("lex_rnk")
+    )
+
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == 7).select(
+        F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")
+    )
+    cos = F.round(
+        dot_expr(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6
+    )
+    ws = W.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    sem = (
+        e.filter(F.col("vec_id") != 7)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos_sim"))
+        .withColumn("sem_rnk", F.row_number().over(ws).cast("long"))
+        .filter(F.col("sem_rnk") <= 20)
+        .select("doc_id", "sem_rnk")
+    )
+
+    def contrib(rnk: Column) -> Column:
+        return F.coalesce(
+            F.floor(F.lit(1000000.0) / (F.lit(60) + rnk)).cast("long"),
+            F.lit(0).cast("long"),
+        )
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rnk",
+        "sem_rnk",
+        (contrib(F.col("lex_rnk")) + contrib(F.col("sem_rnk"))).alias("rrf_micro"),
+    )
+    wf = W.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "rrf_micro", "lex_rnk", "sem_rnk", "rnk")
+    )

@@ -856,7 +856,10 @@ _BM25_TERMS = ("hash", "window", "spark")  # fixed query set, the q57 pattern
 
 
 def bm25_index_probe(
-    postings: DataFrame, doclen: DataFrame, terms: tuple[str, ...] = _BM25_TERMS
+    postings: DataFrame,
+    doclen: DataFrame,
+    terms: tuple[str, ...] = _BM25_TERMS,
+    k: int = 10,
 ) -> DataFrame:
     """q179's serve plan, factored for plan-assertion: keyword top-k from
     the maintained layouts alone. The postings scan BUCKET-PRUNES on the
@@ -914,7 +917,7 @@ def bm25_index_probe(
     w = W.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
     return (
         agg.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
+        .filter(F.col("rnk") <= k)
         .select("doc_id", "score_micro", "rnk")
     )
 

@@ -84,6 +84,12 @@ production below):
     agg(when(cond, x)) encoding (NULL where the condition is false or
     NULL, which every aggregate skips: exactly FILTER's rule) — plus
     sum(DISTINCT) pinned to BIGINT on both sides,
+  * correlated scalar subqueries in the SELECT list along an unused FK
+    edge (r9) — the SQL rendering stays correlated (DuckDB decorrelates
+    it internally), the Spark rendering is hand-decorrelated (LEFT JOIN
+    on the key-grouped aggregate, count's left-join NULL coalesced to 0
+    because a scalar count(*) over zero rows is 0 while sum/min/max are
+    NULL) — two independent decorrelations checking each other,
   * uncorrelated scalar subqueries in WHERE — SQL scalar subquery vs
     Spark crossJoin(broadcast(1-row agg)) + filter; when the inner
     filter empties the subquery, agg-on-empty yields a NULL scalar and
@@ -484,6 +490,18 @@ class FuzzQuery:
     # equivalence and NULL group keys sorting first.
     # (fn in {row_number, lag, sum_running, ntile}, long-agg alias|None, k|None)
     post_window: tuple | None = None
+    # correlated scalar subquery in the SELECT list (r9, projection shape
+    # only): (sub_t, outer_col, sub_key, agg_op in {count_star, sum, min,
+    # max}, agg_col|None, sub_where Expr|None).  SQL renders the textbook
+    # correlated scalar `(SELECT agg(..) FROM sub WHERE sub_key = outer_col
+    # ...)` — DuckDB decorrelates it itself; Spark renders the HAND-
+    # decorrelated form — LEFT JOIN against the key-grouped aggregate — so
+    # the two decorrelations check each other, including the no-matching-
+    # rows path: a scalar count(*) over zero rows is 0, so the Spark side
+    # coalesces the left-join NULL to 0 for count ONLY (sum/min/max over
+    # empty are NULL in both).  NULL outer keys match nothing in both
+    # encodings.  Output column ``ssv`` (BIGINT in both renderings).
+    select_scalar: tuple | None = None
     # [NOT] IN (SELECT col ...) with full ANSI 3VL (r8): SQL renders the
     # subquery predicate; Spark renders it from first principles — IN is a
     # left-semi join; NOT IN is a left join against the DISTINCT non-NULL
@@ -526,6 +544,22 @@ class FuzzQuery:
                 aggc = getattr(F, agg_op)(F.col(agg_col)).alias("__djv")
             dj = sub.groupBy(F.col(sk).alias("__djk")).agg(aggc)
             df = df.join(dj, on=F.col(oc) == F.col("__djk"), how=how)
+        if self.select_scalar is not None:
+            sub_t, oc, sk, agg_op, agg_col, sub_where = self.select_scalar
+            sub = spark.read.parquet(f"{sf_dir}/{sub_t}.parquet")
+            if sub_where is not None:
+                sub = sub.filter(to_spark(sub_where))
+            if agg_op == "count_star":
+                aggc = F.count(F.lit(1)).alias("__ssv0")
+            elif agg_op == "sum":
+                aggc = F.sum(F.col(agg_col).cast("long")).cast("long").alias("__ssv0")
+            else:
+                aggc = getattr(F, agg_op)(F.col(agg_col)).alias("__ssv0")
+            ss = sub.groupBy(F.col(sk).alias("__ssk")).agg(aggc)
+            df = df.join(ss, on=F.col(oc) == F.col("__ssk"), how="left")
+            ssv = (F.coalesce(F.col("__ssv0"), F.lit(0).cast("long"))
+                   if agg_op == "count_star" else F.col("__ssv0"))
+            df = df.withColumn("__ssv", ssv).drop("__ssk", "__ssv0")
         base = df
         if self.where is not None:
             df = df.filter(to_spark(self.where))
@@ -818,7 +852,23 @@ class FuzzQuery:
                 inner = "\n".join(parts)
                 parts = [f"SELECT *, {ex} AS pw FROM (\n{inner}\n) __pw"]
         else:
-            sel = ", ".join(f"{to_sql(e)} AS {a}" for a, e in self.select)
+            items = []
+            for a, e in self.select:
+                if a == "ssv" and self.select_scalar is not None:
+                    sub_t, oc, sk, agg_op, agg_col, sub_where = self.select_scalar
+                    if agg_op == "count_star":
+                        ex = "CAST(count(*) AS BIGINT)"
+                    elif agg_op == "sum":
+                        ex = f"CAST(sum(CAST({agg_col} AS BIGINT)) AS BIGINT)"
+                    else:
+                        ex = f"{agg_op}({agg_col})"
+                    inner = f"SELECT {ex} FROM {rel(sub_t)} WHERE {sk} = {oc}"
+                    if sub_where is not None:
+                        inner += f" AND ({to_sql(sub_where)})"
+                    items.append(f"({inner}) AS ssv")
+                else:
+                    items.append(f"{to_sql(e)} AS {a}")
+            sel = ", ".join(items)
             kw = "SELECT DISTINCT " if self.distinct else "SELECT "
             parts.append(kw + sel)
             parts.append(f"FROM {frm}")
@@ -1274,6 +1324,33 @@ class FuzzGen:
             select.append((f"c{i}", e))
         if derived_join is not None:
             select.append(("dj", col("__djv", "long")))
+        # r9: correlated scalar subquery in the SELECT list along an unused
+        # FK edge — SQL stays correlated (DuckDB decorrelates internally),
+        # Spark is hand-decorrelated (left join on the grouped aggregate);
+        # a selective sub_where exercises the zero-matching-rows path
+        # (count→0 vs sum/min/max→NULL).
+        select_scalar = None
+        if rng.random() < 0.25:
+            frontier = []
+            for (lt, lc, rt, rc) in FK_EDGES:
+                if lt in tables and rt not in tables:
+                    frontier.append((rt, rc, lc))
+                elif rt in tables and lt not in tables:
+                    frontier.append((lt, lc, rc))
+            if frontier:
+                sub_t, sk, oc = rng.choice(frontier)
+                int_cols = [c for c, d in TABLES[sub_t].items()
+                            if d in ("int", "long")]
+                agg_op = rng.choice(["count_star", "sum", "sum", "min", "max"])
+                agg_col = rng.choice(int_cols) if int_cols else None
+                if agg_col is None:
+                    agg_op = "count_star"
+                sub_where = (self._bool_expr([sub_t])
+                             if rng.random() < 0.5 else None)
+                select_scalar = (sub_t, oc, sk, agg_op,
+                                 None if agg_op == "count_star" else agg_col,
+                                 sub_where)
+                select.append(("ssv", col("__ssv", "long")))
         # distinct / UNION ALL / set-op twins are mutually exclusive:
         # composing them would make the SQL rendering order (e.g.
         # DISTINCT-then-union) diverge from the Spark one
@@ -1292,7 +1369,7 @@ class FuzzGen:
                          union_where=union_where, setop=setop, limit=limit,
                          exists_rel=exists_rel, scalar_sub=scalar_sub,
                          offset=offset, derived_join=derived_join,
-                         in_sub=in_sub)
+                         in_sub=in_sub, select_scalar=select_scalar)
 
     def _group_key_expr(self, tables: list[str]) -> Expr | None:
         """A deterministic non-column grouping expression (int or str typed;
