@@ -403,6 +403,20 @@ def main() -> None:
             "duckdb_s": round(dd, 3),
             "ratio": round(best / dd, 2),
         }
+        # progress line (stderr): attributes a mid-run crash to its query
+        print(f"## {name}: spark {best:.3f}s duckdb {dd:.3f}s",
+              file=sys.stderr, flush=True)
+        # release per-query session state: the streaming queries leave
+        # memory-sink temp views whose collected result rows live on the
+        # shared driver heap (40M-row joins at 400x), and cached/
+        # checkpointed blocks accumulate across the 59-query sweep — by
+        # q19 (query 46) the residue OOMed the 24g harness heap even
+        # though every query passes in isolation. Harness hygiene, not an
+        # engine property: each catalog query is self-contained.
+        spark.catalog.clearCache()
+        for tv in spark.catalog.listTables():
+            if tv.isTemporary:
+                spark.catalog.dropTempView(tv.name)
     _attach_amortized(result, factor)
     payload = {
         "factor": factor,

@@ -941,7 +941,10 @@ def q185_dsir_layout_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercise: documents split 90/10 on a deterministic doc_id hash, both
     layouts bootstrapped from the 90%, the batch appended/merged through
     the same bucket path, and the selection hash-verified against q183's
-    FULL-RECOMPUTE oracle."""
+    FULL-RECOMPUTE oracle. Reference tie: the reference plans a 'Filter
+    (validate content)' stage it never builds (README.md:24); q183/q185
+    are that stage grown into distribution-targeted selection at corpus
+    scale."""
     from wikipediaetl_spark.operators.layout import (
         _drop_table,
         merge_batch_into_keyed_rollup,

@@ -470,7 +470,11 @@ def q184_cluster_ledger_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     corpus — in production this probe comes from q174's maintained band
     index; q53's hot-shingle guard is deliberately OFF here because the
     split-phase pair universe must equal the oracle's unguarded one), then
-    folds them through the incremental merge. The ledger must then
+    folds them through the incremental merge. Reference tie: the
+    reference's dedup stage keeps a Redis seen-set per content hash
+    (filter/app/main.py:16-24) — exact-match only and unboundedly
+    stateful; this operator is its transitive NEAR-dup generalization with
+    the state maintained as a relabelable table instead. The ledger must then
     hash-match q83's FULL-RECOMPUTE oracle exactly — same rows, same
     min-doc_id labels, same keep flags. The transitive-merge case (one
     batch edge uniting two multi-doc components) is unit-tested
