@@ -522,3 +522,57 @@ def test_q184_incremental_merge_unites_components(spark):
     merge_pairs_into_cluster_ledger(spark, batch, table, batch_id=1)
     assert sorted(map(tuple, spark.table(table).collect())) == want
     _drop_table(spark, table)
+
+
+def test_q184_incremental_merge_batching_invariance(spark):
+    """Property: for a random graph split into arbitrary edge batches, the
+    chained incremental merges must produce the same ledger as one-shot
+    connected components — the batching-invariance the q184/streaming-sink
+    contract rests on. Random but seeded (permanent reproducers)."""
+    import random
+
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.relational_ext import (
+        connected_components,
+        merge_pairs_into_cluster_ledger,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        nodes = list(range(40))
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(30)
+            }
+        )
+        rng.shuffle(edges)
+        cut1, cut2 = rng.randint(1, len(edges) - 2), rng.randint(1, len(edges) - 2)
+        lo, hi = min(cut1, cut2), max(cut1, cut2)
+        parts = [edges[:lo], edges[lo:hi], edges[hi:]]
+        table = f"t_q184_prop_{seed}"
+        _drop_table(spark, table)
+        _drop_table(spark, f"{table}_staging")
+        spark.createDataFrame([], "doc_id long, cluster_id long").write.bucketBy(
+            4, "doc_id"
+        ).sortBy("doc_id").saveAsTable(table)
+        for i, part in enumerate(parts):
+            if not part:
+                continue
+            merge_pairs_into_cluster_ledger(
+                spark,
+                spark.createDataFrame(part, "doc_a long, doc_b long"),
+                table,
+                batch_id=i,
+            )
+        want = sorted(
+            map(
+                tuple,
+                connected_components(
+                    spark.createDataFrame(edges, "doc_a long, doc_b long")
+                ).collect(),
+            )
+        )
+        got = sorted(map(tuple, spark.table(table).collect()))
+        assert got == want, f"seed {seed}: batched merge != one-shot CC"
+        _drop_table(spark, table)

@@ -302,3 +302,55 @@ def test_recursive_bfs_tree_forest_assertion(spark):
         for r in recursive_bfs_tree(spark, seeds, forest, assert_forest=True).collect()
     }
     assert got["h"] == 7
+
+
+def test_cluster_ledger_sink_streaming_chained_merges(spark, tmp_path):
+    """q184's merge under a REAL Structured Streaming ingest: three
+    micro-batches of near-dup pairs (forced by maxFilesPerTrigger=1) where
+    the LAST batch's edge unites components grown by the first two — the
+    final ledger must equal full connected components over every edge seen,
+    proving the incremental contraction is exact under arbitrary stream
+    batching."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.relational_ext import (
+        cluster_ledger_sink,
+        connected_components,
+    )
+
+    table = "t_ledger_stream"
+    _drop_table(spark, table)
+    _drop_table(spark, f"{table}_staging")
+    edges_dir = tmp_path / "edges"
+    batches = [
+        [(1, 2), (10, 11), (20, 21)],
+        [(2, 3), (11, 12)],
+        [(3, 10)],  # unites {1,2,3} with {10,11,12}
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_a long, doc_b long").coalesce(
+            1
+        ).write.mode("append").parquet(str(edges_dir))
+    stream = (
+        spark.readStream.schema("doc_a long, doc_b long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(edges_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(cluster_ledger_sink(spark, table))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    all_edges = spark.createDataFrame(
+        [e for rows in batches for e in rows], "doc_a long, doc_b long"
+    )
+    want = sorted(map(tuple, connected_components(all_edges).collect()))
+    got = sorted(map(tuple, spark.table(table).collect()))
+    assert got == want
+    # the merged mega-component carries the global min label through the
+    # cross-batch contraction chain
+    assert {r for r in got if r[0] in (10, 11, 12)} == {(10, 1), (11, 1), (12, 1)}
+    _drop_table(spark, table)

@@ -446,6 +446,31 @@ def merge_pairs_into_cluster_ledger(
     )
 
 
+def cluster_ledger_sink(spark: SparkSession, table: str):
+    """Streaming entry point for the cluster ledger (the q184 merge under a
+    REAL Structured Streaming ingest): ``pairs.writeStream.foreachBatch(
+    cluster_ledger_sink(spark, table)).start()``. First batch bootstraps an
+    empty ledger; every micro-batch folds its pairs through
+    ``merge_pairs_into_cluster_ledger`` with the micro-batch id as the
+    replay watermark — a redelivered batch after a completed merge is a
+    no-op (the staged-swap batch stamp), so the sink is exactly-once in
+    effect under foreachBatch's at-least-once delivery. Because the merge
+    is exact for ARBITRARY new-edge sets, the final ledger is independent
+    of how the pair stream is batched — asserted by the chained-merge
+    streaming test in tests/test_streaming.py."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if not spark.catalog.tableExists(table):
+            spark.createDataFrame([], "doc_id long, cluster_id long").write.bucketBy(
+                8, "doc_id"
+            ).sortBy("doc_id").saveAsTable(table)
+        merge_pairs_into_cluster_ledger(
+            spark, batch.select("doc_a", "doc_b"), table, batch_id=batch_id
+        )
+
+    return _sink
+
+
 @query("q184_cluster_ledger_maintenance", oracle=_Q83_ORACLE)
 def q184_cluster_ledger_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-MAINTAINED near-dup cluster ledger — the q174/q177/
