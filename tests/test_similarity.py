@@ -154,3 +154,17 @@ def test_rrf_fusion_is_exact_integer_combination(spark, sf_dir):
                 or (prev.rrf_micro == r.rrf_micro and prev.doc_id < r.doc_id)
             )
         prev = r
+
+
+def test_q186_served_hybrid_matches_full_recompute(spark, sf_dir):
+    """q186's maintained-index serve (bootstrap 90% -> append 10% ->
+    bucket-pruned probe + fusion) must reproduce q182's batch hybrid
+    answer exactly — the maintenance contract, retrieval edition."""
+    from wikipediaetl_spark.operators.similarity import (
+        q182_rrf_hybrid_search,
+        q186_hybrid_index_serving,
+    )
+
+    served = sorted(map(tuple, q186_hybrid_index_serving(spark, sf_dir).collect()))
+    full = sorted(map(tuple, q182_rrf_hybrid_search(spark, sf_dir).collect()))
+    assert served == full and len(served) > 0

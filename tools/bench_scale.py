@@ -144,7 +144,8 @@ QUERIES = [
     # 64-row ratio table is corpus-global but O(buckets)). q182 is excluded:
     # its semantic list runs over the copied embeddings (scale-invariant
     # input) and its lexical list is exactly q179's measured probe — the
-    # fusion itself is O(k). q184 is excluded for q83/q174's reason: doc
+    # fusion itself is O(k); q186 (the same answer served from the
+    # maintained layouts) is excluded for the same reason. q184 is excluded for q83/q174's reason: doc
     # replication makes every replica an exact near-dup of its base, so the
     # pair graph (its input) grows quadratically in FACTOR — adversarial,
     # not representative; its scale story is structural (O(batch) contracted

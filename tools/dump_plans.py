@@ -179,6 +179,12 @@ SHOWCASE = {
     "histograms — the doc-grain sum rides the bucketing, exchange-free "
     "(r9). Returns an eager localCheckpoint; the REAL serve plan is "
     "printed beneath and asserted by tests/test_plans.py.",
+    "q186_hybrid_index_serving": "hybrid retrieval SERVED from the "
+    "maintained BM25 layouts: q182's fused answer with the lexical list "
+    "from q179's tok-bucketed postings (bucket-pruned probe, plan-asserted "
+    "there) + the exact semantic pass + O(k) integer RRF — hash-matches "
+    "q182's full-recompute oracle (r9). Returns an eager localCheckpoint; "
+    "the serve-side probe plan is q179's, asserted by tests/test_plans.py.",
     "q184_cluster_ledger_maintenance": "incrementally-MAINTAINED near-dup "
     "cluster ledger: a batch's edges contract to an O(batch) LABEL graph "
     "(old components are closed — new edges only merge), components run on "

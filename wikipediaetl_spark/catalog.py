@@ -157,6 +157,7 @@ _WINDOW_ALIASES: dict[str, str] = {
     "q00d_dsir_selection": "q183_dsir_importance_selection",
     "q00e_cluster_ledger": "q184_cluster_ledger_maintenance",
     "q00f_dsir_layouts": "q185_dsir_layout_maintenance",
+    "q00g_hybrid_index_serving": "q186_hybrid_index_serving",
 }
 
 

@@ -760,9 +760,11 @@ def q177_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ hybrid retrieval (RRF)
 
 
-@query(
-    "q182_rrf_hybrid_search",
-    oracle="""
+# Shared full-recompute oracle for hybrid retrieval: q182 computes both rank
+# lists batch-style, q186 must reproduce the fused answer byte-for-byte with
+# the lexical list served from the maintained q179 layouts (the oracle-
+# sharing contract of the maintained family).
+_Q182_ORACLE = """
     WITH dl AS (
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
       FROM documents
@@ -828,8 +830,10 @@ def q177_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS rnk
       FROM fused
     ) WHERE rnk <= 10
-    """,
-)
+    """
+
+
+@query("q182_rrf_hybrid_search", oracle=_Q182_ORACLE)
 def q182_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical top-20
     (q179's integer micro-nat scoring over the same fixed 3-term query) and
@@ -874,6 +878,13 @@ def q182_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("rnk").alias("lex_rnk")
     )
 
+    return rrf_fuse(lex, semantic_top20(spark, sf_dir))
+
+
+def semantic_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid query's semantic rank list (q57's determinism recipe):
+    exact cosine of every corpus vector against doc 7's embedding, top-20
+    by (round-6 sim desc, doc_id asc)."""
     e = _vectors(spark, sf_dir)
     qv = e.filter(F.col("vec_id") == 7).select(
         F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")
@@ -882,7 +893,7 @@ def q182_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_expr(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm")), 6
     )
     ws = W.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
-    sem = (
+    return (
         e.filter(F.col("vec_id") != 7)
         .crossJoin(F.broadcast(qv))
         .select(F.col("vec_id").alias("doc_id"), cos.alias("cos_sim"))
@@ -890,6 +901,12 @@ def q182_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sem_rnk") <= 20)
         .select("doc_id", "sem_rnk")
     )
+
+
+def rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of two rank lists (exactness argument in
+    q182's docstring): exact integer contributions, full-outer join of two
+    ≤20-row lists, deterministic (score desc, doc_id asc) top-10."""
 
     def contrib(rnk: Column) -> Column:
         return F.coalesce(
@@ -909,3 +926,38 @@ def q182_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("doc_id", "rrf_micro", "lex_rnk", "sem_rnk", "rnk")
     )
+
+
+@query("q186_hybrid_index_serving", oracle=_Q182_ORACLE)
+def q186_hybrid_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval SERVED from the maintained lexical index — the
+    capstone of the retrieval family: q182's fused answer with the BM25
+    list coming from q179's maintained tok-bucketed postings + doc-grain
+    length layouts (bootstrapped from the 90% split and appended with the
+    10% batch through the same tokenize path) instead of re-tokenizing the
+    corpus per query. The semantic list stays the exact corpus-scan top-20
+    (embeddings are doc-grain vectors — one O(docs) pass; the approximate
+    cell-probed rung is q177's separate contract), and the fusion is the
+    same ≤20-row integer RRF. Must hash-match q182's FULL-RECOMPUTE oracle
+    byte-for-byte — retrieval results cannot drift when the serving path
+    switches from batch recompute to the maintained index. At 100 TB this
+    is the shape a corpus-QA/RAG-audit deployment actually runs: per-query
+    cost = bucket-pruned postings probe + O(docs) vector pass + O(k)
+    fusion, with O(batch tokens) index maintenance per ingest. Reference
+    tie: the planned search/analysis stage the reference never built
+    (README.md:24,41)."""
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.text_analysis import (
+        bm25_index_probe,
+        build_bm25_layouts,
+    )
+
+    pt, lt = "q186_bm25_postings", "q186_bm25_doclen"
+    build_bm25_layouts(spark, sf_dir, pt, lt)
+    lex = bm25_index_probe(spark.table(pt), spark.table(lt), k=20).select(
+        "doc_id", F.col("rnk").alias("lex_rnk")
+    )
+    res = rrf_fuse(lex, semantic_top20(spark, sf_dir)).localCheckpoint(eager=True)
+    _drop_table(spark, pt)
+    _drop_table(spark, lt)
+    return res

@@ -987,9 +987,25 @@ def q179_bm25_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm25_index_probe's docstring). Reference tie: the planned text-search
     analysis the reference never built (README.md:24,41) — and the q67
     TF-IDF scalars are this operator's per-doc form."""
+    pt, lt = "q179_bm25_postings", "q179_bm25_doclen"
+    build_bm25_layouts(spark, sf_dir, pt, lt)
+    res = bm25_index_probe(spark.table(pt), spark.table(lt)).localCheckpoint(
+        eager=True
+    )
     from wikipediaetl_spark.operators.layout import _drop_table
 
-    pt, lt = "q179_bm25_postings", "q179_bm25_doclen"
+    _drop_table(spark, pt)
+    _drop_table(spark, lt)
+    return res
+
+
+def build_bm25_layouts(spark: SparkSession, sf_dir: str, pt: str, lt: str) -> None:
+    """q179's layout build, factored so q186 exercises the SAME maintained
+    lexical index: drop + bootstrap both tables from the 90% split, then
+    append the 10% batch through the same tokenize path (append-only,
+    O(batch tokens), bucket layouts preserved)."""
+    from wikipediaetl_spark.operators.layout import _drop_table
+
     d = load_table(spark, sf_dir, "documents")
     is_batch = F.pmod(F.col("doc_id") * 23 + 1, F.lit(10)) == 4
 
@@ -1022,9 +1038,3 @@ def q179_bm25_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # append-only maintenance: O(batch tokens), bucket layout preserved
     postings(batch).write.mode("append").bucketBy(8, "tok").sortBy("tok").saveAsTable(pt)
     doclen(batch).write.mode("append").bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(lt)
-    res = bm25_index_probe(spark.table(pt), spark.table(lt)).localCheckpoint(
-        eager=True
-    )
-    _drop_table(spark, pt)
-    _drop_table(spark, lt)
-    return res
