@@ -576,3 +576,43 @@ def test_q184_incremental_merge_batching_invariance(spark):
         got = sorted(map(tuple, spark.table(table).collect()))
         assert got == want, f"seed {seed}: batched merge != one-shot CC"
         _drop_table(spark, table)
+
+
+def test_cluster_ledger_crash_window_recovers_not_bootstraps(spark):
+    """ADVICE r9 (high): inside the drop→rename crash window the ledger
+    table is ABSENT while the committed staging holds the full history. The
+    streaming sink must recover the staging — NOT bootstrap an empty ledger
+    that masks the recovery branch, resets the replay watermark, and lets
+    the next merge drop the committed staging (total silent history loss).
+    The direct merge entry point (ADVICE r9 medium) must likewise recover
+    instead of raising table-not-found on its eager ledger read."""
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.relational_ext import (
+        cluster_ledger_sink,
+        connected_components,
+        merge_pairs_into_cluster_ledger,
+    )
+
+    table = "t_ledger_crashwin"
+    _drop_table(spark, table)
+    _drop_table(spark, f"{table}_staging")
+    sink = cluster_ledger_sink(spark, table)
+    b0 = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    sink(b0, 0)
+    want0 = sorted(map(tuple, spark.table(table).collect()))
+    # simulate the crash between drop(table) and rename(staging→table): the
+    # committed result (props ride the rename) sits in staging, main gone
+    spark.sql(f"ALTER TABLE {table} RENAME TO {table}_staging")
+    # sink path: redelivered batch 0 must recover + no-op, preserving history
+    sink(b0, 0)
+    assert sorted(map(tuple, spark.table(table).collect())) == want0
+    # again crash, then the DIRECT merge path with a NEW batch: must recover
+    # (not raise), keep history, and fold the new edge exactly once
+    spark.sql(f"ALTER TABLE {table} RENAME TO {table}_staging")
+    b1 = spark.createDataFrame([(3, 10)], "doc_a long, doc_b long")
+    merge_pairs_into_cluster_ledger(spark, b1, table, batch_id=1)
+    want1 = sorted(
+        map(tuple, connected_components(b0.unionByName(b1)).collect())
+    )
+    assert sorted(map(tuple, spark.table(table).collect())) == want1
+    _drop_table(spark, table)

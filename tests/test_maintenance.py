@@ -534,3 +534,56 @@ def test_serving_layout_queries_match_stock_plans(spark, sf_dir):
         got = sorted(map(tuple, serving(spark, sf_dir).collect()))
         want = sorted(map(tuple, stock(spark, sf_dir).collect()))
         assert got == want, serving.__name__
+
+
+def test_append_layout_replay_and_crash_scrub(spark):
+    """append_batch_to_layout (ADVICE r9): the append-only side of a
+    maintained layout must carry the same replay watermark as its paired
+    rollup — a redelivered batch is a no-op — and a crash BETWEEN the
+    pending stamp and the commit stamp must scrub that batch's partial
+    rows on the next call instead of leaving them to double-count."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import (
+        _BATCH_PROP,
+        _PENDING_PROP,
+        _drop_table,
+        append_batch_to_layout,
+    )
+
+    t = "t_append_layout"
+    _drop_table(spark, t)
+    _drop_table(spark, f"{t}_staging")
+
+    def rows(vals):
+        return spark.createDataFrame([(v, v * 10) for v in vals], "k long, n long")
+
+    def total():
+        return spark.table(t).agg(F.sum("n")).first()[0]
+
+    # bootstrap routes through the staged swap and stamps the watermark
+    assert append_batch_to_layout(spark, rows([1, 2, 3]), t, "k", batch_id=0)
+    assert total() == 60
+    # replayed batch 0: no-op
+    assert not append_batch_to_layout(spark, rows([1, 2, 3]), t, "k", batch_id=0)
+    assert total() == 60
+    # batch 1 appends once, replay suppressed
+    assert append_batch_to_layout(spark, rows([4]), t, "k", batch_id=1)
+    assert not append_batch_to_layout(spark, rows([4]), t, "k", batch_id=1)
+    assert total() == 100
+    # simulate a crash mid-append of batch 2: pending stamped, PARTIAL rows
+    # of the batch on disk, commit stamp never written
+    spark.sql(f"ALTER TABLE {t} SET TBLPROPERTIES ('{_PENDING_PROP}'='2')")
+    rows([5]).withColumn("ingest_batch", F.lit(2).cast("long")).write.mode(
+        "append"
+    ).bucketBy(8, "k").sortBy("k").saveAsTable(t)
+    # redelivery of batch 2 (full contents): partial rows scrubbed first,
+    # then the full batch lands exactly once
+    assert append_batch_to_layout(spark, rows([5, 6]), t, "k", batch_id=2)
+    assert total() == 210
+    got = sorted(r[0] for r in spark.table(t).select("k").collect())
+    assert got == [1, 2, 3, 4, 5, 6]
+    # commit stamp advanced; a late replay of batch 2 is suppressed
+    assert not append_batch_to_layout(spark, rows([5, 6]), t, "k", batch_id=2)
+    assert total() == 210
+    _drop_table(spark, t)

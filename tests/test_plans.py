@@ -499,11 +499,12 @@ def test_ivf_probe_plan_prunes_partitions_and_broadcasts(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
         idx = spark.table(t).filter(F.col("cell").isin([0, 1, 2]))
-        plan = explain_str(ivf_index_probe(probes, idx), mode="formatted")
-        assert "BroadcastHashJoin" in plan, plan[:900]
-        assert "SortMergeJoin" not in plan, plan[:900]
-        # the scan itself prunes to the probed cells' directories
-        assert "PartitionFilters" in plan and "cell" in plan, plan[:900]
+        for k in (5, 20):  # q177's top-5 probe and q187's top-20 serve
+            plan = explain_str(ivf_index_probe(probes, idx, k=k), mode="formatted")
+            assert "BroadcastHashJoin" in plan, plan[:900]
+            assert "SortMergeJoin" not in plan, plan[:900]
+            # the scan itself prunes to the probed cells' directories
+            assert "PartitionFilters" in plan and "cell" in plan, plan[:900]
     finally:
         _drop_table(spark, t)
 

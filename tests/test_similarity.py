@@ -168,3 +168,25 @@ def test_q186_served_hybrid_matches_full_recompute(spark, sf_dir):
     served = sorted(map(tuple, q186_hybrid_index_serving(spark, sf_dir).collect()))
     full = sorted(map(tuple, q182_rrf_hybrid_search(spark, sf_dir).collect()))
     assert served == full and len(served) > 0
+
+
+def test_q187_hybrid_ivf_recall_vs_exact_fusion(spark, sf_dir):
+    """q187 serves the semantic list from the maintained IVF index (top-3
+    probed cells) instead of q182's exact corpus scan — the q58-vs-q57
+    recall contract applied to the FUSED result: the approximate fusion's
+    top-10 must overlap the exact fusion's top-10 substantially, and the
+    lexical contributions must be identical (the lexical side is exact in
+    both — only the semantic list is approximated)."""
+    from wikipediaetl_spark.operators.similarity import (
+        q182_rrf_hybrid_search,
+        q187_hybrid_ivf_serving,
+    )
+
+    exact = {r["doc_id"]: r for r in q182_rrf_hybrid_search(spark, sf_dir).collect()}
+    approx = {r["doc_id"]: r for r in q187_hybrid_ivf_serving(spark, sf_dir).collect()}
+    assert len(approx) == 10
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, f"fused top-10 overlap too low: {overlap}"
+    # lexical ranks agree wherever a doc appears in both fused lists
+    for doc_id in set(exact) & set(approx):
+        assert exact[doc_id]["lex_rnk"] == approx[doc_id]["lex_rnk"]

@@ -354,3 +354,118 @@ def test_cluster_ledger_sink_streaming_chained_merges(spark, tmp_path):
     # cross-batch contraction chain
     assert {r for r in got if r[0] in (10, 11, 12)} == {(10, 1), (11, 1), (12, 1)}
     _drop_table(spark, table)
+
+
+def test_bm25_index_sink_streaming_batching_invariance(spark, sf_dir, tmp_path):
+    """q179's layouts under a REAL Structured Streaming ingest (VERDICT r9
+    #5): three forced micro-batches of documents through bm25_index_sink
+    must produce byte-identical postings + doclen contents to the one-shot
+    tokenize over all docs — the batching-invariance the append-only
+    maintenance contract promises."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.text_analysis import (
+        _bm25_doclen,
+        _bm25_postings,
+        bm25_index_sink,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    pt, lt = "t_bm25_stream_postings", "t_bm25_stream_doclen"
+    for t in (pt, f"{pt}_staging", lt, f"{lt}_staging"):
+        _drop_table(spark, t)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select(
+        "doc_id", "text"
+    )
+    docs_dir = tmp_path / "docs"
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(str(docs_dir))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(bm25_index_sink(spark, pt, lt))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_p = sorted(
+        map(tuple, spark.table(pt).select("tok", "doc_id", "dl", "tf").collect())
+    )
+    want_p = sorted(map(tuple, _bm25_postings(docs).collect()))
+    assert got_p == want_p
+    got_l = sorted(map(tuple, spark.table(lt).select("doc_id", "dl").collect()))
+    want_l = sorted(map(tuple, _bm25_doclen(docs).collect()))
+    assert got_l == want_l
+    for t in (pt, lt):
+        _drop_table(spark, t)
+
+
+def test_ivf_index_sink_streaming_batching_invariance(spark, sf_dir, tmp_path):
+    """q177's cell index under a REAL Structured Streaming ingest (VERDICT
+    r9 #5): three forced micro-batches of vectors quantized against a
+    FROZEN centroid table must land exactly the one-shot assignment of all
+    vectors — per-row assignment + append-only layout ⟹ batching
+    invariance."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.similarity import (
+        _ivf_assign,
+        _vectors,
+        ivf_index_sink,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    t = "t_ivf_stream_index"
+    _drop_table(spark, t)
+    _drop_table(spark, f"{t}_staging")
+    e = _vectors(spark, sf_dir)
+    wc = W.partitionBy("label").orderBy(F.col("vec_id").asc())
+    cents = (
+        e.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("cell"), F.col("v").alias("centroid"))
+        .localCheckpoint(eager=True)  # frozen quantizer, reused per batch
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vec_dir = tmp_path / "vecs"
+    for m in range(3):
+        vecs.filter(F.pmod(F.col("vec_id"), F.lit(3)) == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(vec_dir))
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(vec_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(ivf_index_sink(spark, t, cents))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table(t).select("vec_id", "cell").collect()))
+    want = sorted(
+        map(
+            tuple,
+            _ivf_assign(
+                vecs.select(
+                    "vec_id", F.col("embedding").cast("array<double>").alias("v")
+                ),
+                cents,
+            )
+            .select("vec_id", "cell")
+            .collect(),
+        )
+    )
+    assert got == want
+    _drop_table(spark, t)

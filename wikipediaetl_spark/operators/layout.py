@@ -44,6 +44,7 @@ from wikipediaetl_spark.sources import load_table
 # is dropped — see merge_batch_into_rollup's crash-recovery contract.
 _COMMIT_PROP = "wikipediaetl.rollup.committed"
 _BATCH_PROP = "wikipediaetl.rollup.lastBatchId"
+_PENDING_PROP = "wikipediaetl.append.pendingBatchId"
 
 
 def _staging_committed(spark: SparkSession, staging: str) -> bool:
@@ -55,6 +56,21 @@ def _staging_committed(spark: SparkSession, staging: str) -> bool:
     except Exception:
         return False
     return any(r["key"] == _COMMIT_PROP and r["value"] == "true" for r in rows)
+
+
+def _table_prop_int(spark: SparkSession, table: str, prop: str) -> int | None:
+    """An integer TBLPROPERTY of ``table``, or None if absent/unreadable."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    except Exception:
+        return None
+    for r in rows:
+        if r["key"] == prop:
+            try:
+                return int(r["value"])
+            except ValueError:
+                return None
+    return None
 
 
 def _table_batch_id(spark: SparkSession, table: str) -> int | None:
@@ -107,6 +123,32 @@ def _drop_table(spark: SparkSession, table: str) -> None:
         _hadoop_delete(spark, f"{wh}/{table}")
     except Exception:
         pass
+
+
+def recover_interrupted_swap(
+    spark: SparkSession, table: str, partition_cols: tuple[str, ...] = ()
+) -> None:
+    """Interrupted-swap recovery, factored out of ``staged_swap_write`` so
+    callers that READ the maintained table (or bootstrap it when absent)
+    can recover FIRST (ADVICE r9 high/medium: ``cluster_ledger_sink``
+    bootstrapped an EMPTY ledger inside the drop→rename crash window —
+    table absent, committed staging holding the full history — and the
+    empty table then masked the recovery branch and let the merge destroy
+    the staging; ``merge_pairs_into_cluster_ledger`` raised instead of
+    recovering). The cases: main table absent + staging COMMITTED ⟹ a
+    completed previous merge crashed between drop and rename — finish the
+    rename; main absent + staging UNcommitted ⟹ a first-ever build crashed
+    mid-``saveAsTable`` — drop the partial staging (the main table never
+    existed, so nothing is lost). Idempotent; a no-op when the main table
+    exists."""
+    staging = f"{table}_staging"
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(staging):
+        if _staging_committed(spark, staging):
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+            if partition_cols:
+                spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")
+        else:
+            _drop_table(spark, staging)
 
 
 def bucketize(
@@ -689,7 +731,7 @@ def staged_swap_write(
     spark: SparkSession,
     build,
     table: str,
-    bucket_key: str,
+    bucket_key: str | None,
     n_buckets: int = 8,
     partition_cols: tuple[str, ...] = (),
     batch_id: int | None = None,
@@ -725,11 +767,7 @@ def staged_swap_write(
             # deleted staging paths and reads empty
             spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")
 
-    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(staging):
-        if _staging_committed(spark, staging):
-            _rename_into_place()
-        else:
-            _drop_table(spark, staging)
+    recover_interrupted_swap(spark, table, partition_cols)
     stored_batch_id = _table_batch_id(spark, table)
     if batch_id is not None and stored_batch_id is not None and batch_id <= stored_batch_id:
         return False  # replayed batch already folded in
@@ -738,7 +776,9 @@ def staged_swap_write(
     w = merged.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.bucketBy(n_buckets, bucket_key).sortBy(bucket_key).saveAsTable(staging)
+    if bucket_key is not None:
+        w = w.bucketBy(n_buckets, bucket_key).sortBy(bucket_key)
+    w.saveAsTable(staging)
     stamp = batch_id if batch_id is not None else stored_batch_id
     props = f"'{_COMMIT_PROP}'='true'"
     if stamp is not None:
@@ -746,6 +786,99 @@ def staged_swap_write(
     spark.sql(f"ALTER TABLE {staging} SET TBLPROPERTIES ({props})")
     _drop_table(spark, table)
     _rename_into_place()
+    return True
+
+
+def append_batch_to_layout(
+    spark: SparkSession,
+    rows: DataFrame,
+    table: str,
+    bucket_key: str | None = None,
+    n_buckets: int = 8,
+    partition_cols: tuple[str, ...] = (),
+    batch_id: int | None = None,
+) -> bool:
+    """Replay-gated, crash-recoverable APPEND maintenance for append-only
+    layouts — q185's doc histograms and q179/q186's BM25 postings/doclens
+    (ADVICE r9 low: those appends were bare ``mode('append')`` with no
+    watermark while their paired keyed rollups WERE batch-stamped, so a
+    redelivered ingest batch double-appended rows while the rollup merge
+    correctly no-opped — silently corrupting served results).
+
+    The staged-swap rollups get replay safety for free because every merge
+    REWRITES the table (the stamp rides the rewrite atomically). An
+    append-only layout's whole point is O(batch) maintenance — history is
+    never rewritten — so the contract here is a two-property protocol on
+    the SAME TBLPROPERTIES the rollups use:
+
+    - REPLAY (the foreachBatch at-least-once case): ``batch_id`` at or
+      below the committed watermark (``_BATCH_PROP``) → no-op, returns
+      False. Rows are never appended twice for a redelivered batch.
+    - NORMAL: stamp ``_PENDING_PROP``=batch_id, append the rows carrying a
+      constant ``ingest_batch`` column, then commit the watermark. O(batch).
+    - CRASH between pending-stamp and commit: that batch's rows may be
+      partially present. The NEXT call detects pending > committed and
+      rewrites them out (filter on ``ingest_batch``) through
+      ``staged_swap_write`` before appending — O(history), but paid only
+      on actual crash recovery, never on the normal path.
+
+    Bootstrap (table absent) routes through ``staged_swap_write`` so a
+    crash mid-create leaves an uncommitted staging (discarded on recovery)
+    rather than an un-provenanced partial table. Callers must create the
+    layout through this helper too, so the ``ingest_batch`` column exists
+    for the recovery filter; serve paths name their columns explicitly, so
+    the extra column never reaches a result schema. Unstamped calls
+    (``batch_id=None``) append with a NULL stamp and skip the protocol —
+    for untracked loads only."""
+    recover_interrupted_swap(spark, table, partition_cols)
+    stamped = rows.withColumn(
+        "ingest_batch",
+        (F.lit(batch_id) if batch_id is not None else F.lit(None)).cast("long"),
+    )
+    if not spark.catalog.tableExists(table):
+        return staged_swap_write(
+            spark,
+            lambda: stamped,
+            table,
+            bucket_key,
+            n_buckets,
+            partition_cols,
+            batch_id=batch_id,
+        )
+    committed = _table_batch_id(spark, table)
+    if batch_id is not None and committed is not None and batch_id <= committed:
+        return False  # replayed batch: rows already appended + committed
+    pending = _table_prop_int(spark, table, _PENDING_PROP)
+    if pending is not None and (committed is None or pending > committed):
+        # crash mid-append of batch `pending`: scrub its partial rows with
+        # one staged swap (watermark carried forward by batch_id=None)
+        staged_swap_write(
+            spark,
+            lambda: spark.table(table).filter(
+                F.col("ingest_batch").isNull() | (F.col("ingest_batch") != pending)
+            ),
+            table,
+            bucket_key,
+            n_buckets,
+            partition_cols,
+        )
+    if batch_id is not None:
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('{_PENDING_PROP}'='{int(batch_id)}')"
+        )
+    w = stamped.write.mode("append")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if bucket_key is not None:
+        w = w.bucketBy(n_buckets, bucket_key).sortBy(bucket_key)
+    w.saveAsTable(table)
+    if batch_id is not None:
+        # commit point: watermark >= pending ⟹ the append above is complete
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('{_BATCH_PROP}'='{int(batch_id)}')"
+        )
     return True
 
 

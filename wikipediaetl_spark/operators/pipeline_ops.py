@@ -929,7 +929,11 @@ def q185_dsir_layout_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - HIST (doc_id, b, n), the per-doc bucket histograms — pure APPEND
       under doc ingest (a new doc's rows touch nothing), bucketed by
-      doc_id so the serve-time doc-grain sum is exchange-free;
+      doc_id so the serve-time doc-grain sum is exchange-free; maintained
+      through ``append_batch_to_layout`` so the append side carries the
+      SAME replay watermark as the paired rollup (ADVICE r9: a bare
+      mode('append') would double-append on foreachBatch redelivery while
+      the counts merge no-ops — silently corrupting served selections);
     - BUCKET COUNTS (b, ct, cs), a 64-row keyed rollup with associative
       sum merge — maintained through merge_batch_into_keyed_rollup
       (staged-swap, replay-safe batch-id stamped).
@@ -947,11 +951,12 @@ def q185_dsir_layout_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     from wikipediaetl_spark.operators.layout import (
         _drop_table,
+        append_batch_to_layout,
         merge_batch_into_keyed_rollup,
     )
 
     ht, ct_t = "q185_dsir_hist", "q185_dsir_bucket_counts"
-    for t in (ht, ct_t, f"{ct_t}_staging"):
+    for t in (ht, f"{ht}_staging", ct_t, f"{ct_t}_staging"):
         _drop_table(spark, t)
     d = load_table(spark, sf_dir, "documents")
     is_batch = F.pmod(F.col("doc_id") * 17 + 3, F.lit(10)) == 6
@@ -972,12 +977,11 @@ def q185_dsir_layout_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     base, batch = d.filter(~is_batch), d.filter(is_batch)
-    hist_of(base).write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(ht)
+    append_batch_to_layout(spark, hist_of(base), ht, bucket_key="doc_id", batch_id=0)
     counts_of(base).write.bucketBy(8, "b").sortBy("b").saveAsTable(ct_t)
-    # append-only histogram maintenance: O(batch tokens), layout preserved
-    hist_of(batch).write.mode("append").bucketBy(8, "doc_id").sortBy(
-        "doc_id"
-    ).saveAsTable(ht)
+    # append-only histogram maintenance: O(batch tokens), layout preserved,
+    # replay-gated on the same batch stamp as the counts rollup below
+    append_batch_to_layout(spark, hist_of(batch), ht, bucket_key="doc_id", batch_id=1)
     merge_batch_into_keyed_rollup(
         spark,
         counts_of(batch),

@@ -399,9 +399,18 @@ def merge_pairs_into_cluster_ledger(
        endpoints insert with their final labels.
 
     The swap goes through ``staged_swap_write`` — the same crash-recovery +
-    replay-watermark contract as every other maintained layout."""
-    from wikipediaetl_spark.operators.layout import staged_swap_write
+    replay-watermark contract as every other maintained layout. Recovery
+    runs HERE, before the ledger is read for labeling (ADVICE r9 medium):
+    the labeling step resolves ``spark.table(ledger_table)`` eagerly, so
+    waiting for ``staged_swap_write``'s own recovery would raise
+    table-not-found inside the drop→rename crash window instead of
+    finishing the rename."""
+    from wikipediaetl_spark.operators.layout import (
+        recover_interrupted_swap,
+        staged_swap_write,
+    )
 
+    recover_interrupted_swap(spark, ledger_table)
     ledger = spark.table(ledger_table)
     la = ledger.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("la0"))
     lb = ledger.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("lb0"))
@@ -457,9 +466,19 @@ def cluster_ledger_sink(spark: SparkSession, table: str):
     effect under foreachBatch's at-least-once delivery. Because the merge
     is exact for ARBITRARY new-edge sets, the final ledger is independent
     of how the pair stream is batched — asserted by the chained-merge
-    streaming test in tests/test_streaming.py."""
+    streaming test in tests/test_streaming.py.
+
+    Bootstrap happens only when NEITHER the table NOR a committed staging
+    exists (ADVICE r9 high): interrupted-swap recovery runs before the
+    existence check, because inside the drop→rename crash window the table
+    is absent while the committed staging holds the FULL ledger — a naive
+    bootstrap would create an empty table that masks the recovery branch,
+    resets the replay watermark (so the redelivered batch re-applies), and
+    lets the merge drop the committed staging: total silent history loss."""
+    from wikipediaetl_spark.operators.layout import recover_interrupted_swap
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
+        recover_interrupted_swap(spark, table)
         if not spark.catalog.tableExists(table):
             spark.createDataFrame([], "doc_id long, cluster_id long").write.bucketBy(
                 8, "doc_id"

@@ -1003,38 +1003,77 @@ def build_bm25_layouts(spark: SparkSession, sf_dir: str, pt: str, lt: str) -> No
     """q179's layout build, factored so q186 exercises the SAME maintained
     lexical index: drop + bootstrap both tables from the 90% split, then
     append the 10% batch through the same tokenize path (append-only,
-    O(batch tokens), bucket layouts preserved)."""
-    from wikipediaetl_spark.operators.layout import _drop_table
+    O(batch tokens), bucket layouts preserved). Both steps go through
+    ``append_batch_to_layout`` so postings and doclens carry a replay
+    watermark + mid-append crash recovery (ADVICE r9: a bare
+    mode('append') double-appends on foreachBatch redelivery)."""
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        append_batch_to_layout,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     is_batch = F.pmod(F.col("doc_id") * 23 + 1, F.lit(10)) == 4
 
-    def postings(docs: DataFrame) -> DataFrame:
-        # split ONCE into a materialized column, then size+explode reference
-        # it — inlining split(text) into both re-splits the document per
-        # emitted token (the _shingles hoist lesson; measured 7x on build)
-        arr = docs.select(
-            "doc_id", F.split(F.col("text"), " ").alias("w")
-        ).localCheckpoint(eager=False)
-        toks = arr.select(
-            "doc_id",
-            F.size("w").cast("long").alias("dl"),
-            F.explode("w").alias("tok"),
-        )
-        return toks.groupBy("tok", "doc_id", "dl").agg(
-            F.count(F.lit(1)).cast("long").alias("tf")
-        )
-
-    def doclen(docs: DataFrame) -> DataFrame:
-        return docs.select(
-            "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("dl")
-        )
-
-    _drop_table(spark, pt)
-    _drop_table(spark, lt)
+    for t in (pt, f"{pt}_staging", lt, f"{lt}_staging"):
+        _drop_table(spark, t)
     base, batch = d.filter(~is_batch), d.filter(is_batch)
-    postings(base).write.bucketBy(8, "tok").sortBy("tok").saveAsTable(pt)
-    doclen(base).write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(lt)
-    # append-only maintenance: O(batch tokens), bucket layout preserved
-    postings(batch).write.mode("append").bucketBy(8, "tok").sortBy("tok").saveAsTable(pt)
-    doclen(batch).write.mode("append").bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(lt)
+    append_batch_to_layout(spark, _bm25_postings(base), pt, bucket_key="tok", batch_id=0)
+    append_batch_to_layout(spark, _bm25_doclen(base), lt, bucket_key="doc_id", batch_id=0)
+    # append-only maintenance: O(batch tokens), bucket layout preserved,
+    # replay-gated + crash-recoverable via the shared append watermark
+    append_batch_to_layout(spark, _bm25_postings(batch), pt, bucket_key="tok", batch_id=1)
+    append_batch_to_layout(spark, _bm25_doclen(batch), lt, bucket_key="doc_id", batch_id=1)
+
+
+def _bm25_postings(docs: DataFrame) -> DataFrame:
+    """(tok, doc_id, dl, tf) postings rows for a set of documents — the
+    shared tokenize path of the batch build and the streaming sink. Split
+    ONCE into a materialized column, then size+explode reference it —
+    inlining split(text) into both re-splits the document per emitted
+    token (the _shingles hoist lesson; measured 7x on build)."""
+    arr = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    ).localCheckpoint(eager=False)
+    toks = arr.select(
+        "doc_id",
+        F.size("w").cast("long").alias("dl"),
+        F.explode("w").alias("tok"),
+    )
+    return toks.groupBy("tok", "doc_id", "dl").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def _bm25_doclen(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("dl")
+    )
+
+
+def bm25_index_sink(spark: SparkSession, pt: str, lt: str):
+    """Streaming maintenance for the BM25 lexical index (VERDICT r9 #5 —
+    the q184 foreachBatch discipline extended to q179's layouts):
+    ``docs.writeStream.foreachBatch(bm25_index_sink(spark, pt, lt))`` folds
+    each micro-batch of (doc_id, text) rows through the SAME tokenize path
+    as the batch build, appending postings and doc lengths with the
+    micro-batch id as the replay watermark (``append_batch_to_layout``'s
+    two-property protocol: a redelivered batch is a no-op; a crash
+    mid-append is scrubbed on the next call). Because both layouts are
+    append-only and per-doc rows are independent, the final index is
+    invariant to how the doc stream is batched — asserted by the
+    batching-invariance streaming test. A crash BETWEEN the two appends
+    leaves postings committed and doclens one batch behind; redelivery
+    no-ops the postings append and completes the doclen one, so the pair
+    reconverges without double-applying either."""
+    from wikipediaetl_spark.operators.layout import append_batch_to_layout
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        append_batch_to_layout(
+            spark, _bm25_postings(batch), pt, bucket_key="tok", batch_id=batch_id
+        )
+        append_batch_to_layout(
+            spark, _bm25_doclen(batch), lt, bucket_key="doc_id", batch_id=batch_id
+        )
+
+    return _sink
