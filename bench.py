@@ -83,6 +83,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # self-documenting methodology (VERDICT r9 #7): the per-round
+                # artifact IS best-of-N round-robin — visible in the JSON, not
+                # just in this file's history
+                "reps": reps,
+                "methodology": f"best-of-{reps} round-robin per query",
             }
         )
     )

@@ -607,3 +607,31 @@ def test_ast_fuzz_post_aggregation_windows(spark):
     assert res["fail"] == 0, [
         (f["seed"], f.get("problems")) for f in res["failures"]
     ]
+
+
+def test_ast_fuzz_grouping_sets_and_null_flags(spark):
+    """r10 productions (VERDICT r9 #8): explicit GROUPING SETS (Spark
+    df.groupingSets vs the SQL clause — the full key set always a member,
+    plus random subsets incl. the grand total) and GROUPING() null-flag
+    columns on every subtotal-capable shape — the only way to distinguish
+    a subtotal NULL from a data-NULL key group, differentially checked
+    across both renderings. Seeds are scanned for each production firing
+    so the test is robust to generator-order drift."""
+    from wikipediaetl_spark.plans.fuzz import FuzzGen, run_campaign
+
+    gs, gf = [], []
+    for s in range(21000, 27000):
+        q = FuzzGen(s).gen()
+        if q.group_kind == "gsets":
+            gs.append(s)
+        elif q.grouping_flags:
+            gf.append(s)
+        if len(gs) >= 25 and len(gf) >= 25:
+            break
+    assert len(gs) >= 20 and len(gf) >= 20, (
+        f"production stopped firing — generator drift ({len(gs)}/{len(gf)})"
+    )
+    res = run_campaign(spark, SF, n=0, seeds=gs[:25] + gf[:25])
+    assert res["fail"] == 0, [
+        (f["seed"], f.get("problems")) for f in res["failures"]
+    ]

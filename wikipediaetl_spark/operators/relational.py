@@ -1587,12 +1587,29 @@ def q116_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed order, and the bloom drops the rest scan-side: 3.1 s → 1.5-2.1
     s at 100×. At 100 TB the bloom fires on Spark's own defaults (the scan
     exceeds the 10GB gate); the lowered fixture thresholds only restore
-    that behavior at bench scale."""
+    that behavior at bench scale.
+
+    r10 (VERDICT r9 #4, the stock wave): the EXISTS witness needs
+    l_shipdate > o_orderdate and every windowed order has o_orderdate >=
+    the window start, so the STATIC filter l_shipdate > window_start is
+    implied — it reaches the parquet scan and drops ~2/3 of the 240M-row
+    probe before the shuffle the bloom can no longer prune (the 2.3M-key
+    build at 400× exceeds the bloom's regime). Measured at 400×
+    (BENCH_Q116_STOCK_WAVE.json, within-run warm DuckDB denominator):
+    stock 5.35 s → 3.81 s = 4.2× vs 0.91 s — under the ≤5× adjudication
+    bar; the broadcast-flip variant (orders window broadcast, lineitem
+    never shuffles, partial-distinct dedup) measured 4.05 s and is
+    recorded there as the at-scale fallback for when the window is too
+    large to semi-build."""
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_shipdate")
+    )
     return (
         o.join(
             li.hint("shuffle_hash"),

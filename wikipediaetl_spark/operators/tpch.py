@@ -1023,13 +1023,37 @@ def q138_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReuseExchange, which DOES fire here: both consumers sit directly on
     the same canonical exchange, unlike the q155 filter-pushdown case);
     SHUFFLE_HASH hints on the l1 joins measured 12.5 s (the grain-side
-    sorts are already cheap relative to the aggregate)."""
+    sorts are already cheap relative to the aggregate).
+
+    r10 (VERDICT r9 #3, adjudicated within-run — BENCH_Q138_ADJUDICATION
+    .json): the 'F'-status SEMI-REDUCTION moves the orders filter BEFORE
+    the grain aggregate instead of after it — lineitem semi-joins the
+    ~48.6%-selectivity finalized-order keys (SHUFFLE_HASH, both sides
+    shuffle on l_orderkey — the key the aggregate needs anyway, so
+    EnsureRequirements inserts no further exchange for per_supp, profile,
+    OR the l1 self-join: HashPartitioning(l_orderkey) satisfies every
+    downstream clustering), halving both aggregates' input and deleting
+    the late f_orders join. Measured at 400× against a WARM within-run
+    DuckDB denominator: stock 58.4 s (5.55×) → 31.7 s = 3.02×; the
+    runtime-bloom variant measured flat (58.9 s — the 27M-key build is
+    out of the bloom regime, the q116 lesson); DuckDB cold-vs-warm was
+    10.5/10.5 s, so the two-round 6.69× was mostly the numerator."""
+    f_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
     li = _with_transport(_t(spark, sf_dir, "lineitem")).select(
         "l_orderkey",
         "l_suppkey",
         (F.col("l_receiptdate") > F.col("l_commitdate")).alias("late"),
     )
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+    li_f = li.join(
+        f_orders.hint("shuffle_hash"),
+        li.l_orderkey == f_orders.o_orderkey,
+        "left_semi",
+    )
+    per_supp = li_f.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.col("late").cast("int")).alias("supp_late"),
         F.sum(F.col("late").cast("long")).alias("n_late_lines"),
     )
@@ -1037,14 +1061,8 @@ def q138_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_supps"),
         F.sum("supp_late").alias("n_late_supps"),
     )
-    f_orders = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select("o_orderkey")
-    )
     l1 = (
         per_supp.filter(F.col("supp_late") == 1)
-        .join(f_orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(profile, "l_orderkey")
         .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
     )

@@ -80,6 +80,14 @@ production below):
     on EMPTY input ANSI emits the grand-total grouping-set row while
     Spark's Expand rewrite emits nothing, so the SQL rendering appends
     HAVING count(*) > 0 — a strict no-op on non-empty input,
+  * explicit GROUPING SETS (r10: Spark df.groupingSets vs the SQL clause)
+    over plain-column keys — the full key set is always a member (every
+    selected key must appear in >=1 set to be a legal grouped projection)
+    plus random distinct subsets incl. the grand total, under the same
+    empty-input HAVING pin; and GROUPING() null-flag columns on every
+    subtotal-capable shape (F.grouping vs SQL GROUPING(), both CAST to
+    BIGINT) — the flag × key-NULL interaction distinguishes subtotal rows
+    from data-NULL key groups in both renderings,
   * FILTER (WHERE cond) aggregates — the SQL FILTER clause vs Spark's
     agg(when(cond, x)) encoding (NULL where the condition is false or
     NULL, which every aggregate skips: exactly FILTER's rule) — plus
@@ -458,7 +466,20 @@ class FuzzQuery:
     # grouped-shape grouping strategy: Spark df.groupBy/rollup/cube vs SQL
     # GROUP BY [ROLLUP|CUBE] (...).  Subtotal rows carry NULL keys in both
     # engines, interchangeable under the multiset compare.
-    group_kind: str = "group"               # group | rollup | cube
+    group_kind: str = "group"               # group | rollup | cube | gsets
+    # r10 production: explicit GROUPING SETS — random distinct key-index
+    # subsets (possibly incl. the grand-total ()), Spark df.groupingSets
+    # vs the SQL clause.  Plain-column keys only: Spark's DataFrame-side
+    # groupingSets resolves set members against the grouping columns by
+    # expression identity, which aliased/computed keys break (verified:
+    # aliased members silently null every key column).
+    grouping_sets: list | None = None       # list[list[int]] when gsets
+    # r10 production: GROUPING() null-flag columns (gf_<key> = 1 iff the
+    # key is aggregated away in that grouping set) — the only way to
+    # distinguish a subtotal row from a data-NULL key group, so the flag
+    # values exercise exactly the null-flag interaction VERDICT r9 #8
+    # named.  Spark F.grouping vs SQL GROUPING(), both CAST to BIGINT.
+    grouping_flags: bool = False
     # uncorrelated scalar subquery in WHERE:
     # (sub_table, agg_op in {min,max}, sub_col, k, cmp, outer_expr, sub_where).
     # Spark renders crossJoin(broadcast(1-row agg)) + filter; SQL renders a
@@ -651,11 +672,24 @@ class FuzzQuery:
                 out = out.limit(self.limit)
             return out
         if self.group_by:
-            keys = [to_spark(g).alias(a) for a, g in self._group_keys()]
+            gk = self._group_keys()
+            # plain col keys stay UNALIASED (alias == column name anyway):
+            # F.grouping resolves grouping columns by expression identity,
+            # and even a same-name Alias wrapper breaks the match
+            keys = [to_spark(g) if g.kind == "col" else to_spark(g).alias(a)
+                    for a, g in gk]
             aggs = [to_spark(e).alias(a) for a, e in self.select
                     if e.kind == "agg"]
-            grouped = {"group": df.groupBy, "rollup": df.rollup,
-                       "cube": df.cube}[self.group_kind](*keys)
+            if self.grouping_flags:
+                aggs += [F.grouping(to_spark(g)).cast("long").alias(f"gf_{a}")
+                         for a, g in gk]
+            if self.group_kind == "gsets":
+                raw = [to_spark(g) for _, g in gk]
+                sets = [[raw[i] for i in s] for s in self.grouping_sets]
+                grouped = df.groupingSets(sets, *raw)
+            else:
+                grouped = {"group": df.groupBy, "rollup": df.rollup,
+                           "cube": df.cube}[self.group_kind](*keys)
             out = grouped.agg(*aggs)
             if self.having is not None:
                 alias, k = self.having
@@ -810,15 +844,25 @@ class FuzzQuery:
             sel = ([f"{to_sql(g)} AS {a}" for a, g in gk]
                    + [f"{to_sql(e)} AS {a}" for a, e in self.select
                       if e.kind == "agg"])
+            if self.grouping_flags:
+                sel += [f"CAST(GROUPING({to_sql(g)}) AS BIGINT) AS gf_{a}"
+                        for a, g in gk]
             parts.append("SELECT " + ", ".join(sel))
             parts.append(f"FROM {frm}")
             wc = self._where_sql(rel)
             if wc:
                 parts.append(f"WHERE {wc}")
             klist = ", ".join(keys)
-            parts.append({"group": f"GROUP BY {klist}",
-                          "rollup": f"GROUP BY ROLLUP ({klist})",
-                          "cube": f"GROUP BY CUBE ({klist})"}[self.group_kind])
+            if self.group_kind == "gsets":
+                sets_sql = ", ".join(
+                    "(" + ", ".join(keys[i] for i in s) + ")"
+                    for s in self.grouping_sets
+                )
+                parts.append(f"GROUP BY GROUPING SETS ({sets_sql})")
+            else:
+                parts.append({"group": f"GROUP BY {klist}",
+                              "rollup": f"GROUP BY ROLLUP ({klist})",
+                              "cube": f"GROUP BY CUBE ({klist})"}[self.group_kind])
             having_conds = []
             if self.having is not None:
                 alias, k = self.having
@@ -894,6 +938,8 @@ class FuzzQuery:
             cols = sorted(a for a, _ in self.select) if not self.group_by else \
                 sorted([a for a, _ in self._group_keys()]
                        + [a for a, e in self.select if e.kind == "agg"]
+                       + ([f"gf_{a}" for a, _ in self._group_keys()]
+                          if self.grouping_flags else [])
                        + (["pw"] if self.post_window is not None else []))
             order = ", ".join(f"{c} ASC NULLS FIRST" for c in cols)
             sql = (f"SELECT * FROM (\n{sql}\n) q ORDER BY {order} "
@@ -1280,11 +1326,15 @@ class FuzzGen:
             pool = [c for t in tables for c in GROUPABLE[t]]
             for c in rng.sample(pool, k=min(len(pool), rng.randint(1, 2))):
                 gcols.append(col(c, TABLES[self._owner(c)][c]))
+            group_kind = rng.choice(
+                ["group"] * 4 + ["rollup", "cube", "gsets"]
+            )
             # r8: expression group keys — year/month/day(ts), substr,
             # length, or a CASE bucket, grouped AS THE EXPRESSION in both
             # renderings (NULL keys group together under the nullable
-            # fixture in both engines)
-            if rng.random() < 0.35:
+            # fixture in both engines).  Skipped under gsets (plain-col
+            # keys only — see the grouping_sets field note).
+            if group_kind != "gsets" and rng.random() < 0.35:
                 e = self._group_key_expr(tables)
                 if e is not None:
                     gcols.append(e)
@@ -1294,7 +1344,34 @@ class FuzzGen:
             long_aggs = [a for a, e in select if e.dtype == "long"]
             if long_aggs and rng.random() < 0.3:
                 having = (rng.choice(long_aggs), rng.randint(0, 20))
-            group_kind = rng.choice(["group"] * 4 + ["rollup", "cube"])
+            # r10: explicit GROUPING SETS — 2-4 DISTINCT key-index subsets
+            # (duplicate sets would be legal ANSI but emit duplicate groups;
+            # distinctness keeps the production about the null-flag algebra,
+            # not dialect bag-duplication corners)
+            grouping_sets = None
+            if group_kind == "gsets":
+                import itertools
+
+                full = list(range(len(gcols)))
+                subsets = [
+                    list(c)
+                    for r in range(len(gcols))
+                    for c in itertools.combinations(full, r)
+                ]
+                k = min(len(subsets), rng.randint(1, 3))
+                # the full key set is always a member: every selected key
+                # column must appear in >=1 grouping set or the SQL side
+                # is not a legal grouped projection (DuckDB binder error;
+                # Spark would silently treat it as always-aggregated)
+                grouping_sets = [full] + rng.sample(subsets, k=k)
+            # r10: GROUPING() null-flags on every subtotal-capable shape
+            # with plain-col keys (F.grouping on an aliased/computed key
+            # does not resolve DataFrame-side)
+            grouping_flags = (
+                group_kind != "group"
+                and all(g.kind == "col" for g in gcols)
+                and rng.random() < 0.6
+            )
             # r9: window over the grouped result — only under plain GROUP
             # BY (rollup/cube subtotal rows duplicate key combinations, so
             # ORDER BY keys would not be total there)
@@ -1314,7 +1391,9 @@ class FuzzGen:
                              limit=limit, exists_rel=exists_rel,
                              group_kind=group_kind, scalar_sub=scalar_sub,
                              offset=offset, in_sub=in_sub,
-                             post_window=post_window)
+                             post_window=post_window,
+                             grouping_sets=grouping_sets,
+                             grouping_flags=grouping_flags)
 
         # projection query
         select = []
