@@ -145,7 +145,11 @@ QUERIES = [
     # its semantic list runs over the copied embeddings (scale-invariant
     # input) and its lexical list is exactly q179's measured probe — the
     # fusion itself is O(k); q186 (the same answer served from the
-    # maintained layouts) is excluded for the same reason. q184 is excluded for q83/q174's reason: doc
+    # maintained layouts) is excluded for the same reason, and so is q187
+    # (r10: its semantic-serving scale story needs a real vector corpus —
+    # measured on a synthetic 2M-vector one in BENCH_HYBRID_IVF_SERVING
+    # .json: serve 0.43x vs the index-less same-engine pass, recall@20
+    # 1.0). q184 is excluded for q83/q174's reason: doc
     # replication makes every replica an exact near-dup of its base, so the
     # pair graph (its input) grows quadratically in FACTOR — adversarial,
     # not representative; its scale story is structural (O(batch) contracted
