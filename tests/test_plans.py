@@ -689,3 +689,41 @@ def test_dsir_serve_plan_rides_histogram_bucketing(spark, sf_dir):
     finally:
         for t in (ht, ct_t):
             _drop_table(spark, t)
+
+
+def test_q116_static_shipdate_pushdown_reaches_scan(spark, sf_dir):
+    """r10 adopted wave (VERDICT r9 #4): the implied static filter
+    l_shipdate > window_start must reach the lineitem parquet scan as a
+    PushedFilter — that pushdown (not a post-scan Filter) is what drops
+    ~2/3 of the 240M-row probe at 400× before the semi-join shuffle."""
+    from wikipediaetl_spark.operators.relational import q116_priority_checking
+
+    text = explain_str(q116_priority_checking(spark, sf_dir), mode="formatted")
+    pushed = [
+        seg[:300] for seg in text.split("PushedFilters: [")[1:]
+    ]
+    assert any("l_shipdate" in p and "GreaterThan" in p for p in pushed), pushed
+
+
+def test_q138_semireduce_semi_join_below_grain_aggregate(spark, sf_dir):
+    """r10 adopted wave (VERDICT r9 #3): the 'F'-status semi-reduction must
+    sit BELOW the (orderkey, suppkey) grain aggregate — lineitem is
+    semi-joined to the finalized-order keys FIRST, so both aggregates work
+    on the reduced stream and no f_orders join remains above the grain.
+    The exchange count itself is AQE-dependent at fixture scale (the tiny
+    profile side re-plans as a broadcast); the measured single-exchange
+    behavior at 400× is BENCH_Q138_ADJUDICATION.json's 31.7 s row. Here we
+    pin the semantics-bearing shape: a LeftSemi under the grain aggregate,
+    the grain aggregate with map-side partials, and the supplier dim
+    broadcast."""
+    from wikipediaetl_spark.operators.tpch import q138_waiting_suppliers
+
+    text = explain_str(q138_waiting_suppliers(spark, sf_dir), mode="simple")
+    assert "LeftSemi" in text, text[:900]
+    grain = text.find("HashAggregate(keys=[l_orderkey")
+    semi = text.find("LeftSemi")
+    # tree printout: parents print before children, so the semi join must
+    # appear AFTER (= beneath) the grain aggregate that consumes it
+    assert -1 < grain < semi, (grain, semi)
+    assert "partial_max" in text  # map-side combine on the grain aggregate
+    assert "BroadcastHashJoin" in text  # supplier dim never shuffles

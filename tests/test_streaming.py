@@ -469,3 +469,177 @@ def test_ivf_index_sink_streaming_batching_invariance(spark, sf_dir, tmp_path):
     )
     assert got == want
     _drop_table(spark, t)
+
+
+def test_dedup_ledger_sink_streaming_batching_invariance(spark, sf_dir, tmp_path):
+    """q178's ledger under a REAL Structured Streaming ingest: three forced
+    micro-batches of documents through dedup_ledger_sink must equal the
+    one-shot GROUP BY md5(text) over all docs — MIN-keeper and SUM-count
+    are associative over disjoint doc sets, so the maintained ledger is
+    batching-invariant."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.dedup import dedup_ledger_sink
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.sources import load_table
+
+    t = "t_dedup_ledger_stream"
+    _drop_table(spark, t)
+    _drop_table(spark, f"{t}_staging")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 90).select(
+        "doc_id", "text"
+    )
+    docs_dir = tmp_path / "docs"
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(str(docs_dir))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(dedup_ledger_sink(spark, t))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(
+            tuple,
+            spark.table(t).select("content_key", "keeper_doc_id", "n_docs").collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            docs.groupBy(F.md5(F.col("text")).alias("content_key"))
+            .agg(
+                F.min("doc_id").alias("keeper_doc_id"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    _drop_table(spark, t)
+
+
+def test_decontam_ledger_sink_streaming_batching_invariance(spark, sf_dir, tmp_path):
+    """q181's three tables under a REAL Structured Streaming ingest: three
+    forced micro-batches through decontam_ledger_sink must reproduce the
+    one-shot build — postings as the per-doc-distinct trigram set, df as
+    its per-tok counts, the corpus count as |docs| — and the SERVED
+    contamination answer must match serving from a one-shot build."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.pipeline_ops import (
+        _trigram_occurrences,
+        decontam_ledger_serve,
+        decontam_ledger_sink,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    post_t, df_t, st_t = "t_dc_post", "t_dc_df", "t_dc_stats"
+    for t in (post_t, df_t, st_t):
+        _drop_table(spark, t)
+        _drop_table(spark, f"{t}_staging")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 90).select(
+        "doc_id", "text"
+    )
+    docs_dir = tmp_path / "docs"
+    for m in range(3):
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(docs_dir))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            decontam_ledger_sink(spark, post_t, df_t, st_t)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_post = sorted(
+        map(tuple, spark.table(post_t).select("doc_id", "tok").collect())
+    )
+    want_post = sorted(map(tuple, _trigram_occurrences(docs).distinct().collect()))
+    assert got_post == want_post and len(got_post) > 0
+    n_docs = spark.table(st_t).first()["n_docs"]
+    assert n_docs == docs.count()
+    served = sorted(
+        map(
+            tuple,
+            decontam_ledger_serve(
+                spark.table(post_t), spark.table(df_t), int(n_docs)
+            ).collect(),
+        )
+    )
+    # one-shot comparison build
+    for t in (post_t, df_t, st_t):
+        _drop_table(spark, t)
+    one = _trigram_occurrences(docs).distinct()
+    one_df = one.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    want_served = sorted(
+        map(tuple, decontam_ledger_serve(one, one_df, int(n_docs)).collect())
+    )
+    assert served == want_served
+
+
+def test_dsir_layout_sink_streaming_batching_invariance(spark, sf_dir, tmp_path):
+    """q185's layouts under a REAL Structured Streaming ingest: three forced
+    micro-batches through dsir_layout_sink, then the SERVED selection must
+    equal serving from a one-shot build — per-doc histogram rows and
+    associative bucket counts make the layouts batching-invariant, and the
+    retroactive weights recompute at serve."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.pipeline_ops import (
+        _dsir_counts_of,
+        _dsir_hist_of,
+        dsir_layout_sink,
+        dsir_serve,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    ht, ct_t = "t_dsir_hist_stream", "t_dsir_counts_stream"
+    for t in (ht, ct_t):
+        _drop_table(spark, t)
+        _drop_table(spark, f"{t}_staging")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 90)
+    docs_dir = tmp_path / "docs"
+    for m in range(3):
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(docs_dir))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(dsir_layout_sink(spark, ht, ct_t))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    served = sorted(
+        map(tuple, dsir_serve(spark.table(ht), spark.table(ct_t)).collect())
+    )
+    want = sorted(
+        map(tuple, dsir_serve(_dsir_hist_of(docs), _dsir_counts_of(docs)).collect())
+    )
+    assert served == want and len(served) > 0
+    for t in (ht, ct_t):
+        _drop_table(spark, t)

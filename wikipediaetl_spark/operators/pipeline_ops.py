@@ -225,18 +225,26 @@ def q181_decontam_ledger_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     (README.md:24) to the eval-leakage audit a pretraining pipeline runs."""
     from wikipediaetl_spark.operators.layout import (
         _drop_table,
+        append_batch_to_layout,
         merge_batch_into_keyed_rollup,
     )
 
     post_t = "q181_trigram_postings"
     df_t = "q181_trigram_df"
     st_t = "q181_corpus_stats"
-    for t in (post_t, df_t, st_t, f"{df_t}_staging", f"{st_t}_staging"):
+    for t in (
+        post_t,
+        df_t,
+        st_t,
+        f"{post_t}_staging",
+        f"{df_t}_staging",
+        f"{st_t}_staging",
+    ):
         _drop_table(spark, t)
     d = load_table(spark, sf_dir, "documents")
     is_batch = F.pmod(F.col("doc_id") * 31 + 7, F.lit(10)) == 3
     base_post = _trigram_occurrences(d.filter(~is_batch)).distinct()
-    base_post.write.bucketBy(8, "tok").sortBy("tok").saveAsTable(post_t)
+    append_batch_to_layout(spark, base_post, post_t, bucket_key="tok", batch_id=0)
     # df bootstrap from the STORED postings: tok-bucketed scan → the groupBy
     # is exchange-free; count(*) = distinct-doc df because postings are
     # per-doc distinct
@@ -262,9 +270,9 @@ def q181_decontam_ledger_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     batch_post = (
         _trigram_occurrences(d.filter(is_batch)).distinct().localCheckpoint(eager=True)
     )
-    batch_post.write.mode("append").bucketBy(8, "tok").sortBy("tok").saveAsTable(
-        post_t
-    )
+    # replay-gated append (ADVICE r9: a bare mode('append') here would
+    # double-append postings on redelivery while the df merge no-ops)
+    append_batch_to_layout(spark, batch_post, post_t, bucket_key="tok", batch_id=1)
     merge_batch_into_keyed_rollup(
         spark,
         batch_post.groupBy("tok").agg(F.count(F.lit(1)).alias("df")),
@@ -297,6 +305,55 @@ def q181_decontam_ledger_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     for t in (post_t, df_t, st_t):
         _drop_table(spark, t)
     return res
+
+
+def decontam_ledger_sink(spark: SparkSession, post_t: str, df_t: str, st_t: str):
+    """Streaming maintenance for the decontamination ledger (VERDICT r9 #5's
+    discipline extended to q181's three tables):
+    ``docs.writeStream.foreachBatch(decontam_ledger_sink(spark, post_t,
+    df_t, st_t))`` folds each micro-batch of (doc_id, text) rows into the
+    trigram postings (replay-gated append), the per-tok df rollup, and the
+    1-row corpus count (both staged-swap keyed merges) — all stamped with
+    the micro-batch id, so a redelivered batch is a no-op on every table.
+    Per-doc-distinct trigram rows over disjoint doc sets are additive, so
+    the final ledger is invariant to stream batching (asserted by the
+    streaming test). A crash between the three steps leaves the later
+    tables one batch behind; redelivery no-ops the completed steps and
+    finishes the rest — the same pairwise-reconvergence argument as
+    ``bm25_index_sink``. The serve path (``decontam_ledger_serve``) reads
+    the df cap from the maintained tables at query time, so it is always
+    consistent as-of the last completed batch."""
+    from wikipediaetl_spark.operators.layout import (
+        append_batch_to_layout,
+        merge_batch_into_keyed_rollup,
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        post = _trigram_occurrences(batch).distinct().localCheckpoint(eager=True)
+        append_batch_to_layout(spark, post, post_t, bucket_key="tok", batch_id=batch_id)
+        merge_batch_into_keyed_rollup(
+            spark,
+            post.groupBy("tok").agg(F.count(F.lit(1)).alias("df")),
+            df_t,
+            keys=["tok"],
+            merge_aggs=[F.sum("df").alias("df")],
+            bucket_key="tok",
+            batch_id=batch_id,
+        )
+        merge_batch_into_keyed_rollup(
+            spark,
+            batch.select(F.lit(0).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_docs")),
+            st_t,
+            keys=["k"],
+            merge_aggs=[F.sum("n_docs").alias("n_docs")],
+            bucket_key="k",
+            n_buckets=1,
+            batch_id=batch_id,
+        )
+
+    return _sink
 
 
 @query(
@@ -882,6 +939,59 @@ def _dsir_buckets(d: DataFrame) -> DataFrame:
     )
 
 
+def _dsir_hist_of(docs: DataFrame) -> DataFrame:
+    """Per-doc bucket histograms — the shared tokenize path of q185's batch
+    build and the streaming sink."""
+    return (
+        _dsir_buckets(docs)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _dsir_counts_of(docs: DataFrame) -> DataFrame:
+    return _dsir_buckets(docs).groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("ct"),
+        F.count(F.lit(1)).cast("long").alias("cs"),
+    )
+
+
+def dsir_layout_sink(spark: SparkSession, hist_t: str, counts_t: str):
+    """Streaming maintenance for the DSIR layouts (VERDICT r9 #5's
+    discipline extended to q185): each micro-batch of (doc_id, lang, text)
+    rows appends its per-doc bucket histograms (replay-gated) and merges
+    its 64-row bucket-count partials (staged-swap keyed rollup), both
+    stamped with the micro-batch id. Histogram rows are per-doc and bucket
+    counts associative sums, so the layouts are batching-invariant; the
+    globally-retroactive weights stay OUT of storage and are recomputed
+    O(buckets) at serve (``dsir_serve``) — always consistent as-of the
+    last completed batch."""
+    from wikipediaetl_spark.operators.layout import (
+        append_batch_to_layout,
+        merge_batch_into_keyed_rollup,
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        append_batch_to_layout(
+            spark, _dsir_hist_of(batch), hist_t, bucket_key="doc_id",
+            batch_id=batch_id,
+        )
+        merge_batch_into_keyed_rollup(
+            spark,
+            _dsir_counts_of(batch),
+            counts_t,
+            keys=["b"],
+            merge_aggs=[
+                F.sum("ct").cast("long").alias("ct"),
+                F.sum("cs").cast("long").alias("cs"),
+            ],
+            bucket_key="b",
+            batch_id=batch_id,
+        )
+
+    return _sink
+
+
 def dsir_serve(hist: DataFrame, counts: DataFrame) -> DataFrame:
     """DSIR selection from the two layouts alone (q183's algebra, factored
     for q185 and plan-assertion): the 64-row (b, ct, cs) bucket-count table
@@ -961,30 +1071,19 @@ def q185_dsir_layout_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     is_batch = F.pmod(F.col("doc_id") * 17 + 3, F.lit(10)) == 6
 
-    def hist_of(docs: DataFrame) -> DataFrame:
-        return (
-            _dsir_buckets(docs)
-            .groupBy("doc_id", "b")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        )
-
-    def counts_of(docs: DataFrame) -> DataFrame:
-        return _dsir_buckets(docs).groupBy("b").agg(
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-            .cast("long")
-            .alias("ct"),
-            F.count(F.lit(1)).cast("long").alias("cs"),
-        )
-
     base, batch = d.filter(~is_batch), d.filter(is_batch)
-    append_batch_to_layout(spark, hist_of(base), ht, bucket_key="doc_id", batch_id=0)
-    counts_of(base).write.bucketBy(8, "b").sortBy("b").saveAsTable(ct_t)
+    append_batch_to_layout(
+        spark, _dsir_hist_of(base), ht, bucket_key="doc_id", batch_id=0
+    )
+    _dsir_counts_of(base).write.bucketBy(8, "b").sortBy("b").saveAsTable(ct_t)
     # append-only histogram maintenance: O(batch tokens), layout preserved,
     # replay-gated on the same batch stamp as the counts rollup below
-    append_batch_to_layout(spark, hist_of(batch), ht, bucket_key="doc_id", batch_id=1)
+    append_batch_to_layout(
+        spark, _dsir_hist_of(batch), ht, bucket_key="doc_id", batch_id=1
+    )
     merge_batch_into_keyed_rollup(
         spark,
-        counts_of(batch),
+        _dsir_counts_of(batch),
         ct_t,
         keys=["b"],
         merge_aggs=[
