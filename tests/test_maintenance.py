@@ -587,3 +587,39 @@ def test_append_layout_replay_and_crash_scrub(spark):
     assert not append_batch_to_layout(spark, rows([5, 6]), t, "k", batch_id=2)
     assert total() == 210
     _drop_table(spark, t)
+
+
+def test_append_layout_bootstrap_crash_not_adopted(spark):
+    """append_batch_to_layout's bootstrap routes through the staged swap, so
+    a crash mid-create leaves an UNCOMMITTED staging that the retry must
+    discard — never adopt as the table (its rows are a partial write).
+    And a committed staging caught in the drop→rename window must be
+    recovered, not re-bootstrapped."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        append_batch_to_layout,
+    )
+
+    t = "t_append_bootstrap_crash"
+    _drop_table(spark, t)
+    _drop_table(spark, f"{t}_staging")
+
+    def rows(vals):
+        return spark.createDataFrame([(v, v * 10) for v in vals], "k long, n long")
+
+    # fabricate a partial bootstrap write: wrong contents, NO commit marker
+    rows([99]).withColumn("ingest_batch", F.lit(0).cast("long")).write.saveAsTable(
+        f"{t}_staging"
+    )
+    assert append_batch_to_layout(spark, rows([1, 2]), t, "k", batch_id=0)
+    got = sorted(r[0] for r in spark.table(t).select("k").collect())
+    assert got == [1, 2]  # the partial 99-row staging was discarded
+    # committed staging caught between drop and rename: recover, then the
+    # replayed bootstrap batch is a no-op on the recovered watermark
+    spark.sql(f"ALTER TABLE {t} RENAME TO {t}_staging")
+    assert not append_batch_to_layout(spark, rows([1, 2]), t, "k", batch_id=0)
+    got = sorted(r[0] for r in spark.table(t).select("k").collect())
+    assert got == [1, 2]
+    _drop_table(spark, t)

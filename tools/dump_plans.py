@@ -87,8 +87,10 @@ SHOWCASE = {
     "q165_pagerank_exact": "integer-state PageRank: per-round join + BIGINT aggregate "
     "+ broadcast dangling scalar, lineage cut per round; bit-exact under any "
     "partitioning, hash-verified against an unrolled SQL oracle.",
-    "q138_waiting_suppliers": "ONE lineitem scan: late-line counts fold into the "
-    "(order,supplier) aggregate; every later stage works on that ~4x smaller grain; "
+    "q138_waiting_suppliers": "ONE lineitem scan, 'F'-status SEMI-REDUCED before "
+    "the (order,supplier) grain aggregate (r10: halves both aggregates' input, "
+    "deletes the late f_orders join — 6.69x -> 3.02x at 400x, "
+    "BENCH_Q138_ADJUDICATION); every later stage works on the reduced grain; "
     "supplier broadcasts.",
     "q163_ivf_ann_oracle": "IVF probe with a deterministic medoid quantizer: tiny "
     "centroid table broadcast twice (cell ranking, then candidate join); the corpus "
@@ -98,8 +100,10 @@ SHOWCASE = {
     "scan-side (map-side combine) BEFORE the customer left join — the textbook "
     "form shuffled a fact-sized join result; 6.07 s → ~0.9 s at 100×.",
     "q116_priority_checking": "column-pruned probe + SHUFFLE_HASH semi-join + "
-    "runtime bloom filter pruning lineitem against the 3-month filtered-orders "
-    "build before the shuffle (r7; fires on Spark defaults at >10GB scans).",
+    "runtime bloom (r7) + the IMPLIED static pushdown l_shipdate > window_start "
+    "reaching the parquet scan (r10: drops ~2/3 of the probe where the 2.3M-key "
+    "bloom build is out of regime — 6.38x -> 4.2x within-run at 400x, "
+    "BENCH_Q116_STOCK_WAVE).",
     "q167_rollup_serving": "the q12 shape answered FROM a maintained bucketed "
     "rollup after an incremental merge batch — exchange-light probe over "
     "~|orders| grain rows; hash-matches the raw-lineitem oracle (r7).",
@@ -185,6 +189,15 @@ SHOWCASE = {
     "there) + the exact semantic pass + O(k) integer RRF — hash-matches "
     "q182's full-recompute oracle (r9). Returns an eager localCheckpoint; "
     "the serve-side probe plan is q179's, asserted by tests/test_plans.py.",
+    "q187_hybrid_ivf_serving": "hybrid retrieval with BOTH lists served "
+    "from maintained indexes (r10): bucket-pruned BM25 probe for the "
+    "lexical list + directory-pruned IVF cell probe for the semantic one "
+    "(broadcast quantizer ranks top-3 cells; the cell-partitioned scan "
+    "reads only those directories; exact cosine inside probed cells only) "
+    "+ O(k) integer RRF — its own full-recompute oracle restates the "
+    "frozen quantizer in SQL; serve 0.43x vs the index-less pass on a 2M-"
+    "vector corpus at recall@20 1.0 (BENCH_HYBRID_IVF_SERVING). Returns an "
+    "eager localCheckpoint; probe plans asserted by tests/test_plans.py.",
     "q184_cluster_ledger_maintenance": "incrementally-MAINTAINED near-dup "
     "cluster ledger: a batch's edges contract to an O(batch) LABEL graph "
     "(old components are closed — new edges only merge), components run on "
