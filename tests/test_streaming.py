@@ -643,3 +643,75 @@ def test_dsir_layout_sink_streaming_batching_invariance(spark, sf_dir, tmp_path)
     assert served == want and len(served) > 0
     for t in (ht, ct_t):
         _drop_table(spark, t)
+
+
+def test_curation_sink_streaming_matches_catalog_funnel(spark, sf_dir, tmp_path):
+    """q188 under a REAL Structured Streaming ingest: the same three waves
+    (corpus + declared clone wave) delivered as forced micro-batches through
+    curation_sink must produce exactly the catalog query's accepted set —
+    including the clone-arrives-first acceptances that distinguish
+    first-seen from global-min-id dedup."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import _drop_table
+    from wikipediaetl_spark.operators.pipeline_ops import (
+        _trigram_occurrences,
+        curation_sink,
+        q188_streaming_curation_capstone,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    want = sorted(
+        map(tuple, q188_streaming_curation_capstone(spark, sf_dir).collect())
+    )
+    led, acc = "t_curation_ledger", "t_curation_accepted"
+    for t in (led, acc):
+        _drop_table(spark, t)
+        _drop_table(spark, f"{t}_staging")
+    d = load_table(spark, sf_dir, "documents")
+    corpus0 = d.filter(F.col("doc_id") >= 50).select("doc_id", "text")
+    ingest = corpus0.unionByName(
+        corpus0.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 2).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    bench_set = (
+        _trigram_occurrences(d.filter(F.col("doc_id") < 50).select("doc_id", "text"))
+        .select("tok")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    docs_dir = tmp_path / "docs"
+    # one file per wave, written in wave order so the file stream delivers
+    # batch_id == wave (the arrival order the semantics depend on)
+    for wave in range(3):
+        ingest.filter(F.pmod(F.col("doc_id"), F.lit(3)) == wave).coalesce(
+            1
+        ).write.mode("append").parquet(str(docs_dir))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(curation_sink(spark, bench_set, led, acc))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(
+            tuple,
+            spark.table(acc)
+            .select(
+                "doc_id", F.col("ingest_batch").cast("long").alias("wave"), "n_words"
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # the clone-first case actually occurred: some accepted doc_id > 10000
+    assert any(r[0] > 10000 for r in got)
+    for t in (led, acc):
+        _drop_table(spark, t)

@@ -189,6 +189,14 @@ SHOWCASE = {
     "there) + the exact semantic pass + O(k) integer RRF — hash-matches "
     "q182's full-recompute oracle (r9). Returns an eager localCheckpoint; "
     "the serve-side probe plan is q179's, asserted by tests/test_plans.py.",
+    "q188_streaming_curation_capstone": "the ingest-time curation funnel "
+    "as one foreachBatch sink driven batch-style (r10): scan-side quality "
+    "filter, q86-shaped broadcast contamination gate (the batch never "
+    "self-joins), FIRST-SEEN exact-dedup = within-batch window + anti-join "
+    "riding the maintained ledger's content_key bucketing, replay-gated "
+    "accepted append + staged-swap ledger merge. Returns an eager "
+    "localCheckpoint; the real writeStream entry is curation_sink, "
+    "exercised in tests/test_streaming.py.",
     "q187_hybrid_ivf_serving": "hybrid retrieval with BOTH lists served "
     "from maintained indexes (r10): bucket-pruned BM25 probe for the "
     "lexical list + directory-pruned IVF cell probe for the semantic one "

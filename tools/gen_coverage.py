@@ -25,7 +25,7 @@ MAPPING = """## SURVEY §2 row mapping
 | §2.8 scalar functions | q29/q84 (JSON/map), q30 (CASE), q31 (strings), q32/q78 (dates), q33 (scalar subquery), q34/q35 (pivot/unpivot), q47 (sanitize), q46 (URL normalize), q48 (arrays), q49 (levenshtein), q80 (histogram), q95 (regex groups), q96 (explode_outer), q97 (structs), q41 (date parse 'd MMMM yyyy') |
 | §2.9 streaming | q70 (tumbling+watermark), q71 (keyed dedup = Redis set), q72 (fan-out), q73 (sliding), q74 (session windows), q147 (stream-static enrichment join), q36 (batch sessionize), q37 (batch tumbling), q38 (BFS — Spark 4 recursive CTE on the forest instance; cyclic graphs via the bfs_fixpoint driver loop), q165 (integer-state PageRank, hash-verified against an unrolled 5-iteration SQL oracle — the iterative class entering the exact-checked set), q149 (applyInPandasWithState running stats, oracle-checked), q164 (same semantics on the JVM-native streaming-agg state path — the engine-speed pairing for q149's Python extensibility axis), streaming/queries.retry_queue_step (DLQ/TTL), streaming/queries.foreach_batch_parquet_sink (ack/idempotent sink), streaming/crawler.crawl (full loop), watermark-guarantee + checkpoint-recovery tests; r10: EVERY maintained layout now has a foreachBatch streaming entry with a batching-invariance test — rollup_sink, cluster_ledger_sink (q184), bm25_index_sink (q179/q186), ivf_index_sink (q177/q187), dedup_ledger_sink (q178), decontam_ledger_sink (q181), dsir_layout_sink (q185) — all sharing append_batch_to_layout's replay-watermark + mid-append crash-scrub protocol and the staged-swap merge contract |
 | §2.10 UDF surface | functions/html.parse_page_udf (pandas UDF), similarity.ivf_centroids (applyInPandas UDAF), similarity.q91 (mapInPandas BLAS), multimodal.extract_features (mapInPandas), sources/http.fetch_urls (mapInPandas), q154 (Python UDTF in LATERAL join — Spark-4 table-function surface) |
-| §2.11 LLM-pipeline extensions | q50/q51 (exact/hash dedup), q52/q53 (Jaccard), q54 (MinHash LSH), q150 (portable md5-MinHash, oracle-verified end-to-end), q55 (SimHash), q152 (portable md5-SimHash, oracle-verified end-to-end), q151 (content-keyed consistent sampling), q56 (embedding near-dup), q83 (near-dup clustering), q57/q91 (cosine top-k), q58 (IVF), q163 (IVF with medoid-seeded centroids, oracle-verified end-to-end), q59 (LSH ANN), q60 (lang-ID), q61 (quality), q62 (token count), q63 (fingerprint), q67 (TF-IDF), q68 (stopwords), q69 (sentiment), q82 (heavy hitters), q86 (decontamination), q87 (repetition), q88 (PII redaction), q89 (stratified sampling), q90 (sequence packing), q122 (containment), q131 (blocked near-dup, full table), q139 (temperature data mixing), q141 (duplicate spans, Lee et al.), q142 (Gopher quality rules), q143 (PQ ANN), q144 (unigram-LM perplexity filter), q145 (SemDeDup), q146 (BPE encode), q148 (full curation-funnel capstone), q64/q65 (multimodal binary; decode resolved call-time per modality — image real iff Pillow, audio real via soundfile-or-stdlib-wave in EVERY environment and exercised on synthesized WAV in tests, video real iff PyAV else declared stub), q140 (frame-offset sampling), q155 (bigram collocation lift / PMI), q159 (CCNet head/middle/tail perplexity terciles), q168 (UNCAPPED full-corpus exact shingle-Jaccard: exact-dedup prepass → q150 banding → exact verify on candidates, r8), q169 (64-bit/16-bit-band wide portable SimHash — the 1e9-doc-regime variant, r8), q174 (incrementally-MAINTAINED MinHash-LSH band index: append-only bucketed maintenance + batch-vs-index probe, hash-verified against q150's full recompute, r8), q175 (q159's CCNet terciles served from a maintained doc-grain feature layout under a frozen LM — O(batch tokens) maintenance, O(docs) serve, hash-verified against the full recompute, r8), q177 (incrementally-MAINTAINED IVF ANN index: frozen medoid coarse quantizer, O(batch×k) assignment, append into a cell-PARTITIONED layout, probe = directory-pruned broadcast join + exact cosine inside probed cells only, hash-verified against the full-recompute q163-style oracle, r9), q178 (incrementally-MAINTAINED exact-dedup content ledger: md5-keyed, MIN-keeper + SUM-count merge algebra through merge_batch_into_keyed_rollup, maintained state hash-verified equal to the full GROUP BY md5(text) recompute — the batch-at-scale analog of the reference's Redis seen-set, r9), q179 (incrementally-MAINTAINED BM25 lexical search: append-only tok-bucketed postings + doc-grain length layout, keyword probe bucket-prunes to the query terms, df/N/L derived at serve so results are always consistent as-of the last append; integer micro-nat idf + analytically-cleared tf normalization make the top-10 hash-verify against a full-recompute oracle, r9), q180 (incrementally-MAINTAINED SemDeDup block index: label-blocked layout with precomputed norms, append-only batch assignment, batch-vs-index probe hash-verified against q131's full-recompute oracle, r9), q181 (incrementally-MAINTAINED decontamination ledger: append-only tok-bucketed trigram postings + associative df/count rollups, serve = bench-broadcast probe with the retroactive df cap applied OUTSIDE the append-only state, hash-verified against q86's full-recompute oracle, r9), q182 (RRF hybrid retrieval: BM25 top-20 ⊕ cosine top-20 fused by integer reciprocal-rank contributions — each list a WindowGroupLimit top-k, fusion a ≤20-row full-outer join, r9), q183 (DSIR importance selection, Xie et al. 2023: Laplace-smoothed hashed-unigram target/source log-ratio in integer micro-nats, exact BIGINT doc weights, top-k selection — one histogram-grain shuffle, 64-row ratio broadcast, r9), q184 (incrementally-MAINTAINED near-dup cluster ledger: batch edges contract to an O(batch) label graph, components run on the contraction only, history relabeled via broadcast touched-label map — hash-verified against q83's full-recompute transitive closure, r9), q185 (incrementally-MAINTAINED DSIR layouts: append-only per-doc bucket histograms + 64-row associative count rollup, globally-retroactive weights recomputed O(buckets) at serve — hash-verified against q183's full recompute, r9), q186 (hybrid retrieval SERVED from the maintained BM25 layouts: bucket-pruned postings probe + exact semantic pass + integer RRF fusion, hash-verified against q182's full-recompute oracle, r9), q187 (hybrid retrieval with BOTH lists served from maintained indexes: bucket-pruned BM25 probe ⊕ directory-pruned IVF cell probe, integer RRF fusion — its own full-recompute oracle restates the frozen quantizer + cell restriction in SQL, fused-recall vs q182 measured in tests — 0.9 fixture top-10 overlap with identical lexical ranks, and recall@20 = 1.0 on the 2M-vector serving corpus, r10) |
+| §2.11 LLM-pipeline extensions | q50/q51 (exact/hash dedup), q52/q53 (Jaccard), q54 (MinHash LSH), q150 (portable md5-MinHash, oracle-verified end-to-end), q55 (SimHash), q152 (portable md5-SimHash, oracle-verified end-to-end), q151 (content-keyed consistent sampling), q56 (embedding near-dup), q83 (near-dup clustering), q57/q91 (cosine top-k), q58 (IVF), q163 (IVF with medoid-seeded centroids, oracle-verified end-to-end), q59 (LSH ANN), q60 (lang-ID), q61 (quality), q62 (token count), q63 (fingerprint), q67 (TF-IDF), q68 (stopwords), q69 (sentiment), q82 (heavy hitters), q86 (decontamination), q87 (repetition), q88 (PII redaction), q89 (stratified sampling), q90 (sequence packing), q122 (containment), q131 (blocked near-dup, full table), q139 (temperature data mixing), q141 (duplicate spans, Lee et al.), q142 (Gopher quality rules), q143 (PQ ANN), q144 (unigram-LM perplexity filter), q145 (SemDeDup), q146 (BPE encode), q148 (full curation-funnel capstone), q64/q65 (multimodal binary; decode resolved call-time per modality — image real iff Pillow, audio real via soundfile-or-stdlib-wave in EVERY environment and exercised on synthesized WAV in tests, video real iff PyAV else declared stub), q140 (frame-offset sampling), q155 (bigram collocation lift / PMI), q159 (CCNet head/middle/tail perplexity terciles), q168 (UNCAPPED full-corpus exact shingle-Jaccard: exact-dedup prepass → q150 banding → exact verify on candidates, r8), q169 (64-bit/16-bit-band wide portable SimHash — the 1e9-doc-regime variant, r8), q174 (incrementally-MAINTAINED MinHash-LSH band index: append-only bucketed maintenance + batch-vs-index probe, hash-verified against q150's full recompute, r8), q175 (q159's CCNet terciles served from a maintained doc-grain feature layout under a frozen LM — O(batch tokens) maintenance, O(docs) serve, hash-verified against the full recompute, r8), q177 (incrementally-MAINTAINED IVF ANN index: frozen medoid coarse quantizer, O(batch×k) assignment, append into a cell-PARTITIONED layout, probe = directory-pruned broadcast join + exact cosine inside probed cells only, hash-verified against the full-recompute q163-style oracle, r9), q178 (incrementally-MAINTAINED exact-dedup content ledger: md5-keyed, MIN-keeper + SUM-count merge algebra through merge_batch_into_keyed_rollup, maintained state hash-verified equal to the full GROUP BY md5(text) recompute — the batch-at-scale analog of the reference's Redis seen-set, r9), q179 (incrementally-MAINTAINED BM25 lexical search: append-only tok-bucketed postings + doc-grain length layout, keyword probe bucket-prunes to the query terms, df/N/L derived at serve so results are always consistent as-of the last append; integer micro-nat idf + analytically-cleared tf normalization make the top-10 hash-verify against a full-recompute oracle, r9), q180 (incrementally-MAINTAINED SemDeDup block index: label-blocked layout with precomputed norms, append-only batch assignment, batch-vs-index probe hash-verified against q131's full-recompute oracle, r9), q181 (incrementally-MAINTAINED decontamination ledger: append-only tok-bucketed trigram postings + associative df/count rollups, serve = bench-broadcast probe with the retroactive df cap applied OUTSIDE the append-only state, hash-verified against q86's full-recompute oracle, r9), q182 (RRF hybrid retrieval: BM25 top-20 ⊕ cosine top-20 fused by integer reciprocal-rank contributions — each list a WindowGroupLimit top-k, fusion a ≤20-row full-outer join, r9), q183 (DSIR importance selection, Xie et al. 2023: Laplace-smoothed hashed-unigram target/source log-ratio in integer micro-nats, exact BIGINT doc weights, top-k selection — one histogram-grain shuffle, 64-row ratio broadcast, r9), q184 (incrementally-MAINTAINED near-dup cluster ledger: batch edges contract to an O(batch) label graph, components run on the contraction only, history relabeled via broadcast touched-label map — hash-verified against q83's full-recompute transitive closure, r9), q185 (incrementally-MAINTAINED DSIR layouts: append-only per-doc bucket histograms + 64-row associative count rollup, globally-retroactive weights recomputed O(buckets) at serve — hash-verified against q183's full recompute, r9), q186 (hybrid retrieval SERVED from the maintained BM25 layouts: bucket-pruned postings probe + exact semantic pass + integer RRF fusion, hash-verified against q182's full-recompute oracle, r9), q187 (hybrid retrieval with BOTH lists served from maintained indexes: bucket-pruned BM25 probe ⊕ directory-pruned IVF cell probe, integer RRF fusion — its own full-recompute oracle restates the frozen quantizer + cell restriction in SQL, fused-recall vs q182 measured in tests — 0.9 fixture top-10 overlap with identical lexical ranks, and recall@20 = 1.0 on the 2M-vector serving corpus, r10), q188 (streaming curation capstone: the ingest-time funnel quality → broadcast contamination gate → FIRST-SEEN exact-dedup against the maintained md5 ledger, run as one foreachBatch sink; arrival-order semantics — a duplicate arriving in an earlier micro-batch beats a smaller doc_id later — restated declaratively by its oracle with a (wave, doc_id) arrival key over a declared clone wave; hash-matched end-to-end and exercised under a real writeStream in tests, r10) |
 | §2 round-3 Spark-4 surface (operators/advanced.py) | q153 (native session_window per-session rows), q154 (Python UDTF), q156 (VariantType parse_json/variant_get), q157 (DataFrame.unpivot melt), q158 (set-based SCD1 upsert merge — the reference ORM bulk-write pattern at scale) |
 | §2 round-3 event analytics (operators/advanced.py) | q160 (exact-integer z-score outliers — cross-multiplied DECIMAL(38,0) test, no float threshold), q161 (ordered view→click→purchase funnel), q162 (cohort retention triangle) |
 | §3.1 orchestration control flow (orchestration.py) | run_dag (per-task retries=N, XCom result handoff, upstream_failed propagation, cycle detection — ETL/dags/pipeline.py:19-93 semantics), process_html_dag (transform group → archival via XCom), tests/test_orchestration.py |
@@ -57,7 +57,7 @@ def main() -> None:
         f"reprs — the HUGEINT-vs-int64 divergence class that hid q111/q135 "
         f"for three rounds can no longer pass locally. "
         f"`tools/lint_oracles.py` additionally rejects any oracle emitting "
-        f"HUGEINT/DECIMAL(38,0) columns at type-inference time. The 35 "
+        f"HUGEINT/DECIMAL(38,0) columns at type-inference time. The 36 "
         "early-sorting WINDOW ALIASES (catalog.py _WINDOW_ALIASES) are a "
         "ROTATION: each round they re-point at the oracle-carrying queries "
         "never (or least recently) externally checked, so every oracle "
@@ -74,8 +74,11 @@ def main() -> None:
         "q49-q52/q56 (the r9-displaced four re-entering on schedule), "
         "percentiles q39 + the displaced q66, the text-analysis natives "
         "q60-q64/q68/q69, the agg natives q75/q76/q82 — plus, per the "
-        "first-round policy, the r10 flagship q187 (hybrid retrieval with "
-        "BOTH lists served from maintained indexes). 35 first-time "
+        "first-round policy, the r10 flagships q187 (hybrid retrieval with "
+        "BOTH lists served from maintained indexes) and q188 (the streaming "
+        "curation capstone: quality -> contamination -> first-seen dedup "
+        "against the maintained ledger, with arrival-order semantics its "
+        "oracle restates). 36 first-time "
         "targets; the remaining backlog (q29-q35, q48, q77-q80, q84, "
         "q87-q89, q95-q99 — 21 queries) clears next rotation. "
         "Each alias is a pure re-registration (same fn, same oracle)."

@@ -78,7 +78,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Driver-window aliases — ROTATION POLICY (round 10 instance below).
 #
 # The external CORRECTNESS harness verifies only the 50 lexicographically
-# first catalog names; the catalog has 187 distinct operators. The 35 alias
+# first catalog names; the catalog has 188 distinct operators. The 36 alias
 # slots below are a rotation: each round they are re-pointed at the
 # oracle-carrying queries that have never (or least recently) been
 # externally hash-checked, so every oracle query passes through the external
@@ -88,8 +88,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #      names stay registered, so nothing is ever *removed* from the catalog.
 #   2. Alias names keep the qNNx_ prefix scheme (``qNN_`` < ``qNNa_`` <
 #      ``qNN+1_`` because '_' 0x5f < 'a' 0x61) so the window composition is
-#      always exactly: the earliest-sorting natives + these slots (15
-#      natives + 35 slots since late r9).
+#      always exactly: the earliest-sorting natives + these slots (14
+#      natives + 36 slots as of late r10 — adding q00h displaced
+#      q105_try_arithmetic, an early-sorting native externally checked in
+#      every pre-alias round).
 #   3. Priority order within a round: (a) operators new this round,
 #      (b) never-externally-checked flagships, (c) oldest last-check.
 #   4. Slots only carry oracle-backed targets (the dedicated test asserts
@@ -102,12 +104,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # never-checked backlog (VERDICT r9 #1), prioritized exactly as asked:
 # the streaming natives q70-q74, the window block q20-q25/q93/q94, the
 # dedup natives q49-q52/q56, the r9-displaced q20/q49/q50/q51/q56/q66,
-# plus the r10 flagship q187 in its first round — 35 first-time targets,
+# plus the r10 flagships q187 and q188 in their first round — 36
+# first-time targets,
 # leaving a 21-query backlog (q29-q35, q48, q77-q80, q84, q87-q89,
 # q95-q99) that clears next rotation.
 _WINDOW_ALIASES: dict[str, str] = {
-    # (a) the r10 flagship, aliased in its FIRST round (ADVICE r8 policy)
+    # (a) the r10 flagships, aliased in their FIRST round (ADVICE r8 policy)
     "q00a_hybrid_ivf_serving": "q187_hybrid_ivf_serving",
+    "q00h_streaming_curation": "q188_streaming_curation_capstone",
     # (b) the never-checked streaming-native block (§2.9's direct surface —
     # prioritized first per VERDICT r9 #1)
     "q00b_stream_tumbling": "q70_stream_tumbling",

@@ -1097,3 +1097,205 @@ def q185_dsir_layout_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in (ht, ct_t):
         _drop_table(spark, t)
     return res
+
+
+# ------------------------------------------------- streaming curation capstone
+
+
+def curation_sink(
+    spark: SparkSession, bench_set: DataFrame, ledger_t: str, accepted_t: str
+):
+    """The ingest-time curation funnel as ONE foreachBatch sink — the r10
+    capstone composing the maintained structures under streaming delivery:
+    ``docs.writeStream.foreachBatch(curation_sink(spark, bench_set, led,
+    acc))``. Per micro-batch of (doc_id, text) rows:
+
+    1. QUALITY gate — word count >= 20 (JVM-side size/split, no UDF);
+    2. CONTAMINATION gate — >= 5 distinct trigrams shared with the
+       broadcast benchmark shingle set (q86's plan shape per batch: the
+       batch's occurrence stream semi-joins the broadcast set in one
+       codegen stage; the batch never self-joins);
+    3. EXACT-DEDUP gate — FIRST-SEEN wins, the reference's Redis SADD
+       semantics (filter/app/main.py:16-24): within the batch the smallest
+       doc_id per content key, across batches an anti-join against the
+       maintained md5 ledger (q178's MIN-keeper/SUM-count algebra);
+    4. accepted rows APPEND to the accepted layout (replay-gated), then
+       the batch's content partials MERGE into the ledger (staged-swap).
+
+    Ordering is load-bearing: accepted rows are computed and MATERIALIZED
+    before the ledger merge (the merge drop→renames the table the
+    anti-join reads), and the accepted append commits before the merge —
+    on redelivery the append no-ops on its watermark while the merge
+    completes, so a crash between the two steps reconverges without
+    double-accepting or re-accepting ledgered content. First-seen (not
+    global-min-id) is the real streaming semantic: a duplicate arriving in
+    an EARLIER batch wins even against a smaller doc_id later — exactly
+    what q188's oracle restates with the (wave, doc_id) arrival key."""
+    from wikipediaetl_spark.operators.layout import (
+        append_batch_to_layout,
+        merge_batch_into_keyed_rollup,
+        recover_interrupted_swap,
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        q = (
+            batch.withColumn("w", F.split(F.col("text"), " "))
+            .filter(F.size("w") >= 20)
+            .select(
+                "doc_id",
+                "text",
+                F.size("w").cast("long").alias("n_words"),
+                F.md5(F.col("text")).alias("content_key"),
+            )
+        )
+        tri = _trigram_occurrences(q.select("doc_id", "text"))
+        contam = (
+            tri.join(F.broadcast(bench_set), "tok")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("tok").alias("n_shared"))
+            .filter(F.col("n_shared") >= 5)
+            .select("doc_id")
+        )
+        clean = q.join(contam, "doc_id", "left_anti").localCheckpoint(eager=True)
+        wk = W.partitionBy("content_key").orderBy(F.col("doc_id").asc())
+        firsts = (
+            clean.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        recover_interrupted_swap(spark, ledger_t)
+        if spark.catalog.tableExists(ledger_t):
+            fresh = firsts.join(
+                spark.table(ledger_t).select("content_key"), "content_key", "left_anti"
+            )
+        else:
+            fresh = firsts
+        accepted = fresh.select("doc_id", "content_key", "n_words").localCheckpoint(
+            eager=True  # materialize BEFORE the ledger swap drops its table
+        )
+        append_batch_to_layout(
+            spark, accepted, accepted_t, bucket_key="doc_id", batch_id=batch_id
+        )
+        merge_batch_into_keyed_rollup(
+            spark,
+            clean.groupBy("content_key").agg(
+                F.min("doc_id").alias("keeper_doc_id"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+            ),
+            ledger_t,
+            keys=["content_key"],
+            merge_aggs=[
+                F.min("keeper_doc_id").alias("keeper_doc_id"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+            ],
+            bucket_key="content_key",
+            n_buckets=16,
+            batch_id=batch_id,
+        )
+
+    return _sink
+
+
+_Q188_ORACLE = """
+    WITH corpus0 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),
+    ingest AS (
+      SELECT doc_id, text FROM corpus0
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM corpus0 WHERE doc_id % 7 = 2
+    ),
+    q AS (
+      SELECT doc_id, text, doc_id % 3 AS wave, md5(text) AS content_key,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM ingest
+      WHERE len(string_split(text, ' ')) >= 20
+    ),
+    bench AS (
+      SELECT DISTINCT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tok
+      FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id < 50) b,
+           unnest(range(1, len(w) - 1)) t(i)
+    ),
+    doctri AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM q) d,
+           unnest(range(1, len(w) - 1)) t(i)
+    ),
+    contaminated AS (
+      SELECT doc_id FROM doctri JOIN bench USING (tok)
+      GROUP BY doc_id HAVING count(*) >= 5
+    ),
+    clean AS (
+      SELECT * FROM q
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    first_arrival AS (
+      SELECT content_key, min(wave * 1000000 + doc_id) AS arr
+      FROM clean GROUP BY content_key
+    )
+    SELECT c.doc_id, CAST(c.wave AS BIGINT) AS wave, c.n_words
+    FROM clean c
+    JOIN first_arrival f
+      ON c.content_key = f.content_key
+     AND c.wave * 1000000 + c.doc_id = f.arr
+    """
+
+
+@query("q188_streaming_curation_capstone", oracle=_Q188_ORACLE)
+def q188_streaming_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INGEST-TIME curation funnel — q148's batch capstone re-run as a
+    streaming pipeline over the maintained structures (the r10 capstone):
+    three arrival waves of documents flow through ``curation_sink``
+    (quality gate → broadcast contamination gate → first-seen exact-dedup
+    against the maintained md5 ledger → replay-gated accepted append), and
+    the accepted set must hash-match a DECLARATIVE restatement of the whole
+    funnel, arrival semantics included.
+
+    The semantic this exercises that no batch query can: FIRST-SEEN
+    dedup under arrival order. The ingest stream is the corpus (doc_id >=
+    50; the bench suite is not training data) plus a declared clone wave —
+    docs with doc_id % 7 = 2 re-arrive as doc_id + 10000 (both engines
+    declare the identical relation, the q132-q138 derived-input precedent).
+    A clone's wave is (doc_id + 1) % 3, so wave-2 originals' clones arrive
+    in wave 0 — BEFORE the original: the accepted doc is the clone (larger
+    id, earlier arrival), which the oracle restates with the
+    (wave, doc_id) arrival key min. Global-min-id dedup (q50/q178's batch
+    semantics) would pick the original — the two semantics genuinely
+    diverge on this fixture, so the hash check would catch an
+    implementation that quietly substituted one for the other.
+
+    Scale shape per batch: the quality gate is a scan-side size/split
+    filter; the contamination gate is q86's broadcast-semi shape (batch
+    occurrences never shuffle); the dedup probe is an anti-join that rides
+    the ledger's content_key bucketing (q178's layout, plan-asserted for
+    the probe shape in tests/test_plans.py); maintenance cost is O(batch +
+    |ledger grain|) via the staged swap. The REAL writeStream entry is
+    ``curation_sink`` — exercised with forced micro-batches in
+    tests/test_streaming.py; this catalog query drives the same sink
+    batch-style so the funnel is externally hash-checked."""
+    from wikipediaetl_spark.operators.layout import _drop_table
+
+    led, acc = "q188_dedup_ledger", "q188_accepted"
+    for t in (led, acc, f"{led}_staging", f"{acc}_staging"):
+        _drop_table(spark, t)
+    d = load_table(spark, sf_dir, "documents")
+    corpus0 = d.filter(F.col("doc_id") >= 50).select("doc_id", "text")
+    clones = corpus0.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 2).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    ingest = corpus0.unionByName(clones)
+    bench_set = (
+        _trigram_occurrences(d.filter(F.col("doc_id") < 50).select("doc_id", "text"))
+        .select("tok")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sink = curation_sink(spark, bench_set, led, acc)
+    for wave in range(3):
+        sink(ingest.filter(F.pmod(F.col("doc_id"), F.lit(3)) == wave), wave)
+    res = (
+        spark.table(acc)
+        .select("doc_id", F.col("ingest_batch").cast("long").alias("wave"), "n_words")
+        .localCheckpoint(eager=True)
+    )
+    for t in (led, acc):
+        _drop_table(spark, t)
+    return res
