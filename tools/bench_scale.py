@@ -166,6 +166,12 @@ QUERIES = [
     "q144_unigram_perplexity",
     "q151_content_hash_sample",
     "q183_dsir_importance_selection",
+    # r10: the streaming curation capstone IS replication-representative,
+    # unlike the near-dup family — doc replication creates exact dups,
+    # which is precisely the input class its first-seen ledger dedups
+    # (linear in corpus, grain = distinct contents); its contamination
+    # gate is q86's measured broadcast-semi regime.
+    "q188_streaming_curation_capstone",
 ]
 
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "embeddings")
