@@ -623,3 +623,84 @@ def test_append_layout_bootstrap_crash_not_adopted(spark):
     got = sorted(r[0] for r in spark.table(t).select("k").collect())
     assert got == [1, 2]
     _drop_table(spark, t)
+
+
+def test_tblproperties_helpers_distinguish_missing_from_broken(spark):
+    """ADVICE r10 low: the staging/watermark helpers must treat ONLY
+    table-not-found as "absent". Any other catalog error propagates —
+    swallowing it would make recover_interrupted_swap read a committed
+    staging as uncommitted (dropping the full maintained history) or make
+    the replay gate return None (silently re-enabling double-appends)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from wikipediaetl_spark.operators.layout import (
+        _staging_committed,
+        _table_batch_id,
+        _table_prop_int,
+    )
+
+    # genuinely missing table → absent, no exception
+    assert _staging_committed(spark, "t_definitely_not_a_table") is False
+    assert _table_batch_id(spark, "t_definitely_not_a_table") is None
+    assert _table_prop_int(spark, "t_definitely_not_a_table", "p") is None
+
+    class _BrokenCatalog:
+        """Stands in for a SparkSession whose metastore is transiently down."""
+
+        def sql(self, _):
+            raise AnalysisException("connection to metastore lost")
+
+    broken = _BrokenCatalog()
+    with pytest.raises(AnalysisException):
+        _staging_committed(broken, "t_any")
+    with pytest.raises(AnalysisException):
+        _table_batch_id(broken, "t_any")
+    with pytest.raises(AnalysisException):
+        _table_prop_int(broken, "t_any", "p")
+
+
+def test_maintained_layout_sink_order_is_structural(spark):
+    """VERDICT r10 #4: the shared skeleton must run recovery on EVERY
+    maintained table BEFORE the bootstrap existence check, and bootstrap
+    only when the table is still absent after recovery — the ordering whose
+    per-sink re-implementation caused the ADVICE r9 high bug."""
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        maintained_layout_sink,
+        staged_swap_write,
+    )
+
+    t = "t_skel_order"
+    _drop_table(spark, t)
+    _drop_table(spark, f"{t}_staging")
+    calls: list[str] = []
+
+    # fabricate the drop->rename crash window: committed staging, no table
+    staged_swap_write(
+        spark,
+        lambda: spark.createDataFrame([(1, 10)], "k long, v long"),
+        t,
+        bucket_key="k",
+        batch_id=3,
+    )
+    spark.sql(f"ALTER TABLE {t} RENAME TO {t}_staging")
+
+    sink = maintained_layout_sink(
+        spark,
+        lambda b, bid: calls.append(f"apply:{bid}"),
+        recover_tables=[t],
+        bootstrap=lambda: calls.append("bootstrap"),
+    )
+    sink(None, 4)
+    # recovery renamed the committed staging back -> bootstrap must NOT run
+    assert calls == ["apply:4"]
+    assert [r[0] for r in spark.table(t).collect()] == [1]
+
+    # genuinely absent table -> bootstrap runs exactly once, before apply
+    _drop_table(spark, t)
+    calls.clear()
+    sink(None, 5)
+    assert calls == ["bootstrap", "apply:5"]
+    _drop_table(spark, t)
+    _drop_table(spark, f"{t}_staging")

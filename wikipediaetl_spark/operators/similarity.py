@@ -690,10 +690,16 @@ def ivf_index_sink(spark: SparkSession, table: str, cents: DataFrame):
     invariant to stream batching (asserted by the streaming test); replays
     no-op and mid-append crashes scrub via ``append_batch_to_layout``'s
     protocol. The quantizer itself never changes online — real IVF systems
-    re-train offline and rebuild, exactly q177's contract."""
-    from wikipediaetl_spark.operators.layout import append_batch_to_layout
+    re-train offline and rebuild, exactly q177's contract. Delegates the
+    recover→apply shape to ``maintained_layout_sink`` (VERDICT r10 #4);
+    the recover entry carries the cell partition spec so a recovery rename
+    re-registers partitions before any read."""
+    from wikipediaetl_spark.operators.layout import (
+        append_batch_to_layout,
+        maintained_layout_sink,
+    )
 
-    def _sink(batch: DataFrame, batch_id: int) -> None:
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
         vecs = batch.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
@@ -705,7 +711,9 @@ def ivf_index_sink(spark: SparkSession, table: str, cents: DataFrame):
             batch_id=batch_id,
         )
 
-    return _sink
+    return maintained_layout_sink(
+        spark, apply_batch, recover_tables=[(table, ("cell",))]
+    )
 
 
 @query(

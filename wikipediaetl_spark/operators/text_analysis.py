@@ -1065,10 +1065,14 @@ def bm25_index_sink(spark: SparkSession, pt: str, lt: str):
     batching-invariance streaming test. A crash BETWEEN the two appends
     leaves postings committed and doclens one batch behind; redelivery
     no-ops the postings append and completes the doclen one, so the pair
-    reconverges without double-applying either."""
-    from wikipediaetl_spark.operators.layout import append_batch_to_layout
+    reconverges without double-applying either. Delegates the
+    recover→apply shape to ``maintained_layout_sink`` (VERDICT r10 #4)."""
+    from wikipediaetl_spark.operators.layout import (
+        append_batch_to_layout,
+        maintained_layout_sink,
+    )
 
-    def _sink(batch: DataFrame, batch_id: int) -> None:
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
         append_batch_to_layout(
             spark, _bm25_postings(batch), pt, bucket_key="tok", batch_id=batch_id
         )
@@ -1076,4 +1080,4 @@ def bm25_index_sink(spark: SparkSession, pt: str, lt: str):
             spark, _bm25_doclen(batch), lt, bucket_key="doc_id", batch_id=batch_id
         )
 
-    return _sink
+    return maintained_layout_sink(spark, apply_batch, recover_tables=[pt, lt])

@@ -198,6 +198,22 @@ GROUPABLE: dict[str, list[str]] = {
     "region": ["r_name"],
 }
 
+# Closed-domain columns usable as PIVOT spread columns (r11): the explicit
+# value list makes the pivot deterministic and the output schema fixed.
+PIVOTABLE: dict[str, list[tuple[str, list[str]]]] = {
+    "lineitem": [("l_returnflag", ["A", "N", "R"]),
+                 ("l_linestatus", ["O", "F"])],
+    "orders": [("o_orderstatus", ["O", "F", "P"]),
+               ("o_orderpriority",
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                 "5-LOW"])],
+    "customer": [("c_mktsegment",
+                  ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                   "MACHINERY"])],
+    "region": [("r_name",
+                ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])],
+}
+
 # Literal pools per string column so predicates are selective-but-nonempty.
 STR_LITERALS: dict[str, list[str]] = {
     "l_returnflag": ["A", "N", "R"],
@@ -287,6 +303,25 @@ def to_spark(e: Expr) -> Column:
             return F.round(a[0] * F.lit(100.0), 0).cast("long")
         if e.op == "isnull":
             return a[0].isNull()
+        if e.op in ("vget_int", "vget_str"):
+            # r11 production: VariantType — a JSON document is ASSEMBLED from
+            # row values, parsed to VARIANT, and a typed path extracted.
+            # Spark renders parse_json/variant_get (the Spark-4 semi-
+            # structured path, q156's surface); SQL renders string-built
+            # JSON + json_extract_string — independent encodings including
+            # the NULL row (concat null-propagates → NULL payload → NULL
+            # extraction on both engines).
+            payload = F.concat(
+                F.lit('{"a":'),
+                to_spark(e.args[0]).cast("long").cast("string"),
+                F.lit(',"s":"'),
+                to_spark(e.args[1]),
+                F.lit('"}'),
+            )
+            v = F.try_parse_json(payload)
+            if e.op == "vget_int":
+                return F.variant_get(v, "$.a", "bigint")
+            return F.variant_get(v, "$.s", "string")
         raise ValueError(f"unknown func {e.op}")
     if e.kind == "case":
         cond, then, els = (to_spark(x) for x in e.args)
@@ -383,6 +418,19 @@ def to_sql(e: Expr) -> str:
             return f"CAST(ROUND({a[0]} * 100.0) AS BIGINT)"
         if e.op == "isnull":
             return f"({a[0]} IS NULL)"
+        if e.op in ("vget_int", "vget_str"):
+            payload = (
+                "('{\"a\":' || CAST(CAST(" + a[0] + " AS BIGINT) AS VARCHAR)"
+                " || ',\"s\":\"' || " + a[1] + " || '\"}')"
+            )
+            # json_valid guards the (fixture-impossible) invalid-JSON case to
+            # mirror Spark's try_parse_json → NULL; NULL payload → NULL CASE.
+            ex = (f"(CASE WHEN json_valid({payload}) THEN "
+                  f"json_extract_string({payload}, '$.a') END)")
+            if e.op == "vget_int":
+                return f"CAST({ex} AS BIGINT)"
+            return (f"(CASE WHEN json_valid({payload}) THEN "
+                    f"json_extract_string({payload}, '$.s') END)")
         raise ValueError(f"unknown func {e.op}")
     if e.kind == "case":
         c, t, els = (to_sql(x) for x in e.args)
@@ -523,6 +571,26 @@ class FuzzQuery:
     # empty are NULL in both).  NULL outer keys match nothing in both
     # encodings.  Output column ``ssv`` (BIGINT in both renderings).
     select_scalar: tuple | None = None
+    # r11 production: PIVOT — a grouped aggregate spread over an explicit
+    # low-cardinality value list. Spark renders the native
+    # df.groupBy(keys).pivot(pcol, values).agg(...) (q34/q157's surface);
+    # SQL renders the canonical conditional-aggregation dual
+    # (agg(CASE WHEN pcol = 'v' THEN arg END) AS p_i) — fully independent
+    # encodings. Values are the fixture's closed domains; a group with no
+    # rows at a value yields NULL in both (sum/min/max over empty — count
+    # is deliberately excluded: Spark's missing-pair cell is NULL while
+    # SQL count(CASE..) is 0). Pivot columns are RENAMED to positional
+    # p{i} aliases on both sides so value strings with spaces/hyphens
+    # never become column names. (pcol, values, agg_op, agg_arg Expr).
+    pivot: tuple | None = None
+    # r11 production: UNPIVOT/melt — computed long measures melted to
+    # (measure-name, value) rows. Spark renders the native
+    # DataFrame.unpivot (which KEEPS NULL values); SQL renders the
+    # UNION-ALL-of-projections dual (which also keeps NULLs — unlike SQL
+    # UNPIVOT's default NULL-dropping, so the encodings agree under the
+    # nullable fixture by construction, and the NULL-kept rows are a live
+    # checked path). (id_col, [(mname, Expr long), ...]).
+    unpivot: tuple | None = None
     # [NOT] IN (SELECT col ...) with full ANSI 3VL (r8): SQL renders the
     # subquery predicate; Spark renders it from first principles — IN is a
     # left-semi join; NOT IN is a left join against the DISTINCT non-NULL
@@ -631,6 +699,31 @@ class FuzzQuery:
             pred = {"<": lhs < rhs, "<=": lhs <= rhs, ">": lhs > rhs,
                     ">=": lhs >= rhs, "=": lhs == rhs, "<>": lhs != rhs}[cmp]
             df = df.crossJoin(F.broadcast(scalar)).filter(pred).drop("__scalar0")
+        if self.pivot is not None:
+            pcol, values, agg_op, agg_arg = self.pivot
+            keys = [to_spark(g) for g in self.group_by]
+            arg = to_spark(agg_arg)
+            if agg_op == "sum":
+                aggc = F.sum(arg.cast("long"))
+            else:
+                aggc = getattr(F, agg_op)(arg)
+            out = df.groupBy(*keys).pivot(pcol, values).agg(aggc)
+            for i, v in enumerate(values):
+                out = out.withColumnRenamed(str(v), f"p{i}")
+            return out
+        if self.unpivot is not None:
+            id_col, measures = self.unpivot
+            sel = [F.col(id_col)] + [to_spark(e).cast("long").alias(m)
+                                     for m, e in measures]
+            out = df.select(*sel).unpivot(
+                [id_col], [m for m, _ in measures], "m", "v")
+            if self.limit is not None:
+                out = out.orderBy(*[F.col(c).asc_nulls_first()
+                                    for c in sorted(out.columns)])
+                if self.offset:
+                    out = out.offset(self.offset)
+                out = out.limit(self.limit)
+            return out
         if self.windows:
             from pyspark.sql import Window as W
 
@@ -799,6 +892,47 @@ class FuzzQuery:
             kw = {"inner": "JOIN", "left": "LEFT JOIN"}[how]
             frm += f" {kw} ({inner}) __dj ON {oc} = __djk"
         parts = []
+        if self.pivot is not None:
+            pcol, values, agg_op, agg_arg = self.pivot
+            gk = self._group_keys()
+            items = [f"{to_sql(g)} AS {a}" for a, g in gk]
+            arg = to_sql(agg_arg)
+            for i, v in enumerate(values):
+                cond = f"CASE WHEN {pcol} = {_sql_str(v)} THEN {arg} END"
+                if agg_op == "sum":
+                    ex = f"CAST(sum(CAST({cond} AS BIGINT)) AS BIGINT)"
+                else:
+                    ex = f"{agg_op}({cond})"
+                items.append(f"{ex} AS p{i}")
+            parts.append("SELECT " + ", ".join(items))
+            parts.append(f"FROM {frm}")
+            wc = self._where_sql(rel)
+            if wc:
+                parts.append(f"WHERE {wc}")
+            parts.append("GROUP BY " + ", ".join(to_sql(g) for _, g in gk))
+            return "\n".join(parts)
+        if self.unpivot is not None:
+            id_col, measures = self.unpivot
+            inner_items = [id_col] + [
+                f"CAST({to_sql(e)} AS BIGINT) AS {m}" for m, e in measures
+            ]
+            inner = f"SELECT {', '.join(inner_items)}\nFROM {frm}"
+            wc = self._where_sql(rel)
+            if wc:
+                inner += f"\nWHERE {wc}"
+            branches = [
+                f"SELECT {id_col}, {_sql_str(m)} AS m, {m} AS v "
+                f"FROM (\n{inner}\n) __up{i}"
+                for i, (m, _) in enumerate(measures)
+            ]
+            sql = "\nUNION ALL\n".join(branches)
+            if self.limit is not None:
+                order = ", ".join(f"{c} ASC NULLS FIRST"
+                                  for c in sorted([id_col, "m", "v"]))
+                sql = (f"SELECT * FROM (\n{sql}\n) q ORDER BY {order} "
+                       f"LIMIT {self.limit}"
+                       + (f" OFFSET {self.offset}" if self.offset else ""))
+            return sql
         if self.windows:
             key = UNIQUE_KEYS[self.tables[0]]
             items = [key]
@@ -1278,6 +1412,36 @@ class FuzzGen:
                                 None if agg_op == "count_star" else agg_col,
                                 oc, rng.choice(["inner", "left"]), sub_where)
 
+        # r11: PIVOT shape — the join path contains a closed-domain column;
+        # Spark native pivot vs SQL conditional-aggregation dual.
+        if rng.random() < 0.12:
+            cands = [(pc, vals) for t in tables
+                     for pc, vals in PIVOTABLE.get(t, [])]
+            pool = [c for t in tables for c in GROUPABLE[t]]
+            if cands:
+                pcol, values = rng.choice(cands)
+                pool = [c for c in pool if c != pcol]
+                if pool:
+                    gcols = [col(c, TABLES[self._owner(c)][c])
+                             for c in rng.sample(
+                                 pool, k=min(len(pool), rng.randint(1, 2)))]
+                    agg_op = rng.choice(["sum", "sum", "min", "max"])
+                    return FuzzQuery(
+                        self.seed, tables, hows, ons, where, gcols, [],
+                        join_extra=extras,
+                        pivot=(pcol, values, agg_op, self._int_expr(tables)))
+
+        # r11: UNPIVOT/melt shape — computed long measures over one table;
+        # Spark native unpivot (NULL-keeping) vs SQL UNION-ALL dual.
+        if (len(tables) == 1 and tables[0] in UNIQUE_KEYS
+                and rng.random() < 0.10):
+            t0 = tables[0]
+            measures = [(f"m{i}", self._int_expr([t0]))
+                        for i in range(rng.randint(2, 3))]
+            return FuzzQuery(self.seed, [t0], [], [], where, [], [],
+                             unpivot=(UNIQUE_KEYS[t0], measures),
+                             limit=limit, offset=offset)
+
         if (len(tables) == 1 and tables[0] in UNIQUE_KEYS
                 and rng.random() < 0.25):
             # windowed shape: ORDER BY the unique key makes every window's
@@ -1401,6 +1565,20 @@ class FuzzGen:
             kind = rng.choice(["int", "int", "str"])
             e = self._int_expr(tables) if kind == "int" else self._str_expr(tables)
             select.append((f"c{i}", e))
+        # r11: VariantType extraction columns — assemble JSON from row
+        # values, parse to VARIANT, extract typed paths (Spark parse_json/
+        # variant_get vs SQL json_extract_string).
+        if rng.random() < 0.2:
+            strs = self._cols_of(tables, ("str",))
+            if strs:
+                sc = rng.choice(strs)
+                select.append(("vj", Expr(
+                    "func", "long", "vget_int",
+                    (self._int_expr(tables), sc))))
+                if rng.random() < 0.5:
+                    select.append(("vjs", Expr(
+                        "func", "str", "vget_str",
+                        (self._int_expr(tables), sc))))
         if derived_join is not None:
             select.append(("dj", col("__djv", "long")))
         # r9: correlated scalar subquery in the SELECT list along an unused

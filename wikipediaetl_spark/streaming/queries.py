@@ -402,6 +402,127 @@ def q147_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_completion(agg, "complete", _small_state_partitions())
 
 
+def _segment_partials(events: DataFrame, cust: DataFrame) -> DataFrame:
+    """Per-segment partial aggregates of one event set — the shared algebra
+    of q189's batch bootstrap and its streaming delta merges. Decimal
+    partials keep the fold exact and associative (sum-of-double is
+    order-sensitive in the last bits), so bootstrap ∘ merges ≡ one batch
+    aggregate regardless of how the delta is micro-batched."""
+    return (
+        events.join(F.broadcast(cust), events["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(30,2)")
+            .alias("total_d"),
+        )
+    )
+
+
+def enrich_rollup_sink(spark: SparkSession, table: str, cust: DataFrame):
+    """Streaming attach for the q189 segment rollup: each micro-batch's
+    partials merge into the maintained rollup via the shared skeleton
+    (``maintained_layout_sink`` → ``merge_batch_into_keyed_rollup``), with
+    the micro-batch id as the replay watermark."""
+    from wikipediaetl_spark.operators.layout import (
+        maintained_layout_sink,
+        merge_batch_into_keyed_rollup,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        merge_batch_into_keyed_rollup(
+            spark,
+            _segment_partials(batch, cust),
+            table,
+            keys=["c_mktsegment"],
+            merge_aggs=[
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("total_d").cast("decimal(30,2)").alias("total_d"),
+            ],
+            bucket_key="c_mktsegment",
+            n_buckets=1,
+            batch_id=batch_id,
+        )
+
+    return maintained_layout_sink(spark, apply_batch, recover_tables=[table])
+
+
+@query(
+    "q189_bootstrap_attach_enrich",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q189_bootstrap_attach_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q147's enrichment answer under the BACKFILL-THEN-ATTACH posture —
+    the maintained-layout lever VERDICT r10 #3 prescribes for the one-shot
+    streaming floor. q147 replays ALL history through the stateful
+    streaming operator, so its one-shot cost at 400× carries per-micro-batch
+    state machinery for data that is already at rest; a production pipeline
+    standing up this query on 100 TB of history instead (1) BOOTSTRAPS the
+    aggregate state batch-style — one Catalyst-optimized join+aggregate,
+    staged-swapped into the maintained segment rollup — and (2) ATTACHES
+    the stream at the cutover, so micro-batch state machinery is paid only
+    for the live delta. Here history = 90% of events (pmod(event_id,10)≠7)
+    and the remaining 10% arrives as two delta merges through
+    ``enrich_rollup_sink`` (the real writeStream attach, plus its
+    batching-invariance property, is exercised in tests/test_streaming.py);
+    the serve reads the rollup. Decimal partials make bootstrap∘merge ≡ one
+    batch aggregate exactly, so the result hash-matches q147's oracle —
+    same answer, different (and at scale, vastly cheaper) one-shot path:
+    measured at 400× in BENCH_STREAM_BOOTSTRAP.json. Reference tie: the
+    enrichment semantics are q147's (parser/app/main.py allow-list
+    consultation); the bootstrap/attach split is the standard
+    backfill-batch + stream-from-cutover deployment."""
+    from wikipediaetl_spark.operators.layout import (
+        _drop_table,
+        merge_batch_into_keyed_rollup,
+    )
+    from wikipediaetl_spark.sources import load_table
+
+    table = "q189_segment_rollup"
+    _drop_table(spark, table)
+    _drop_table(spark, f"{table}_staging")
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    hist = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) != 7)
+    # batch bootstrap: unstamped (the stream's own batch 0 must not be
+    # treated as a replay of the bootstrap)
+    merge_batch_into_keyed_rollup(
+        spark,
+        _segment_partials(hist, cust),
+        table,
+        keys=["c_mktsegment"],
+        merge_aggs=[
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("total_d").cast("decimal(30,2)").alias("total_d"),
+        ],
+        bucket_key="c_mktsegment",
+        n_buckets=1,
+    )
+    # stream attach: the delta arrives as two micro-batches
+    sink = enrich_rollup_sink(spark, table, cust)
+    delta = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 7)
+    sink(delta.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0), 0)
+    sink(delta.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1), 1)
+    res = (
+        spark.table(table)
+        .select(
+            "c_mktsegment",
+            "n_events",
+            F.col("total_d").cast("double").alias("total_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _drop_table(spark, table)
+    return res
+
+
 @query(
     "q149_stateful_running_stats",
     oracle="""
