@@ -616,3 +616,20 @@ def test_cluster_ledger_crash_window_recovers_not_bootstraps(spark):
     )
     assert sorted(map(tuple, spark.table(table).collect())) == want1
     _drop_table(spark, table)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """r11 regression: a >20-hop path graph. The propagation-only loop under
+    the old silent max_rounds=20 cap returned NON-converged labels here
+    (caught live by the combined-ingest twin check at sf0.01); pointer
+    doubling converges in O(log diameter) rounds and non-convergence now
+    raises instead of silently returning."""
+    from wikipediaetl_spark.operators.relational_ext import connected_components
+
+    n = 60  # one path component of diameter 59, plus a separate triangle
+    edges = [(i, i + 1) for i in range(n - 1)] + [(1000, 1001), (1001, 1002),
+                                                  (1000, 1002)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert all(got[i] == 0 for i in range(n))
+    assert got[1000] == got[1001] == got[1002] == 1000

@@ -250,16 +250,27 @@ def q82_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     """Connected components over an undirected pair list via iterative
-    min-label propagation — the distributed union-find stand-in.
+    min-label propagation WITH pointer-doubling — the distributed
+    union-find stand-in.
 
     pairs(doc_a, doc_b) → (doc_id, cluster_id) where cluster_id is the
     minimum doc_id in the component. Each round every node adopts the min
-    label among itself and its neighbors; rounds needed = graph diameter
-    (near-dup clusters are shallow). Same driver-loop-of-micro-batches shape
-    as the crawler BFS (streaming/crawler.py).
-    """
+    label among itself and its neighbors, THEN compresses through its
+    label's own label (label ← min(label, label[label]) — every label is
+    itself a node, so the lookup always resolves). The compression halves
+    the remaining distance-to-root each round, so rounds needed are
+    O(log diameter) instead of O(diameter) — found the hard way in r11:
+    the combined-ingest band-collision graph at sf0.01 has a >20-hop
+    chain, and the propagation-only loop under the old silent
+    ``max_rounds=20`` cap returned NON-CONVERGED labels (the incremental
+    ledger, which effectively converges across batches, was right and the
+    \"twin\" wrong). Non-convergence now RAISES instead of silently
+    returning: at the default 50 doubling rounds that would take a
+    diameter over 2^49 — impossible — so a raise means the loop itself is
+    broken, never the data. Same driver-loop-of-micro-batches shape as the
+    crawler BFS (streaming/crawler.py)."""
     spark = pairs.sparkSession
     # Materialize the pair list BEFORE pinning the loop confs: the upstream
     # pair generation (e.g. q53's shingle join) is the heavy stage and must
@@ -285,6 +296,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             .withColumn("label", F.col("node"))
             .localCheckpoint(eager=True)
         )
+        converged = False
         for _ in range(max_rounds):
             # one join + one aggregate per round: a node's own label rides
             # the union instead of a second (left) join — min over
@@ -293,22 +305,44 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             neighbor_labels = edges.join(labels, edges.dst == labels.node).select(
                 F.col("src").alias("node"), "label"
             )
-            new_labels = (
+            propagated = (
                 labels.select("node", "label")
                 .unionByName(neighbor_labels)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
+            )
+            # pointer doubling: follow the label's own label one hop —
+            # halves remaining distance-to-root per round (log-diameter
+            # convergence; see docstring for the r11 >20-hop-chain bug)
+            hop = propagated.select(
+                F.col("node").alias("label"), F.col("label").alias("label2")
+            )
+            new_labels = (
+                propagated.join(hop, "label", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("label2", F.col("label"))
+                    ).alias("label"),
+                )
                 .localCheckpoint(eager=True)
             )
-            changed = (
+            stable = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
                 .filter(F.col("n.label") != F.col("o.label"))
                 .isEmpty()
             )
             labels = new_labels
-            if changed:
+            if stable:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} "
+                "doubling rounds — impossible for any real graph; the loop "
+                "is broken"
+            )
         return labels.select(
             F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
         )
