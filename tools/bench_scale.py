@@ -382,7 +382,15 @@ def main() -> None:
     # SPARK_GRAFT_SCALE_QUERIES=q01_...,q51_... limits the run (large factors
     # where the heavy pipeline queries would run for tens of minutes)
     only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
-    queries = [q for q in QUERIES if q in set(only.split(","))] if only else QUERIES
+    if only:
+        # any catalog query may be named (r11: the serving/maintenance rungs
+        # are folded into this artifact and are not in the default sweep
+        # list); unknown names fail loud rather than silently measuring {}
+        queries = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = [q for q in queries if q not in qs]
+        assert not unknown, f"unknown catalog queries: {unknown}"
+    else:
+        queries = QUERIES
     # 32MB input splits: the replicated fact files are single ~1GB parquet
     # files, and the default 128MB split gives only ~8 scan tasks on 32
     # cores. 32MB was measured the sweet spot (8MB loses to task overhead).
