@@ -94,10 +94,17 @@ def test_readme_under_comparator_count_matches_400x_artifact():
     ratios = [v["ratio"] for v in qs.values() if isinstance(v, dict) and "ratio" in v]
     under = sum(1 for r in ratios if r < 1.0)
     median = statistics.median(ratios)
-    words = "ZERO ONE TWO THREE FOUR FIVE SIX SEVEN EIGHT NINE TEN ELEVEN TWELVE".split()
+    words = (
+        "ZERO ONE TWO THREE FOUR FIVE SIX SEVEN EIGHT NINE TEN ELEVEN TWELVE "
+        "THIRTEEN FOURTEEN FIFTEEN SIXTEEN SEVENTEEN EIGHTEEN NINETEEN TWENTY "
+        "TWENTY-ONE TWENTY-TWO TWENTY-THREE TWENTY-FOUR TWENTY-FIVE TWENTY-SIX "
+        "TWENTY-SEVEN TWENTY-EIGHT TWENTY-NINE THIRTY THIRTY-ONE THIRTY-TWO "
+        "THIRTY-THREE THIRTY-FOUR THIRTY-FIVE THIRTY-SIX THIRTY-SEVEN "
+        "THIRTY-EIGHT THIRTY-NINE FORTY"
+    ).split()
     with open("/root/repo/README.md") as f:
         flat = f.read().replace("\n", " ")
-    m = re.search(r"(\w+) queries run UNDER the single-node DuckDB comparator", flat)
+    m = re.search(r"([\w-]+) queries run UNDER the single-node DuckDB comparator", flat)
     assert m, "README lost the under-comparator sentence"
     assert m.group(1) == words[under], (
         f"README says {m.group(1)}, artifact has {under} ratios < 1.0"

@@ -403,6 +403,14 @@ def main() -> None:
             # stores) plus the memory sink need real heap; the 8g default
             # OOMs at 400x with input-sized state parallelism
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+            # r11 full-catalog tranche: per-row-result queries (q119's RANGE
+            # window, q43's full-corpus text extraction) return >1 GiB at
+            # 400x. Materializing the whole result is the harness's
+            # engine-fair contract (DuckDB pays the same via
+            # fetch_arrow_table), so the cap is raised, not the queries
+            # changed — at cluster scale these results stream to a sink, not
+            # a driver.
+            "spark.driver.maxResultSize": "8g",
         },
     )
     # warm codegen/JVM on the small fixture

@@ -19,11 +19,23 @@ run() {
     2>> /tmp/scale_r11b.stderr
 }
 
+if [ -z "$SKIP_CHUNK_A" ]; then
 run "q02_scan_project,q03_filter_predicates,q04_orderby_limit,q06_distinct,q07_count_distinct,q09_rollup,q10_cube,q104_grouping_id,q105_try_arithmetic,q106_collect_set,q107_bit_aggregates,q108_exact_correlation,q119_range_frame_window,q13_left_join,q14_semi_join,q15_anti_join,q17_cross_join,q18_range_join,q21_window_running,q22_window_lag,q32_date_funcs,q33_scalar_subquery,q66_grouping_sets,q75_minmax_by,q76_conditional_agg"
 echo "== chunk A done =="
-run "q78_date_arithmetic,q79_null_funcs,q85_merge_upsert,q92_correlated_subquery,q93_window_value_funcs,q97_struct_ops,q29_json_extract,q34_pivot,q36_sessionize,q81_salted_join,q84_map_ops,q37_tumbling_window,q70_stream_tumbling,q71_stream_dedup,q72_stream_fanout,q73_sliding_window,q74_stream_session"
+fi
+# q74_stream_session is run SEPARATELY with a 48g driver: its one-shot
+# session-window state over the 400x events history OOMs the default 24g
+# single-JVM harness heap (per-key state is executor-distributed on a real
+# cluster; the single-JVM ceiling is a harness property).
+run "q78_date_arithmetic,q79_null_funcs,q85_merge_upsert,q92_correlated_subquery,q93_window_value_funcs,q97_struct_ops,q29_json_extract,q34_pivot,q36_sessionize,q81_salted_join,q84_map_ops,q37_tumbling_window,q70_stream_tumbling,q71_stream_dedup,q72_stream_fanout,q73_sliding_window"
 echo "== chunk B done =="
 run "q40_html_categories,q41_html_last_edited,q42_word_count,q43_extract_text,q44_category_distribution,q45_converter_output,q46_url_normalize,q47_sanitize_filename,q48_array_ops,q50_exact_dedup,q52_token_jaccard,q60_lang_id,q61_quality_score,q62_token_count,q63_fingerprint,q64_binary_meta,q68_stopword_filter,q69_sentiment,q82_heavy_hitters,q87_repetition,q88_pii_redaction,q96_explode_outer,q109_dedup_decision,q110_cross_modal_join,q111_source_stats,q114_lateral_explode,q139_data_mixing,q140_frame_offsets"
 echo "== chunk C done =="
 run "q165_pagerank_exact,q166_storage_merge_roundtrip"
 echo "== chunk D done =="
+# q74_stream_session: ATTEMPTED at 24g, 48g, and 24g+RocksDB state — all
+# OOM. The complete-mode memory-sink harness shape materializes O(history)
+# on the driver by construction (up to one session row per event at 40M
+# events); excluded with reason 'complete-mode-harness-shape' in the
+# artifact's excluded table (tools/annotate_scale_400x.py). Its
+# sessionization work is measured as q36_sessionize (batch twin).
