@@ -727,3 +727,33 @@ def test_q138_semireduce_semi_join_below_grain_aggregate(spark, sf_dir):
     assert -1 < grain < semi, (grain, semi)
     assert "partial_max" in text  # map-side combine on the grain aggregate
     assert "BroadcastHashJoin" in text  # supplier dim never shuffles
+
+
+def test_grouping_family_expands_above_fine_grain_aggregate(spark, sf_dir):
+    """r11 adopted wave: ROLLUP/CUBE/GROUPING SETS plan as Expand × |sets|,
+    which duplicates every input row per grouping set — 3-4× the shuffle
+    input at 400× (q66 measured 19.05×, the worst work-dominated tranche
+    row). All three queries' aggregates are decomposable, so the fine-grain
+    aggregate must sit BELOW the Expand: Expand's subtree contains the
+    HashAggregate over the natural grouping grain, and the big-table scan
+    feeds a partial aggregate, not the Expand. Tree printout: parents print
+    before children, so Expand must appear before (= above) the fine-grain
+    aggregate and the scan."""
+    from wikipediaetl_spark.operators.relational import (
+        q09_rollup,
+        q10_cube,
+        q66_grouping_sets,
+    )
+
+    for fn, grain_key in (
+        (q09_rollup, "HashAggregate(keys=[l_returnflag"),
+        (q10_cube, "HashAggregate(keys=[o_orderstatus"),
+        (q66_grouping_sets, "HashAggregate(keys=[o_orderstatus"),
+    ):
+        text = explain_str(fn(spark, sf_dir), mode="simple")
+        expand = text.find("Expand")
+        grain = text.find(grain_key, expand)
+        scan = text.find("FileScan")
+        assert -1 < expand < grain < scan, (fn.__name__, expand, grain, scan)
+        # the fine grain combines map-side before its exchange
+        assert "partial_count(1)" in text or "partial_sum" in text, fn.__name__

@@ -296,10 +296,27 @@ def q08_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals via ROLLUP (SURVEY.md §2.4 [E])."""
+    """Hierarchical subtotals via ROLLUP (SURVEY.md §2.4 [E]).
+
+    r11 adopted wave (grouping-family pre-aggregation, see q10/q66):
+    Catalyst plans ROLLUP as Expand × |sets| below the aggregate, tripling
+    the 240M-row stream through the partial-aggregate codegen stage. Every
+    aggregate here is decomposable, so the fine-grain (flag, status)
+    aggregate (~6 rows) runs first and ROLLUP re-aggregates the partials —
+    the Expand then multiplies 6 rows, not 240M. Adjudication note: a
+    cross-session comparison first read this wave as negative here (3.02 s
+    native in the tranche sweep vs 3.78 s pre-agg in a fresh session); the
+    within-run A/B — the only citable methodology per BENCH_NOTES —
+    measured native 3.9–4.2 s vs pre-agg 1.9–2.2 s over 3 alternated reps,
+    a 2× win; canonical row 2.53 s / 3.06×. Sum exactness: l_quantity is
+    integer-valued (≤50), partial double sums stay ≪2^53. Plan-asserted in
+    tests/test_plans.py."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("pq"), F.count(F.lit(1)).alias("pn")
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("pq").alias("sum_qty"), F.sum("pn").alias("n")
     )
 
 
@@ -314,11 +331,24 @@ def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All grouping-set combinations via CUBE (SURVEY.md §2.4 [E])."""
+    """All grouping-set combinations via CUBE (SURVEY.md §2.4 [E]).
+
+    r11 adopted wave — see q09_rollup: the fine-grain (status, priority)
+    aggregate (15 rows) runs below the Expand, so CUBE's 4-way row
+    duplication hits 15 partial rows instead of 60M orders. Money stays
+    exact: the partial is a DECIMAL(18,2) sum, the re-aggregate sums the
+    decimals and casts to double once at the end (same value as dsum's
+    single-pass sum — decimal addition is associative). Within-run A/B at
+    400× (3 alternated reps): native 5.6–5.8 s vs pre-agg 1.8–2.0 s — 3×;
+    canonical row 15.9× → 5.48× (BENCH_SCALE_400x, BENCH_NOTES r11)."""
     o = _t(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum(F.col("o_totalprice"), 2).alias("revenue"),
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("prev"),
+    )
+    return base.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum("pn").alias("n"),
+        F.sum("prev").cast("double").alias("revenue"),
     )
 
 
@@ -1259,14 +1289,28 @@ def q49_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q66_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (beyond rollup/cube) via the SQL API — Catalyst
-    expands to a union-free Expand node, one pass over the data."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    """Explicit GROUPING SETS (beyond rollup/cube) via the SQL API.
+
+    r11 adopted wave — see q09_rollup: the native plan's Expand duplicates
+    all 60M orders ×3 grouping sets; every aggregate here is decomposable,
+    so the (status, priority) fine-grain aggregate (15 rows) is computed
+    first and the native GROUPING SETS runs over the partials (count(*)
+    becomes sum(pn), the decimal revenue partial re-sums exactly). The
+    GROUPING SETS node itself is unchanged — subtotal-NULL semantics and
+    the per-set row identity come from the real Expand, just fed 15 rows
+    instead of 60M. Within-run A/B at 400× (3 alternated reps): native
+    4.1–4.5 s vs pre-agg 1.7–1.9 s — 2.4×; canonical row 19.05× → 6.28×
+    (BENCH_SCALE_400x, BENCH_NOTES r11)."""
+    o = _t(spark, sf_dir, "orders")
+    o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("prev"),
+    ).createOrReplaceTempView("v_orders_gs")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+               sum(pn) AS n,
+               CAST(sum(prev) AS DOUBLE) AS revenue
         FROM v_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
