@@ -757,3 +757,17 @@ def test_grouping_family_expands_above_fine_grain_aggregate(spark, sf_dir):
         assert -1 < expand < grain < scan, (fn.__name__, expand, grain, scan)
         # the fine grain combines map-side before its exchange
         assert "partial_count(1)" in text or "partial_sum" in text, fn.__name__
+
+
+def test_sentiment_is_shuffle_free(spark, sf_dir):
+    """r11 adopted wave: q69's lexicon scoring is a row-local fold over the
+    tokenized text (literal-map lookup inside aggregate()), so the plan
+    must contain NO exchange and NO join — per-doc output is a projection
+    of the documents scan. The explode → broadcast-join → re-aggregate
+    form it replaced materialized every token as a row and paid an
+    exchange back to document grain (within-run A/B in the docstring)."""
+    from wikipediaetl_spark.operators.text_analysis import q69_sentiment
+
+    text = explain_str(q69_sentiment(spark, sf_dir), mode="simple")
+    assert "Exchange" not in text, text[:900]
+    assert "Join" not in text, text[:900]
