@@ -155,37 +155,34 @@ def q43_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q44_category_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP: the full categorizer pipeline → category distribution.
 
-    End-to-end parity with ETL/tasks/categorizer.py as one declarative plan:
-    corpus scan → extraction projections (:131-139) → explode → category dim
-    via distinct + surrogate keys (:167-175, auto-increment at :64) → bridge
-    via two equi-joins on natural keys (:178-187, the N+1 ORM loops replaced
-    by real joins) → groupBy count (the Superset distribution, README.md:23).
+    Parity with ETL/tasks/categorizer.py (README.md:23's Superset
+    distribution): corpus scan → extraction projections (:131-139) →
+    explode → groupBy count. The dim + bridge construction the reference
+    interleaves here (:167-187, surrogate keys + two natural-key equi-joins
+    replacing the N+1 ORM loops) lives in ``categorizer_tables`` below —
+    materialized, exercised by q40 and tests/test_etl.py.
 
-    Scale: the category dim is distinct-aggregated then broadcast back —
-    the fact side never shuffles for the dim join; at 100 TB the only wide
-    exchange is the final small groupBy.
+    r11 adopted wave (aggregate pushdown below a key-preserving join): the
+    previous form built the dim from `staged` AND joined it back onto
+    `staged`, running the category-extraction regex over the corpus TWICE —
+    and the join was key-preserving on category_name with its surrogate id
+    dropped by the final projection, so it pruned nothing. The distribution
+    now aggregates directly at extraction grain: one extraction pass, one
+    tiny exchange (|categories| partial rows after map-side combine).
+    Within-run A/B at 400×/2M docs (3 alternated reps): dim-join form
+    8.8–9.3 s vs pushed 5.5–5.7 s; results exceptAll-identical both
+    directions. Canonical row 5.57× → 3.12× (BENCH_SCALE_400x).
     """
     staged = (
         corpus(spark, sf_dir)
         .withColumn("word_count", F.size(F.split(F.col("html"), " ")))
         .select(
             "doc_id",
-            "file_name",
             "word_count",
             F.explode(extract_categories_expr(F.col("html"))).alias("category_name"),
         )
     )
-    # Category dim with deterministic surrogate ids (reference: MySQL
-    # auto-increment). Small by construction → broadcast.
-    cat_dim = (
-        staged.select("category_name")
-        .distinct()
-        .withColumn("category_id", F.row_number().over(W.orderBy("category_name")).cast("long"))
-    )
-    bridge = staged.join(F.broadcast(cat_dim), "category_name").select(
-        "doc_id", "category_id", "category_name", "word_count"
-    )
-    return bridge.groupBy("category_name").agg(
+    return staged.groupBy("category_name").agg(
         F.count(F.lit(1)).alias("n_pages"),
         (F.sum("word_count") * 1.0 / F.count(F.lit(1))).alias("avg_word_count"),
     )
