@@ -134,6 +134,11 @@ _WINDOW_ALIASES: dict[str, str] = {
     "q00n_storage_merge": "q166_storage_merge_roundtrip",
     "q00o_cluster_ledger": "q184_cluster_ledger_maintenance",
     # ---- FINAL BACKLOG (the last 21 never-externally-checked natives) ----
+    # r12+ POLICY (the backlog is zero after CORRECTNESS_r11): these slots
+    # become a FRESHNESS rotation — each round, re-point them at the oracle
+    # natives whose last external hash-check is OLDEST (r8's tranche first),
+    # so external coverage ages out at ~21 queries/round instead of only the
+    # stable core staying fresh. Never re-point the q00* core.
     # scalar/JSON/CASE/pivot block (§2.8)
     "q01a_json_extract": "q29_json_extract",
     "q01b_case_bucket": "q30_case_bucket",
