@@ -771,3 +771,27 @@ def test_sentiment_is_shuffle_free(spark, sf_dir):
     text = explain_str(q69_sentiment(spark, sf_dir), mode="simple")
     assert "Exchange" not in text, text[:900]
     assert "Join" not in text, text[:900]
+
+
+def test_q81_salt_rides_preaggregation_not_join(spark, sf_dir):
+    """r11 adopted wave: q81's salt lives on the per-(user, salt) PARTIAL
+    AGGREGATE, not on an exploded-dim shuffle join — the fact is collapsed
+    by map-side combine before any exchange, and both dim joins broadcast.
+    Shape pinned: no Expand (no ×8 dim explode), no SortMergeJoin (the fact
+    is never shuffled at event grain), a partial aggregate keyed on
+    (user_id, salt) below two BroadcastHashJoins, and the salt computed from
+    SPARK_PARTITION_ID (constant per map task — the clustered-probe property
+    the within-run A/B in the docstring adopted over a per-row hash salt)."""
+    from wikipediaetl_spark.operators.relational_ext import q81_salted_join
+
+    text = explain_str(q81_salted_join(spark, sf_dir), mode="simple")
+    assert "SortMergeJoin" not in text, text[:900]
+    assert "Expand" not in text, text[:900]
+    assert "BroadcastHashJoin" in text, text[:900]
+    assert "SPARK_PARTITION_ID" in text, text[:900]
+    grain = text.find("HashAggregate(keys=[user_id")
+    scan = text.find("FileScan")
+    bhj = text.find("BroadcastHashJoin")
+    # parents print before children: broadcast join above the salted grain
+    # aggregate, grain aggregate above the events scan
+    assert -1 < bhj < grain < scan, (bhj, grain, scan)

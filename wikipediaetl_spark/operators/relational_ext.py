@@ -192,33 +192,49 @@ def q80_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q81_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-mitigated (salted) join, proven equal to the plain join by the
-    oracle.
+    """Skew-mitigated (salted) aggregation-join, proven equal to the plain
+    join by the oracle.
 
-    Pattern: the fact side gets a deterministic salt in [0, 8); the dim side
-    is exploded ×8 so every (key, salt) matches. A hot key's rows now spread
-    over 8 reducers instead of one. This is the manual fallback when AQE's
-    skew-join splitting can't apply (e.g. pre-aggregation joins); result
-    identity with the unsalted plan is the correctness obligation.
+    Pattern (r11 adopted wave): salt the per-key PARTIAL AGGREGATION, then
+    broadcast the dim onto the salted partials — the manual fallback when
+    AQE's skew-join splitting can't apply (pre-aggregation joins). The salt
+    is ``spark_partition_id() % 8``: constant within each map task, so the
+    partial-agg hash map stays at (keys-in-partition) entries with clustered
+    probes, while a hot key still spreads across 8 reducers because its rows
+    span many input partitions. The fact is never shuffled at event grain —
+    map-side combine collapses it to (key, salt) partials before any bytes
+    move, and the dim join is broadcast. Result identity with the unsalted
+    plain-join plan is the correctness obligation.
+
+    Two rejected shapes, both measured at 400x (tools/exp_q81.py): the
+    exploded-dim salted SHUFFLE join (the textbook demo — ~5.5 s vs ~3.4 s
+    here, it shuffles all 40M fact rows), and a per-row xxhash64 salt
+    (~flat vs stock: it multiplies the partial-agg group count x8, ~4.8M
+    groups, and the random probe pattern erases the combine win).
     """
     n_salts = 8
     e = _t(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    salted_e = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
-    salted_c = c.withColumn(
-        "salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))
+    partial = (
+        e.withColumn(
+            "salt", F.pmod(F.spark_partition_id().cast("bigint"), F.lit(n_salts))
+        )
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pc"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+        )
+    )
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_name"
     )
     return (
-        salted_e.join(
-            salted_c,
-            (salted_e.user_id == salted_c.c_custkey) & (salted_e.salt == salted_c.salt),
-        )
-        .join(F.broadcast(n), salted_c.c_nationkey == n.n_nationkey)
+        partial.join(F.broadcast(dim), partial.user_id == dim.c_custkey)
         .groupBy("n_name")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.sum("pc").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
         )
     )
 
