@@ -795,3 +795,26 @@ def test_q81_salt_rides_preaggregation_not_join(spark, sf_dir):
     # parents print before children: broadcast join above the salted grain
     # aggregate, grain aggregate above the events scan
     assert -1 < bhj < grain < scan, (bhj, grain, scan)
+
+
+def test_q13_q15_fact_collapses_below_broadcast_join(spark, sf_dir):
+    """r11 adopted wave: q13's per-custkey aggregate and q15's o_custkey
+    distinct must sit BELOW their joins, so the orders fact collapses via
+    map-side combine before any exchange and the join side broadcasts —
+    no SortMergeJoin, no order-grain shuffle of the fact. Tree printout:
+    parents print before children, so the broadcast join appears above the
+    fact-grain HashAggregate, which appears above the orders scan."""
+    from wikipediaetl_spark.operators.relational import q13_left_join, q15_anti_join
+
+    for fn, key in (
+        (q13_left_join, "HashAggregate(keys=[o_custkey"),
+        (q15_anti_join, "HashAggregate(keys=[o_custkey"),
+    ):
+        text = explain_str(fn(spark, sf_dir), mode="simple")
+        assert "SortMergeJoin" not in text, (fn.__name__, text[:900])
+        assert "BroadcastHashJoin" in text, (fn.__name__, text[:900])
+        bhj = text.find("BroadcastHashJoin")
+        grain = text.find(key)
+        assert -1 < bhj < grain, (fn.__name__, bhj, grain)
+        # orders scans only the columns the pushed aggregate needs
+        assert "partial_count" in text or "Distinct" in text or "HashAggregate" in text
