@@ -1156,13 +1156,26 @@ def q106_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set order depends on partitioning — never compare it unsorted).
     Emitted as a ','-joined string, not array<string>: the driver's pandas
     canonicalizer sorts columns and lists are unhashable there — same
-    semantics, hashable representation."""
+    semantics, hashable representation.
+
+    r11 adopted wave: the set-dedup runs as a codegen'd DISTINCT on
+    (custkey, status) pairs BEFORE the collect — collect_set is an
+    ObjectHashAggregate (object buffers, outside whole-stage codegen), so
+    feeding it the raw 60M-row fact pays the object path per input row;
+    after the pre-distinct it sees ≤|statuses| rows per key. Within-run A/B
+    at 400× (inline, BENCH_NOTES r11): 2.9–3.5 s → 1.7–2.6 s,
+    value-identical. A single-collect_set + post-projection variant
+    measured flat — the double set-build was never the cost."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_custkey").agg(
-        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
-            "statuses"
-        ),
-        F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
+    pairs = o.select("o_custkey", "o_orderstatus").distinct()
+    return (
+        pairs.groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderstatus")).alias("s"))
+        .select(
+            "o_custkey",
+            F.array_join("s", ",").alias("statuses"),
+            F.size("s").alias("n_statuses"),
+        )
     )
 
 
