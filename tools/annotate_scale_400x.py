@@ -40,6 +40,17 @@ CAP_NOTES = {
         "doc_id<20 subset cap (scale-invariant input, the q53 caveat): the "
         "ratio is the fixed-cost regime, reported for ladder completeness"
     ),
+    "q109_dedup_decision": (
+        "doc_id<200 subset cap on both the q53-derived pair stage and the "
+        "final accounting scan (scale-invariant input, the q53 caveat): the "
+        "capstone's scaled stories are its components' — q51/q168 for the "
+        "dedup stages, the connected-components loop is O(log diameter) "
+        "rounds by pointer doubling; the ratio is fixed-cost regime"
+    ),
+    "q121_chunking": (
+        "doc_id<100 subset cap (scale-invariant input, the q53 caveat): "
+        "the ratio is fixed-cost regime"
+    ),
     "q110_cross_modal_join": (
         "embeddings side is copied unchanged under replication, so only the "
         "base replicas' doc_ids match; the documents scan side scales, the "
