@@ -818,3 +818,23 @@ def test_q13_q15_fact_collapses_below_broadcast_join(spark, sf_dir):
         assert -1 < bhj < grain, (fn.__name__, bhj, grain)
         # orders scans only the columns the pushed aggregate needs
         assert "partial_count" in text or "Distinct" in text or "HashAggregate" in text
+
+
+def test_q106_object_agg_fed_by_codegen_distinct(spark, sf_dir):
+    """r11 adopted wave: collect_set/collect_list is an ObjectHashAggregate
+    (object buffers, outside whole-stage codegen), so it must NOT consume
+    the raw orders fact — a codegen'd DISTINCT on (o_custkey,
+    o_orderstatus) collapses the 60M-row stream to <=|statuses| rows per
+    key first, and only those reach the object path. Tree printout: parents
+    print before children, so the ObjectHashAggregate appears above the
+    pair-grain HashAggregate, which appears above the scan; the distinct
+    runs map-side partials before its exchange."""
+    from wikipediaetl_spark.operators.relational_ext import q106_collect_set
+
+    text = explain_str(q106_collect_set(spark, sf_dir), mode="simple")
+    obj = text.find("ObjectHashAggregate")
+    pair = text.find("HashAggregate(keys=[o_custkey")
+    scan = text.find("FileScan")
+    assert -1 < obj < pair < scan, (obj, pair, scan)
+    # the pair-grain distinct combines map-side before its exchange
+    assert text.find("Exchange", pair) != -1, text[:900]
