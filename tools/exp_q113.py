@@ -11,6 +11,15 @@ thousand keys, far under the driver HashedRelation pain threshold measured
 on q12/q98) and SHUFFLE_HASH for the l_quantity>=49-filtered lineitem side
 (~4% selectivity), so orders streams unsorted through both probes.
 
+MEASURED (r11 session 3, 400x, within-run): stock best 5.669 s
+(5.98/5.67/6.84) vs hinted best 5.533 s (5.56/7.85/5.53), values
+identical — FLAT, rejected. Final-plan check (executed,
+isFinalPlan=true): AQE already broadcasts the customer IN side unaided;
+the EXISTS side stays SortMergeJoin in the final plan, and forcing it
+to SHUFFLE_HASH is exactly what measured flat — the o_orderkey sort is
+not where the wall goes; the cost is the two fact scans plus the
+decorrelated dual-pass itself.
+
 Usage: python tools/exp_q113.py [factor=400] [outdir]
 """
 

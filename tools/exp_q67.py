@@ -9,6 +9,15 @@ over the vocabulary-sized tf table (~|langs|x|vocab| rows) instead of the
 full corpus token stream — the second 2M-doc explode+shuffle disappears
 and the remaining plan is one token pass + two tiny aggregates.
 
+MEASURED (r11 session 3, 400x, within-run): stock best 4.747 s
+(5.21/4.75/5.04) vs variant best 4.694 s (4.87/4.69/4.70), values
+identical — FLAT, rejected. The corpus explode is not the cost at this
+fixture: the 400x-replicated vocabulary is small, map-side partials
+collapse the token stream immediately, and both shapes are dominated by
+the shared scan+split+tf-aggregate. Boundary: at an open real-corpus
+vocabulary the df distinct-aggregate grain grows with |vocab|x|langs|
+and the variant's argument returns.
+
 Usage: python tools/exp_q67.py [factor=400] [outdir]
 """
 

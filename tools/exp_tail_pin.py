@@ -13,6 +13,14 @@ the shape we'd pick at 100 TB (single scan, broadcast dims, partial aggs);
 the residual ratio is per-row expression cost (Java regex / codegen
 arithmetic vs DuckDB's vectorized RE2 / HUGEINT) at a toy 1-3s scale.
 
+MEASURED (r11 session 3, 400x, shared-epoch within-run best/best):
+q40 3.17x (5.285/1.669 s), q41 5.11x (2.650/0.519), q47 3.28x
+(12.953/3.946), q88 2.47x (24.445/9.898), q127 2.51x, q128 2.49x,
+q132 2.18x, q137 2.11x. Pinned as theorized: per-row Java-regex floor
+(q40/q41/q47/q88 — single scan, <=1 exchange, no join) and
+broadcast-planned codegen-floor TPC-H shapes (q127/q128/q132/q137).
+No variant to adopt.
+
 Usage: python tools/exp_tail_pin.py [factor=400] [outdir]
 """
 
