@@ -94,6 +94,25 @@ VARIANTS: dict[str, dict[str, str]] = {
         "__plan__": "longsum",
         "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
     },
+    # r11 residual (OPTIMIZATION_r11 "not yet" #1): AQE skew-split on the
+    # shuffled-hash join. Defaults need a partition 5x median AND >256MB to
+    # split; these lower the bar so any imbalance in the 240M-row probe /
+    # 30M-row build partitions actually triggers OptimizeSkewedJoin.
+    "skewtune": {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            64 * 1024 * 1024
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(32 * 1024 * 1024),
+    },
+    "skewtune_force": {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            32 * 1024 * 1024
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(16 * 1024 * 1024),
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    },
 }
 
 
