@@ -633,3 +633,37 @@ def test_connected_components_long_chain_converges(spark):
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert all(got[i] == 0 for i in range(n))
     assert got[1000] == got[1001] == got[1002] == 1000
+
+
+def test_connected_components_shallow_graph_converges_before_doubling(spark):
+    """r12 (VERDICT r11 #2): the first ``hop_start`` rounds propagate only —
+    a propagation fixed point is already full convergence — so shallow
+    graphs (the near-dup common case) never pay the r11 per-round hop join.
+    Pinned by running with max_rounds == 3 < hop_start: if convergence
+    needed any doubling round, this would raise."""
+    from wikipediaetl_spark.operators.relational_ext import connected_components
+
+    # star (diameter 2) + an edge pair: propagation alone converges in 2
+    # rounds; round 3 observes stability
+    edges = [(0, i) for i in range(1, 8)] + [(100, 101)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, max_rounds=3, hop_start=4).collect()
+    }
+    assert all(got[i] == 0 for i in range(8))
+    assert got[100] == got[101] == 100
+
+
+def test_connected_components_hop_start_zero_matches_adaptive(spark):
+    """The hop_start=0 arm (r11 always-double behavior, kept as the A/B
+    baseline in tools/exp_cc_adaptive.py) and the adaptive default produce
+    identical labelings on a mixed shallow+deep graph."""
+    from wikipediaetl_spark.operators.relational_ext import connected_components
+
+    edges = [(i, i + 1) for i in range(24)] + [(500, 501), (501, 502)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    adaptive = sorted(map(tuple, connected_components(pairs).collect()))
+    always = sorted(map(tuple, connected_components(pairs, hop_start=0).collect()))
+    assert adaptive == always
+    assert all(c == 0 for n, c in adaptive if n <= 24)

@@ -266,27 +266,46 @@ def q82_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 50, hop_start: int = 4
+) -> DataFrame:
     """Connected components over an undirected pair list via iterative
-    min-label propagation WITH pointer-doubling — the distributed
+    min-label propagation WITH ADAPTIVE pointer-doubling — the distributed
     union-find stand-in.
 
     pairs(doc_a, doc_b) → (doc_id, cluster_id) where cluster_id is the
     minimum doc_id in the component. Each round every node adopts the min
-    label among itself and its neighbors, THEN compresses through its
-    label's own label (label ← min(label, label[label]) — every label is
-    itself a node, so the lookup always resolves). The compression halves
-    the remaining distance-to-root each round, so rounds needed are
-    O(log diameter) instead of O(diameter) — found the hard way in r11:
-    the combined-ingest band-collision graph at sf0.01 has a >20-hop
-    chain, and the propagation-only loop under the old silent
-    ``max_rounds=20`` cap returned NON-CONVERGED labels (the incremental
-    ledger, which effectively converges across batches, was right and the
-    \"twin\" wrong). Non-convergence now RAISES instead of silently
-    returning: at the default 50 doubling rounds that would take a
-    diameter over 2^49 — impossible — so a raise means the loop itself is
-    broken, never the data. Same driver-loop-of-micro-batches shape as the
-    crawler BFS (streaming/crawler.py)."""
+    label among itself and its neighbors; from round ``hop_start`` on it
+    ALSO compresses through its label's own label (label ←
+    min(label, label[label]) — every label is itself a node, so the lookup
+    always resolves). The compression halves the remaining
+    distance-to-root each round, so rounds needed are O(hop_start +
+    log diameter) instead of O(diameter) — found the hard way in r11: the
+    combined-ingest band-collision graph at sf0.01 has a >20-hop chain,
+    and the propagation-only loop under the old silent ``max_rounds=20``
+    cap returned NON-CONVERGED labels (the incremental ledger, which
+    effectively converges across batches, was right and the \"twin\"
+    wrong). Non-convergence now RAISES instead of silently returning: at
+    the default 50 rounds (4 propagation + 46 doubling) that would take a
+    diameter over 2^45 — impossible — so a raise means the loop itself is
+    broken, never the data.
+
+    ADAPTIVE (r12, VERDICT r11 #2): r11 ran the hop join EVERY round, so
+    shallow graphs — near-dup clusters are almost always diameter ≤ 3 at
+    any SF — paid one extra join + coalesce per round for a deep-chain
+    guarantee they never need (the only code-caused r11 headline
+    regression: q83 0.986 → 1.337 s). Propagation alone is a sufficient
+    convergence test: a propagation fixed point means every node's label
+    equals the min over its closed neighborhood, so all labels in a
+    component are equal (any edge forces both endpoints ≤ each other) and
+    labels only ever take node-id values from inside the component — the
+    common value IS the component min. The first ``hop_start`` rounds
+    therefore propagate only (shallow graphs converge here and never pay
+    the hop); rounds ≥ ``hop_start`` fuse the hop back in, preserving the
+    O(log diameter) bound for deep chains. ``hop_start=0`` reproduces the
+    r11 always-double behavior (the A/B arm in tools/exp_cc_adaptive.py).
+    Same driver-loop-of-micro-batches shape as the crawler BFS
+    (streaming/crawler.py)."""
     spark = pairs.sparkSession
     # Materialize the pair list BEFORE pinning the loop confs: the upstream
     # pair generation (e.g. q53's shingle join) is the heavy stage and must
@@ -313,51 +332,54 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         converged = False
-        for _ in range(max_rounds):
+        for rnd in range(max_rounds):
             # one join + one aggregate per round: a node's own label rides
             # the union instead of a second (left) join — min over
             # {own label} ∪ {neighbor labels} is the same propagation step
-            # with one fewer shuffle stage per round
+            # with one fewer shuffle stage per round. The own row is
+            # tagged so the aggregate ALSO carries the previous label
+            # (min over the single tagged row) — the stability check then
+            # reads one checkpoint instead of joining two (r12: on tiny
+            # frontiers each removed per-round job is a fixed-cost win).
             neighbor_labels = edges.join(labels, edges.dst == labels.node).select(
-                F.col("src").alias("node"), "label"
+                F.col("src").alias("node"), "label", F.lit(False).alias("own")
             )
             propagated = (
-                labels.select("node", "label")
+                labels.select("node", "label", F.lit(True).alias("own"))
                 .unionByName(neighbor_labels)
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("own"), F.col("label"))).alias("prev"),
+                )
             )
-            # pointer doubling: follow the label's own label one hop —
-            # halves remaining distance-to-root per round (log-diameter
-            # convergence; see docstring for the r11 >20-hop-chain bug)
-            hop = propagated.select(
-                F.col("node").alias("label"), F.col("label").alias("label2")
-            )
-            new_labels = (
-                propagated.join(hop, "label", "left")
-                .select(
+            if rnd >= hop_start:
+                # pointer doubling: follow the label's own label one hop —
+                # halves remaining distance-to-root per round
+                # (log-diameter convergence for deep chains; see docstring
+                # for the r11 >20-hop-chain bug and why the first
+                # hop_start rounds skip this join)
+                hop = propagated.select(
+                    F.col("node").alias("label"), F.col("label").alias("label2")
+                )
+                propagated = propagated.join(hop, "label", "left").select(
                     "node",
                     F.least(
                         F.col("label"), F.coalesce("label2", F.col("label"))
                     ).alias("label"),
+                    "prev",
                 )
-                .localCheckpoint(eager=True)
-            )
-            stable = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .isEmpty()
-            )
-            labels = new_labels
+            new_labels = propagated.localCheckpoint(eager=True)
+            stable = new_labels.filter(F.col("label") != F.col("prev")).isEmpty()
+            labels = new_labels.select("node", "label")
             if stable:
                 converged = True
                 break
         if not converged:
             raise RuntimeError(
                 f"connected_components did not converge in {max_rounds} "
-                "doubling rounds — impossible for any real graph; the loop "
-                "is broken"
+                f"rounds ({hop_start} propagation + the rest doubling) — "
+                "impossible for any real graph; the loop is broken"
             )
         return labels.select(
             F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
