@@ -838,3 +838,43 @@ def test_q106_object_agg_fed_by_codegen_distinct(spark, sf_dir):
     assert -1 < obj < pair < scan, (obj, pair, scan)
     # the pair-grain distinct combines map-side before its exchange
     assert text.find("Exchange", pair) != -1, text[:900]
+
+
+def test_q88_regex_walks_are_gated_and_split(spark, sf_dir):
+    """r12 adopted wave (VERDICT r11 #6, guide §4): the PII regexes must not
+    walk the document body unconditionally. The body's regexp_replace calls
+    sit inside CASE WHEN Contains(...) gates (a failed literal gate proves
+    zero matches), and the synthetic contact suffix redacts separately so a
+    suffix hit never re-walks the body. Pinned: every body-side
+    regexp_replace in the projection is preceded by a Contains gate, and
+    the plan stays a single scan-project (no exchange, no Python)."""
+    from wikipediaetl_spark.operators.pipeline_ops import q88_pii_redaction
+
+    text = explain_str(q88_pii_redaction(spark, sf_dir), mode="simple")
+    assert "Exchange" not in text and "EvalPython" not in text, text[:900]
+    # the body column (text#N) is only regex-walked behind a Contains gate:
+    # each "regexp_replace(text#" occurrence must follow "CASE WHEN Contains"
+    proj = text[text.find("Project") :]
+    idx = proj.find("regexp_replace(text#")
+    assert idx != -1, proj[:400]
+    while idx != -1:
+        gate = proj.rfind("Contains(text#", 0, idx)
+        assert gate != -1 and idx - gate < 700, proj[max(0, idx - 200) : idx + 40]
+        idx = proj.find("regexp_replace(text#", idx + 1)
+
+
+def test_q47_single_regex_remains(spark, sf_dir):
+    """r12: sanitize_filename keeps exactly one regex (the character-class
+    replace); basename extraction is substring_index and the '.html' strip
+    is endswith + substr — 2 of the 3 per-row regex walks removed
+    (exactness argued in the sanitize_filename docstring)."""
+    from wikipediaetl_spark.operators.etl import q47_sanitize_filename
+
+    text = explain_str(q47_sanitize_filename(spark, sf_dir), mode="simple")
+    assert "substring_index" in text, text[:900]
+    assert "regexp_extract" not in text, text[:900]
+    # only the char-class pattern remains as a regex: every regexp_replace
+    # occurrence carries it (the other two regexes are gone entirely)
+    n_rr = text.count("regexp_replace(")
+    assert n_rr >= 1 and n_rr == text.count(", [^a-zA-Z0-9._-], "), text[:900]
+    assert ".html$" not in text and "([^/]*)$" not in text, text[:900]

@@ -45,12 +45,24 @@ def sanitize_filename(path: Column) -> Column:
     outside [a-zA-Z0-9._-] replaced by '_', trailing '.html' stripped.
 
     Parity: ETL/tasks/utils.py:4-11 (used at categorizer.py:126,133 and
-    converter.py:50,55) — the reference's Python UDF rewritten as a
-    regexp_replace chain.
-    """
-    base = F.regexp_extract(path, r"([^/]*)$", 1)
+    converter.py:50,55) — the reference's Python UDF rewritten as native
+    expressions. r12 (guide §4 — per-row regex is the floor, so run less
+    of it): 2 of the 3 regexes replaced by cheap substring builtins,
+    exactly equivalent on ANY input:
+    - ``regexp_extract(path, '([^/]*)$', 1)`` ≡ ``substring_index(path,
+      '/', -1)`` — the first match of an end-anchored no-slash run is
+      everything after the last '/' (the whole string when there is no
+      '/', '' on a trailing '/'; both return NULL on NULL);
+    - ``regexp_replace(safe, '\\.html$', '')`` ≡ strip-if-endswith —
+      equivalent here because ``safe`` is post-character-class-replace and
+      so contains no line terminators (Java's $ would otherwise also match
+      before a trailing newline).
+    Only the character-class replace remains a regex."""
+    base = F.substring_index(path, "/", -1)
     safe = F.regexp_replace(base, r"[^a-zA-Z0-9._-]", "_")
-    return F.regexp_replace(safe, r"\.html$", "")
+    return F.when(
+        safe.endswith(".html"), safe.substr(F.lit(1), F.length(safe) - 5)
+    ).otherwise(safe)
 
 
 def url_to_filename(url: Column) -> Column:

@@ -8,7 +8,7 @@ packing. All native expressions; all oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from wikipediaetl_spark.catalog import query
@@ -422,19 +422,58 @@ def q87_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q88_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: email/phone regex redaction over synthetically enriched
     text — the pattern-redaction stage of a data-cleaning pipeline as pure
-    regexp_replace (codegen, pushd-down-safe)."""
+    regexp_replace (codegen, pushdown-safe).
+
+    r12 (guide §4 "stay on the JVM", VERDICT r11 #6 — the per-row
+    Java-regex floor attacked with literal-anchored prefilters): the two
+    regexes are gated so the expensive per-char regex walk only runs where
+    a cheap vectorized substring scan says a match is possible, and the
+    long document body and the short synthetic contact suffix redact
+    SEPARATELY so the regexes never re-walk the body just to hit the
+    suffix. Exactness (any input, not just the fixture):
+    - the email pattern requires a literal '@' and the phone pattern a
+      leading [0-9], so ``contains('@')`` / contains-any-digit gates can
+      never drop a real match — a failed gate means zero matches and the
+      untouched value IS regexp_replace's output;
+    - the split at the body/suffix boundary is exact because the suffix
+      starts with a space and neither pattern can match a space, so no
+      match spans the boundary; '[EMAIL]' introduces no digits, so the
+      phone pass composes per-half too.
+    Measured within-run at 400× (tools/exp_regex_gate.py): the body's gate
+    hit-rate is 0% on the fixture (no '@', no digits in document text), so
+    the body pays two substring scans instead of two full regex wallks."""
     d = load_table(spark, sf_dir, "documents")
-    raw = F.concat(
-        F.col("text"),
+    suffix = F.concat(
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),
         F.lit("@example.com or +1-555-"),
         F.lpad(F.col("doc_id").cast("string"), 4, "0"),
     )
-    redacted = F.regexp_replace(
-        F.regexp_replace(raw, r"[a-zA-Z0-9._-]+@[a-zA-Z0-9.-]+", "[EMAIL]"),
-        r"\+?[0-9][0-9-]{7,}",
-        "[PHONE]",
+
+    def redact(col: Column) -> Column:
+        has_digit = F.lit(False)
+        for ch in "0123456789":
+            has_digit = has_digit | col.contains(ch)
+        emailed = F.when(
+            col.contains("@"),
+            F.regexp_replace(col, r"[a-zA-Z0-9._-]+@[a-zA-Z0-9.-]+", "[EMAIL]"),
+        ).otherwise(col)
+        # gate evaluated on the pre-email value: emailed's characters are a
+        # subset of col's plus '[EMAIL]' (digit-free), so digit-in-emailed
+        # ⇒ digit-in-col ⇒ gate passes; a gate that passes with no digit
+        # left only costs a wasted regex pass, never a missed match
+        return F.when(
+            has_digit, F.regexp_replace(emailed, r"\+?[0-9][0-9-]{7,}", "[PHONE]")
+        ).otherwise(emailed)
+
+    redacted = F.concat(
+        redact(F.col("text")),
+        # the suffix always contains '@' and digits by construction: no gate
+        F.regexp_replace(
+            F.regexp_replace(suffix, r"[a-zA-Z0-9._-]+@[a-zA-Z0-9.-]+", "[EMAIL]"),
+            r"\+?[0-9][0-9-]{7,}",
+            "[PHONE]",
+        ),
     )
     return d.select("doc_id", redacted.alias("redacted"))
 
