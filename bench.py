@@ -45,9 +45,32 @@ HEADLINE = [
 ]
 
 
+def _first_touch_probe_sec(mb: int = 512) -> float:
+    """Machine-epoch probe (VERDICT r11 #1): seconds to allocate and
+    first-touch `mb` MiB of fresh anonymous memory, measured BEFORE the
+    Spark session exists. On this VM class (lazy snapshot restore +
+    virtio-balloon free-page reporting, mechanism pinned in BENCH_NOTES
+    r11 session 4) the first touch of a fresh page round-trips to the
+    VMM, so a degraded epoch reads 10-100× slower than a clean one
+    (measured: 2 GiB at 0.22 s held-retouch vs 41 s degraded fresh).
+    Emitted as an extra JSON key so the headline artifact is
+    self-adjudicating: readers separate engine movement from epoch
+    movement without cross-referencing prose. Purely additive — the
+    timed queries, their names and the methodology are unchanged."""
+    n = mb << 20
+    t0 = time.perf_counter()
+    buf = bytearray(n)  # zero-fill touches every page
+    for i in range(0, n, 4096):  # belt-and-braces: explicit write per page
+        buf[i] = 1
+    dt = time.perf_counter() - t0
+    del buf
+    return round(dt, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    probe_sec = _first_touch_probe_sec()
     spark = get_spark("bench")
     qs = all_queries()
 
@@ -88,6 +111,14 @@ def main() -> None:
                 # just in this file's history
                 "reps": reps,
                 "methodology": f"best-of-{reps} round-robin per query",
+                # epoch self-adjudication (VERDICT r11 #1), ADDITIVE keys:
+                # q01 is the canary the r10/r11 adjudications already used
+                # (its best-of-N moves with the machine epoch, not the
+                # engine — it is untouched since r4); the probe is raw
+                # first-touch page-fault bandwidth before the suite ran.
+                "canary_q01_sec": timings["q01_pricing_summary"],
+                "first_touch_probe_mb": 512,
+                "first_touch_probe_sec": probe_sec,
             }
         )
     )

@@ -46,7 +46,10 @@ def t(spark, label, fn, *args):
 
 
 def q183_counts_from_hist(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # load_table so both A/B arms share the exact read path (ADVICE r11)
+    from wikipediaetl_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
     toks = _dsir_buckets(d)
     # lang rides the histogram grain (functionally dependent on doc_id,
     # so the grain is unchanged); counts fold over the histogram result
@@ -65,6 +68,15 @@ def q183_counts_from_hist(spark, sf_dir):
 def main():
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     out = sys.argv[2] if len(sys.argv) > 2 else f".benchdata/scaled{factor}x"
+    if len(sys.argv) > 2:
+        # an explicit outdir decides the scale; re-derive the label from it
+        # so the JSON's 'factor' field never mislabels the artifact (ADVICE
+        # r11). Unparseable names fall back to the label-only CLI value.
+        import re
+
+        m = re.search(r"(\d+)x/?$", out)
+        if m:
+            factor = int(m.group(1))
     spark = get_spark("exp_q183", extra_conf={
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),

@@ -134,11 +134,16 @@ _WINDOW_ALIASES: dict[str, str] = {
     "q00n_storage_merge": "q166_storage_merge_roundtrip",
     "q00o_cluster_ledger": "q184_cluster_ledger_maintenance",
     # ---- FINAL BACKLOG (the last 21 never-externally-checked natives) ----
-    # r12+ POLICY (the backlog is zero after CORRECTNESS_r11): these slots
-    # become a FRESHNESS rotation — each round, re-point them at the oracle
-    # natives whose last external hash-check is OLDEST (r8's tranche first),
-    # so external coverage ages out at ~21 queries/round instead of only the
-    # stable core staying fresh. Never re-point the q00* core.
+    # r12 POLICY: FROZEN (VERDICT r11 #5). The planned freshness rotation
+    # would re-point ~21 slots per round and make every future PERF diff
+    # report a false "dropped queries" alarm. With the backlog at zero
+    # (every oracle native externally hash-checked at least once,
+    # CORRECTNESS_r08-r11), the window is now FIXED: these slots keep their
+    # r11 targets permanently, so the external round-over-round diff is
+    # name-stable. Catalog-wide freshness is carried by the in-repo
+    # differential sweep instead (tools/check_oracle.py — all 226 names,
+    # every round, SELFCHECK artifacts). The full slot→target map is
+    # committed as WINDOW_MAP_r12.json for mechanical diffing.
     # scalar/JSON/CASE/pivot block (§2.8)
     "q01a_json_extract": "q29_json_extract",
     "q01b_case_bucket": "q30_case_bucket",
