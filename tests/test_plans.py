@@ -878,3 +878,27 @@ def test_q47_single_regex_remains(spark, sf_dir):
     n_rr = text.count("regexp_replace(")
     assert n_rr >= 1 and n_rr == text.count(", [^a-zA-Z0-9._-], "), text[:900]
     assert ".html$" not in text and "([^/]*)$" not in text, text[:900]
+
+
+def test_q108_moments_accumulate_long_below_decimal_combine(spark, sf_dir):
+    """r12 adopted wave (VERDICT r11 #7): the five moment components must
+    accumulate as LONGs inside whole-stage codegen at the fact grain — the
+    r11 per-row DECIMAL(38,0) products/sums were 87-90% of q108's wall
+    (tools/exp_q108_floor.py). Decimal arithmetic may only appear at and
+    above the (l_returnflag, spark_partition_id) partial-combine grain
+    (~|tasks|·3 rows). Tree printout: parents before children, so nothing
+    at or below the LAST pair-grain HashAggregate may mention decimal."""
+    from wikipediaetl_spark.operators.relational_ext import q108_exact_correlation
+
+    text = explain_str(q108_exact_correlation(spark, sf_dir), mode="simple")
+    assert "SPARK_PARTITION_ID" in text, text[:900]
+    pair_aggs = [
+        i
+        for i in range(len(text))
+        if text.startswith("HashAggregate(keys=[l_returnflag", i)
+        and ", p#" in text[i : i + 80]
+    ]
+    assert pair_aggs, text[:900]
+    below = text[pair_aggs[-1] :]
+    assert "decimal" not in below, below[:600]
+    assert "decimal(38,0)" in text[: pair_aggs[-1]], text[:900]

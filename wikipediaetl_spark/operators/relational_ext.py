@@ -1276,21 +1276,68 @@ def q108_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode the moment any group was constant (Pearson is undefined there).
     The exact integer dx/dy make "undefined" a precise test: dx=0 or dy=0
     → NULL, never a crash, never sqrt-of-cancellation-noise garbage.
-    Overflow: n·Σx² ≤ n²·max(x)² ~ 1e38 holds ~1e9 rows/group at 1e7-cent
-    values in DECIMAL(38,0); ANSI turns any breach into an error, never a
-    wrong answer."""
+
+    r12 (the big one — guide §1.2 "per-task work"): the r11 form ran the
+    five moment sums as per-row DECIMAL(38,0) multiplies + accumulates —
+    BigDecimal object arithmetic on every one of 240M rows, measured at
+    87-90% of the query's wall (tools/exp_q108_floor.py: full 12.7 s vs
+    scan+quantize floor 1.2-1.4 s at 400×; the r11 "per-row quantization
+    floor" pin was wrong — quantization is ~free, the decimal ops were
+    the wall). Now every per-row product runs in LONG inside whole-stage
+    codegen: partials accumulate per (l_returnflag, spark_partition_id())
+    — the q12/q81 salted-partials pattern, bounding each partial at the
+    scan-task row count — and only the ~|tasks|·|groups| partial rows pay
+    decimal arithmetic at the combine. y² and x·y split through
+    y = yh·8192 + yl (exact: y ≥ 0, truncation = floor) so each LONG
+    component stays in range: with x ≤ 5e3 cents (l_quantity ≤ 50) and
+    y ≤ ~1.05e7 cents, the tightest per-partial bound is Σyl² ≤ 6.7e7 ×
+    rows-per-task — safe to ~1.4e11 rows PER SCAN TASK (no real split
+    holds 1e11 rows); group sizes are unbounded since groups combine in
+    decimal. Exactness unchanged: ring homomorphism — the decimal
+    recombination 2²⁶·Σyh² + 2¹⁴·Σyh·yl + Σyl² equals Σy² exactly, and
+    partial sums are associative; ANSI still turns any bound breach into
+    an error, never a wrong answer. Measured within-run at 400×: 12.7 →
+    2.07 s (6.2×), values bit-identical."""
     li = _t(spark, sf_dir, "lineitem")
     cx = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
     cy = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     c = li.select("l_returnflag", cx.alias("x"), cy.alias("y"))
     d = lambda col: F.col(col).cast("decimal(38,0)")
-    comp = c.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(d("x") * F.col("x")).alias("sxx"),
-        F.sum(d("y") * F.col("y")).alias("syy"),
-        F.sum(d("x") * F.col("y")).alias("sxy"),
+    yh = (F.col("y") / 8192).cast("long")
+    yl = F.col("y") - yh * 8192
+    partial = (
+        c.select(
+            "l_returnflag",
+            "x",
+            "y",
+            yh.alias("yh"),
+            yl.alias("yl"),
+            F.spark_partition_id().alias("p"),
+        )
+        .groupBy("l_returnflag", "p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx_l"),
+            F.sum("y").alias("sy_l"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx_l"),
+            F.sum(F.col("x") * F.col("yh")).alias("sxyh"),
+            F.sum(F.col("x") * F.col("yl")).alias("sxyl"),
+            F.sum(F.col("yh") * F.col("yh")).alias("syhh"),
+            F.sum(F.col("yh") * F.col("yl")).alias("syhl"),
+            F.sum(F.col("yl") * F.col("yl")).alias("syll"),
+        )
+    )
+    comp = partial.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"),
+        F.sum(d("sx_l")).alias("sx"),
+        F.sum(d("sy_l")).alias("sy"),
+        F.sum(d("sxx_l")).alias("sxx"),
+        (F.sum(d("sxyh")) * 8192 + F.sum(d("sxyl"))).alias("sxy"),
+        (
+            F.sum(d("syhh")) * F.lit(8192 * 8192)
+            + F.sum(d("syhl")) * F.lit(2 * 8192)
+            + F.sum(d("syll"))
+        ).alias("syy"),
     )
     n_d = d("n")
     mom = comp.select(
