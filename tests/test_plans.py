@@ -902,3 +902,31 @@ def test_q108_moments_accumulate_long_below_decimal_combine(spark, sf_dir):
     below = text[pair_aggs[-1] :]
     assert "decimal" not in below, below[:600]
     assert "decimal(38,0)" in text[: pair_aggs[-1]], text[:900]
+
+
+def test_decfold_wave_money_accumulates_long_at_fact_grain(spark, sf_dir):
+    """r12 decimal-fold wave (the q32/q108 finding): in every converted
+    query the aggregate that consumes the FACT-grain stream must carry no
+    decimal in its partial functions — money folds as LONG cents/1e-4
+    units in whole-stage codegen; decimal appears only in/above the tiny
+    combine. Pinned per query: the r11 per-row fold type 'decimal(18,'
+    is gone from the whole plan, and the exact DECIMAL(38,0) combine is
+    present — the only decimal arithmetic left runs on partial rows."""
+    from wikipediaetl_spark.catalog import all_queries
+
+    qs = all_queries()
+    for name in (
+        "q32_date_funcs",
+        "q13_left_join",
+        "q10_cube",
+        "q66_grouping_sets",
+        "q18_range_join",
+        "q76_conditional_agg",
+        "q81_salted_join",
+        "q127_top_supplier",
+    ):
+        # formatted mode: simple-mode truncates long function lists, hiding
+        # the combine's decimal cast
+        text = explain_str(qs[name].fn(spark, sf_dir))
+        assert "decimal(18," not in text, (name, text[:600])
+        assert "decimal(38,0)" in text, (name, text[:600])

@@ -334,21 +334,34 @@ def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All grouping-set combinations via CUBE (SURVEY.md §2.4 [E]).
 
     r11 adopted wave — see q09_rollup: the fine-grain (status, priority)
-    aggregate (15 rows) runs below the Expand, so CUBE's 4-way row
-    duplication hits 15 partial rows instead of 60M orders. Money stays
-    exact: the partial is a DECIMAL(18,2) sum, the re-aggregate sums the
-    decimals and casts to double once at the end (same value as dsum's
-    single-pass sum — decimal addition is associative). Within-run A/B at
-    400× (3 alternated reps): native 5.6–5.8 s vs pre-agg 1.8–2.0 s — 3×;
-    canonical row 15.9× → 5.48× (BENCH_SCALE_400x, BENCH_NOTES r11)."""
+    aggregate runs below the Expand, so CUBE's 4-way row duplication hits
+    partial rows instead of 60M orders.
+
+    r12 (the q32/q108 finding): the fine-grain partial itself was a per-row
+    DECIMAL(18,2) cast+accumulate over all 60M rows — 64% of q32's
+    identical fold, measured. Money now folds as exact BIGINT cents
+    (floor(x·100+0.5), the q11/q12 identity) salted by
+    spark_partition_id() so each long partial is bounded by its scan task,
+    and the ~|tasks|·15 partials re-sum as DECIMAL(38,0) with one exact
+    /100 → double at the end — bit-identical to the decimal oracle at any
+    scale, ANSI-raise backstop. The Expand now consumes |tasks|·15 rows
+    instead of 15 — still nothing. Within-run A/B at 400×
+    (tools/exp_decfold_wave.py): 3.07 → 1.45 s (2.12×), values identical."""
     o = _t(spark, sf_dir, "orders")
-    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("pn"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("prev"),
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = (
+        o.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            cents.alias("c"),
+            F.spark_partition_id().alias("p"),
+        )
+        .groupBy("o_orderstatus", "o_orderpriority", "p")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("c").alias("pc"))
     )
     return base.cube("o_orderstatus", "o_orderpriority").agg(
         F.sum("pn").alias("n"),
-        F.sum("prev").cast("double").alias("revenue"),
+        (F.sum(F.col("pc").cast("decimal(38,0)")) / 100).cast("double").alias("revenue"),
     )
 
 
@@ -514,18 +527,30 @@ def q13_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     null); zero-order customers surface as null partials → coalesce to 0.
     Within-run A/B at 400× (tools/exp_q13_q15.py): 4.3–4.7 s → 2.2–2.4 s,
     value-identical.
-    """
+
+    r12 (the q32/q108 finding — per-row decimal folds, not scans, are the
+    wall): the partial accumulates exact BIGINT cents instead of
+    DECIMAL(18,2) — lossless for 2-decimal money (the q11/q12 identity),
+    per-custkey totals are bounded by a customer's order count (~10-40 ×
+    ≤5.6e7 cents, nowhere near 2⁶³; ANSI raises, never wraps) — and the
+    exact decimal /100 → double happens on the ~|customer| aggregate rows
+    above the join. Within-run A/B at 400× (tools/exp_q13_cents.py, noop
+    sink): 2.35 → 0.84 s (2.78×), values identical."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     oa = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("pn"),
-        dsum(F.col("o_totalprice"), 2).alias("psum"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "pcents"
+        ),
     )
     return c.join(oa, c.c_custkey == oa.o_custkey, "left").select(
         "c_custkey",
         "c_name",
         F.coalesce(F.col("pn"), F.lit(0).cast("long")).alias("n_orders"),
-        F.coalesce(F.col("psum"), F.lit(0.0)).alias("total_spent"),
+        F.coalesce(
+            (F.col("pcents").cast("decimal(38,0)") / 100).cast("double"), F.lit(0.0)
+        ).alias("total_spent"),
     )
 
 
@@ -638,19 +663,27 @@ def q18_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark has no native interval join; with a 5-row broadcast side this plans
     as BroadcastNestedLoopJoin — each fact row probes 5 bands, no shuffle.
     (SURVEY.md §2.3 [E]).
-    """
+
+    r12 (the q32/q108 finding): revenue folds as exact BIGINT cents salted
+    by spark_partition_id() (5 band groups would otherwise bound the long
+    sum at ~1.6e11 rows/band); the ~|tasks|·5 partials re-sum as
+    DECIMAL(38,0) with one exact /100 → double. Within-run A/B at 400×
+    (tools/exp_decfold_wave.py): 2.01 → 0.88 s (2.27×), values identical."""
     o = _t(spark, sf_dir, "orders")
     bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
-    return (
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    partial = (
         o.join(
             F.broadcast(bands),
             (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
         )
-        .groupBy("band")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice"), 2).alias("revenue"),
-        )
+        .select("band", cents.alias("c"), F.spark_partition_id().alias("p"))
+        .groupBy("band", "p")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("c").alias("pc"))
+    )
+    return partial.groupBy("band").agg(
+        F.sum("pn").alias("n_orders"),
+        (F.sum(F.col("pc").cast("decimal(38,0)")) / 100).cast("double").alias("revenue"),
     )
 
 
@@ -1002,15 +1035,35 @@ def q31_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q32_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar extraction + monthly revenue rollup (SURVEY.md §2.8; date
-    parsing parity with categorizer.py:116's '%d %B %Y' handled in etl.py)."""
+    parsing parity with categorizer.py:116's '%d %B %Y' handled in etl.py).
+
+    r12: the r11 "scan floor" pin was wrong — decomposed at 400×
+    (tools/exp_q32_decfold.py), the per-row decimal cast+accumulate was
+    64% of wall (stock 2.24 s vs 0.80 s with a double sum on the same
+    plan). Money now folds as exact BIGINT cents (floor(x·100+0.5),
+    lossless for 2-decimal money — the q11/q12 identity) in salted
+    partials per (year, month, spark_partition_id()); the ~|tasks|·84
+    partial rows combine as DECIMAL(38,0) and divide by 100 exactly
+    before the double cast, so the result is bit-identical to the
+    decimal oracle at ANY group size (a plain per-month long sum would
+    bound groups at ~1.6e11 rows; the salt removes the bound; ANSI
+    raises, never wraps, as the backstop). Measured within-run at 400×:
+    2.24 → 0.84 s (2.67×), values identical."""
     o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy(
-            F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
-        ).agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    partial = (
+        o.select(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            cents.alias("c"),
+            F.spark_partition_id().alias("p"),
         )
+        .groupBy("o_year", "o_month", "p")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("c").alias("pc"))
+    )
+    return partial.groupBy("o_year", "o_month").agg(
+        F.sum("pn").alias("n_orders"),
+        (F.sum(F.col("pc").cast("decimal(38,0)")) / 100).cast("double").alias("revenue"),
     )
 
 
@@ -1316,22 +1369,33 @@ def q66_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     all 60M orders ×3 grouping sets; every aggregate here is decomposable,
     so the (status, priority) fine-grain aggregate (15 rows) is computed
     first and the native GROUPING SETS runs over the partials (count(*)
-    becomes sum(pn), the decimal revenue partial re-sums exactly). The
+    becomes sum(pn), the revenue partial re-sums exactly). The
     GROUPING SETS node itself is unchanged — subtotal-NULL semantics and
-    the per-set row identity come from the real Expand, just fed 15 rows
-    instead of 60M. Within-run A/B at 400× (3 alternated reps): native
-    4.1–4.5 s vs pre-agg 1.7–1.9 s — 2.4×; canonical row 19.05× → 6.28×
-    (BENCH_SCALE_400x, BENCH_NOTES r11)."""
+    the per-set row identity come from the real Expand, just fed partial
+    rows instead of 60M. Within-run A/B at 400× (3 alternated reps):
+    native 4.1–4.5 s vs pre-agg 1.7–1.9 s — 2.4×; canonical row 19.05× →
+    6.28× (BENCH_SCALE_400x, BENCH_NOTES r11).
+
+    r12 (the q32/q108 finding, see q10_cube): the fine-grain partial folds
+    exact BIGINT cents salted by spark_partition_id() instead of per-row
+    DECIMAL(18,2); the ~|tasks|·15 partials re-sum as DECIMAL(38,0) with
+    one exact /100 → double. Within-run A/B at 400×
+    (tools/exp_decfold_wave.py): 2.39 → 0.95 s (2.51×), values identical."""
     o = _t(spark, sf_dir, "orders")
-    o.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("pn"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("prev"),
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    o.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        cents.alias("c"),
+        F.spark_partition_id().alias("p"),
+    ).groupBy("o_orderstatus", "o_orderpriority", "p").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("c").alias("pc")
     ).createOrReplaceTempView("v_orders_gs")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
                sum(pn) AS n,
-               CAST(sum(prev) AS DOUBLE) AS revenue
+               CAST(sum(CAST(pc AS DECIMAL(38,0))) / 100 AS DOUBLE) AS revenue
         FROM v_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """

@@ -69,22 +69,29 @@ def q75_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q76_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation (FILTER clauses / count_if) — one pass,
-    several predicated accumulators."""
+    several predicated accumulators.
+
+    r12 (the q32/q108 finding): the predicated money accumulator folds
+    exact BIGINT cents (floor(x·100+0.5), lossless 2-decimal money) in
+    whole-stage codegen instead of per-row DECIMAL(18,2); the exact
+    decimal /100 → double runs once per output row. Per-custkey totals
+    (~40 orders × ≤5.6e7 cents) are nowhere near 2⁶³; ANSI raises, never
+    wraps. Within-run A/B at 400× (tools/exp_decfold_wave.py):
+    1.45 → 0.88 s (1.64×), values identical."""
     o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return o.groupBy("o_custkey").agg(
         F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
         F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("o_orderpriority") == "1-URGENT",
-                    F.col("o_totalprice").cast("decimal(18,2)"),
+            (
+                F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", cents)).cast(
+                    "decimal(38,0)"
                 )
-            ),
-            F.lit(0).cast("decimal(18,2)"),
-        )
-        .cast("double")
-        .alias("urgent_spend"),
+                / 100
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("urgent_spend"),
     )
 
 
@@ -223,7 +230,12 @@ def q81_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "salt")
         .agg(
             F.count(F.lit(1)).alias("pc"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+            # r12 (q32/q108 finding): fold exact BIGINT cents in codegen,
+            # not per-row DECIMAL(18,2); partials re-sum as decimal above
+            # the broadcast join with one exact /100 → double. Within-run
+            # A/B at 400× (tools/exp_decfold_wave.py): 3.31 → 1.92 s
+            # (1.72×), values identical.
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("pv"),
         )
     )
     dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
@@ -234,7 +246,9 @@ def q81_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.sum("pc").alias("n_events"),
-            F.sum("pv").cast("double").alias("total_value"),
+            (F.sum(F.col("pv").cast("decimal(38,0)")) / 100)
+            .cast("double")
+            .alias("total_value"),
         )
     )
 

@@ -399,14 +399,26 @@ def q127_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The revenue relation is computed once and reused for both the max and
     the final filter (Spark reuses the shuffle via exchange reuse; at scale
     a .persist() would pin it). Equality on the double is safe because both
-    sides derive it from the same exact decimal sum. Supplier names attach
-    by broadcast after the 1-row filter."""
+    sides derive it from the same exact sum. Supplier names attach by
+    broadcast after the 1-row filter.
+
+    r12 (the q32/q108 finding): the per-supplier revenue folds as exact
+    1e-4-unit LONGS (the q12 identity — 2+2-decimal money products lie on
+    the 1e-4 grid) instead of per-row DECIMAL(18,6); the exact decimal
+    /10000 → double runs at supplier grain. Per-supplier quarterly totals
+    (~25k lines × ≤1.05e9 units) are far under 2⁶³; ANSI raises, never
+    wraps. Within-run A/B at 400× (tools/exp_decfold_wave.py):
+    2.43 → 2.08 s (1.17×), values identical — modest: most of this query's
+    wall is the pushed-filter scan, as the r11 codegen-floor pin said."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
+    vu = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("total_revenue")
+        (F.sum(vu).cast("decimal(38,0)") / 10000).cast("double").alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
