@@ -64,6 +64,23 @@ def get_spark(
         # 3.3 s → 1.5 s at 100× (the filtered-orders bloom prunes the
         # 60M-row lineitem scan before the semi-join shuffle); headline
         # bench and the q12 400× join verified regression-free.
+        # scan-split open-cost floor (r12, guide §6): maxSplitBytes =
+        # min(maxPartitionBytes, max(openCostInBytes, totalBytes/
+        # minPartitionNum)), so the 4MB default caps a small-but-expensive
+        # scan's parallelism at totalBytes/4MB tasks no matter how many
+        # cores are idle. High-compression parquet makes this bite hard:
+        # the 400× corpus (2M docs, ~2GB of text) zstd-compresses to a
+        # single 16MB file → 4 scan tasks on 32 cores, and the core-scaling
+        # probe (BENCH_CORE_SCALING_400x) caught q86 speeding up only
+        # 1.18× from 4× cores. 128KB reprices file-open for local
+        # NVMe/page-cache (the 4MB default models remote-HDFS opens);
+        # measured within-run at 400×: q86 16.7→7.7 s (2.2×), q88
+        # 3.96→1.29 s (3.1×); the 20-query sf0.1 headline suite measured
+        # flat-to-better (14.25→13.91 s within-run). At 100 TB inputs
+        # bytesPerCore ≫ 4MB so the floor is inert — this is the
+        # small-input end of scale-adaptive split sizing, not a local
+        # tuning knob (tools/exp_scan_splits.py).
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config(
             "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
